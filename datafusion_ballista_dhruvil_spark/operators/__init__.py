@@ -1,0 +1,18 @@
+"""Operator/query coverage modules.
+
+Each module registers named queries into ``registry.QUERIES`` (PySpark
+DataFrame builders) and ``registry.ORACLES`` (equivalent DuckDB ANSI SQL).
+``load_all()`` imports everything so the registry is fully populated.
+"""
+
+from __future__ import annotations
+
+
+def load_all() -> None:
+    from datafusion_ballista_dhruvil_spark.operators import (  # noqa: F401
+        dedup,
+        relational,
+        similarity,
+        text,
+        tpch,
+    )

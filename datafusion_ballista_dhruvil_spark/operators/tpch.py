@@ -1,0 +1,979 @@
+"""The reference's 22 TPC-H-derived benchmark queries, adapted to the driver
+testdata schema and re-expressed with the PySpark DataFrame API.
+
+Source queries: /root/reference/benchmarks/queries/q1.sql ... q22.sql (run by
+benchmarks/src/bin/tpch.rs:380-441). The driver's testdata (TESTDATA.md) omits
+``partsupp`` and several columns (l_shipmode, l_commitdate, l_receiptdate,
+o_comment, c_phone/c_address, p_mfgr/p_container, s_address/s_phone/s_comment),
+so queries touching those are adapted to exercise the *same operator shapes* —
+join graph, subquery class (correlated scalar / EXISTS / NOT EXISTS / IN /
+NOT IN / HAVING-scalar), aggregate forms — over the available columns. Each
+docstring states the delta.
+
+Determinism contract: all monetary aggregates use exact DECIMAL arithmetic and
+cast the final aggregate to DOUBLE (functions.compat), so results are
+bit-identical across partitionings and engines. Every LIMIT query carries a
+full tie-breaking ORDER BY so the selected set is unique.
+
+Scale notes: nation/region are broadcast explicitly (fixed 25/5 rows at every
+scale factor). supplier/customer/part grow with SF, so their joins are left to
+AQE, which will broadcast at small SF and shuffle-hash/sort-merge at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_dhruvil_spark.functions.compat import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    avg_money,
+    charge_expr,
+    dec2,
+    dec4,
+    disc_price_expr,
+    dsum,
+    sql_avg,
+    sql_dsum,
+)
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+_D2 = "CAST({} AS DECIMAL(12,2))"
+
+
+def _date(s: str):
+    return F.lit(s).cast("date")
+
+
+# --------------------------------------------------------------------------
+# q1 — scan + filter + two-phase agg + sort (reference's canonical example,
+# ballista/scheduler/src/state/execution_graph.rs:66-96). Verbatim.
+# --------------------------------------------------------------------------
+@query(
+    "q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum(_D2.format('l_quantity'))} AS sum_qty,
+  {sql_dsum(_D2.format('l_extendedprice'))} AS sum_base_price,
+  {sql_dsum(SQL_DISC_PRICE)} AS sum_disc_price,
+  {sql_dsum(SQL_CHARGE)} AS sum_charge,
+  {sql_avg(_D2.format('l_quantity'))} AS avg_qty,
+  {sql_avg(_D2.format('l_extendedprice'))} AS avg_price,
+  {sql_avg('CAST(l_discount AS DECIMAL(7,4))')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= _date("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec2("l_quantity")).alias("sum_qty"),
+            dsum(dec2("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price_expr()).alias("sum_disc_price"),
+            dsum(charge_expr()).alias("sum_charge"),
+            avg_money(dec2("l_quantity")).alias("avg_qty"),
+            avg_money(dec2("l_extendedprice")).alias("avg_price"),
+            avg_money(dec4("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q2 — correlated scalar MIN subquery (decorrelated to aggregate+join).
+# Adapted: no partsupp/supplier path in testdata; the min-cost-per-part
+# correlation is re-expressed as min-retailprice-per-brand over part.
+# --------------------------------------------------------------------------
+@query(
+    "q2",
+    oracle="""
+SELECT p_brand, p_type, p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_size BETWEEN 1 AND 15
+  AND p_retailprice = (
+    SELECT MIN(p2.p_retailprice) FROM part p2
+    WHERE p2.p_brand = part.p_brand AND p2.p_size BETWEEN 1 AND 15
+  )
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 100
+""",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    part = t.part.where(F.col("p_size").between(1, 15))
+    min_price = part.groupBy(F.col("p_brand").alias("mb")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            min_price,
+            (part.p_brand == min_price.mb) & (part.p_retailprice == min_price.min_price),
+        )
+        .select("p_brand", "p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q3 — 3-way join + agg + top-N. Adapted: no o_shippriority column; dates
+# shifted into the data range; deterministic LIMIT tie-break on l_orderkey.
+# --------------------------------------------------------------------------
+@query(
+    "q3",
+    oracle=f"""
+SELECT l_orderkey,
+  {sql_dsum(SQL_DISC_PRICE)} AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING")
+    orders = t.orders.where(F.col("o_orderdate") < _date("1996-03-15"))
+    li = t.lineitem.where(F.col("l_shipdate") > _date("1996-03-15"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(dsum(disc_price_expr()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q4 — EXISTS correlated subquery -> left-semi join. Adapted: the
+# commitdate<receiptdate predicate becomes l_shipdate > o_orderdate.
+# --------------------------------------------------------------------------
+@query(
+    "q4",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT * FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= _date("1996-07-01"))
+        & (F.col("o_orderdate") < _date("1996-10-01"))
+    )
+    li = t.lineitem
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q5 — 6-way join + agg. Verbatim shape; date range shifted to 1996.
+# nation/region broadcast (constant-size dims at every SF).
+# --------------------------------------------------------------------------
+@query(
+    "q5",
+    oracle=f"""
+SELECT n_name, {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= _date("1996-01-01"))
+        & (F.col("o_orderdate") < _date("1997-01-01"))
+    )
+    nation = F.broadcast(t.nation)
+    region = F.broadcast(t.region.where(F.col("r_name") == "ASIA"))
+    return (
+        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(disc_price_expr()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q6 — pure scan + filter + global agg (no group). Verbatim, 1996.
+# --------------------------------------------------------------------------
+@query(
+    "q6",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= _date("1996-01-01"))
+            & (F.col("l_shipdate") < _date("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(dec2("l_extendedprice") * dec4("l_discount")).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q7 — self-joined dimension (nation n1/n2) + OR predicate + year extract.
+# Verbatim shape; nations renamed, shipdate range 1996-1997.
+# --------------------------------------------------------------------------
+@query(
+    "q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+         {SQL_DISC_PRICE} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n1 = F.broadcast(t.nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(t.nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    li = t.lineitem.where(
+        F.col("l_shipdate").between(_date("1996-01-01"), _date("1997-12-31"))
+    )
+    shipping = (
+        t.supplier.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            disc_price_expr().alias("volume"),
+        )
+    )
+    return (
+        shipping.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q8 — 8-way join + conditional market-share ratio. Adapted: p_type='PROMO',
+# region AMERICA, share nation NATION_6 (an AMERICA nation).
+# --------------------------------------------------------------------------
+@query(
+    "q8",
+    oracle=f"""
+SELECT o_year,
+  {sql_dsum("CASE WHEN nation = 'NATION_6' THEN volume ELSE CAST(0 AS DECIMAL(20,6)) END")}
+    / {sql_dsum('volume')} AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    part = t.part.where(F.col("p_type") == "PROMO")
+    orders = t.orders.where(
+        F.col("o_orderdate").between(_date("1996-01-01"), _date("1997-12-31"))
+    )
+    n1 = F.broadcast(t.nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")))
+    n2 = F.broadcast(t.nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")))
+    region = F.broadcast(t.region.where(F.col("r_name") == "AMERICA"))
+    all_nations = (
+        part.join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            disc_price_expr().alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(20,6)")
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("nation") == "NATION_6", F.col("volume")).otherwise(zero))
+                / dsum(F.col("volume"))
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 — profit by nation/year. Adapted: no partsupp, so supply cost is
+# p_retailprice * l_quantity; p_name LIKE '%red%'.
+# --------------------------------------------------------------------------
+@query(
+    "q9",
+    oracle=f"""
+SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+         {SQL_DISC_PRICE}
+           - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    part = t.part.where(F.col("p_name").like("%red%"))
+    nation = F.broadcast(t.nation)
+    profit = (
+        part.join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (disc_price_expr() - dec2("p_retailprice") * dec2("l_quantity")).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — returned-item revenue by customer, top 20. Adapted: dropped
+# c_address/c_phone/c_comment (absent); tie-break on c_custkey.
+# --------------------------------------------------------------------------
+@query(
+    "q10",
+    oracle=f"""
+SELECT c_custkey, c_name, {sql_dsum(SQL_DISC_PRICE)} AS revenue, c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= _date("1996-10-01"))
+        & (F.col("o_orderdate") < _date("1997-01-01"))
+    )
+    li = t.lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(disc_price_expr()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — GROUP BY + HAVING against a global-scalar subquery. Adapted: value
+# is lineitem extendedprice*quantity (no partsupp supplycost*availqty).
+# Comparison is done in DOUBLE on both engines for determinism.
+# --------------------------------------------------------------------------
+_Q11_VAL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))"
+
+
+@query(
+    "q11",
+    oracle=f"""
+SELECT l_partkey, {sql_dsum(_Q11_VAL)} AS value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING {sql_dsum(_Q11_VAL)} > (
+  SELECT {sql_dsum(_Q11_VAL)} * 0.0001
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+)
+ORDER BY value DESC, l_partkey
+""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nation = F.broadcast(t.nation.where(F.col("n_name") == "NATION_7"))
+    base = (
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", (dec2("l_extendedprice") * dec2("l_quantity")).alias("val"))
+    )
+    per_part = base.groupBy("l_partkey").agg(dsum(F.col("val")).alias("value"))
+    total = base.agg((dsum(F.col("val")) * F.lit(0.0001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — join + conditional two-way counts. Adapted: groups by l_linestatus
+# (no l_shipmode); "late" predicate l_shipdate > o_orderdate.
+# --------------------------------------------------------------------------
+@query(
+    "q12",
+    oracle="""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= _date("1996-01-01"))
+        & (F.col("l_shipdate") < _date("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — LEFT OUTER JOIN with compound ON + double aggregation. Adapted:
+# o_comment NOT LIKE -> o_orderpriority <> '1-URGENT'.
+# --------------------------------------------------------------------------
+@query(
+    "q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    orders = t.orders
+    c_orders = (
+        t.customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — conditional ratio (promo revenue share). Verbatim; 1996-09.
+# --------------------------------------------------------------------------
+@query(
+    "q14",
+    oracle=f"""
+SELECT CAST(100 AS DOUBLE)
+  * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN " + SQL_DISC_PRICE + " ELSE CAST(0 AS DECIMAL(20,6)) END")}
+  / {sql_dsum(SQL_DISC_PRICE)} AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= _date("1996-09-01"))
+        & (F.col("l_shipdate") < _date("1996-10-01"))
+    )
+    zero = F.lit(0).cast("decimal(20,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price_expr()).otherwise(zero)
+    return (
+        li.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc_price_expr())).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — view + scalar MAX subquery (top supplier by quarterly revenue).
+# Exercises CREATE TEMP VIEW on the Spark side. Adapted: no s_address/s_phone.
+# --------------------------------------------------------------------------
+@query(
+    "q15",
+    oracle=f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no, {sql_dsum(SQL_DISC_PRICE)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    revenue0 = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= _date("1996-01-01"))
+            & (F.col("l_shipdate") < _date("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(disc_price_expr()).alias("total_revenue"))
+    )
+    # Parity with the reference's CREATE VIEW revenue0 (q15.sql).
+    revenue0.createOrReplaceTempView("revenue0")
+    rev = spark.table("revenue0")
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t.supplier.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — COUNT(DISTINCT) + NOT IN subquery -> anti join. Adapted: partsupp ->
+# lineitem supplier relation; complaint suppliers = negative balance.
+# --------------------------------------------------------------------------
+@query(
+    "q16",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    part = t.part.where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+    )
+    complaints = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.join(complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — correlated AVG subquery (small-quantity orders). Adapted:
+# p_container -> p_size <= 5. AVG computed as exact-sum/count in DOUBLE on
+# both engines so the filter boundary is identical.
+# --------------------------------------------------------------------------
+@query(
+    "q17",
+    oracle=f"""
+SELECT {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2))')} / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size <= 5
+  AND l_quantity < (
+    SELECT 0.2 * ({sql_avg('CAST(l_quantity AS DECIMAL(12,2))')})
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    part = t.part.where((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5))
+    per_part_avg = t.lineitem.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * avg_money(dec2("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        t.lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(dec2("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — IN subquery with HAVING (large-volume orders). Verbatim shape.
+# --------------------------------------------------------------------------
+@query(
+    "q18",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice, {sql_dsum('CAST(l_quantity AS DECIMAL(12,2))')} AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    big_orders = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t.orders.join(big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum(dec2("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — OR-of-ANDs predicate over a join (hash join + residual filter).
+# Adapted: brand/size/quantity bands only (no container/shipmode/shipinstruct).
+# --------------------------------------------------------------------------
+@query(
+    "q19",
+    oracle=f"""
+SELECT {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem, part
+WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+       AND l_quantity >= 1 AND l_quantity <= 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+       AND l_quantity >= 10 AND l_quantity <= 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+       AND l_quantity >= 20 AND l_quantity <= 30 AND p_size BETWEEN 1 AND 15)
+""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    # Every disjunct contains p_partkey = l_partkey, so the equi-join is
+    # factored out and the bands become a residual filter (hash join, not NLJ).
+    return (
+        t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(band)
+        .agg(dsum(disc_price_expr()).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — nested IN subqueries with correlated-share HAVING. Adapted: suppliers
+# whose 1997 shipments of 'red%' parts exceed 30% of their all-time quantity
+# for that part (replaces the partsupp availqty correlation).
+# --------------------------------------------------------------------------
+@query(
+    "q20",
+    oracle="""
+SELECT s_name FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                          AND l_shipdate < DATE '1998-01-01'
+                         THEN CAST(l_quantity AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           > 0.3 * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+  )
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+ORDER BY s_name
+""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    red_parts = t.part.where(F.col("p_name").like("red%")).select("p_partkey")
+    in_1997 = (F.col("l_shipdate") >= _date("1997-01-01")) & (
+        F.col("l_shipdate") < _date("1998-01-01")
+    )
+    qty = dec2("l_quantity")
+    zero = F.lit(0).cast("decimal(12,2)")
+    heavy = (
+        t.lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, qty).otherwise(zero)).cast("double").alias("qty_1997"),
+            F.sum(qty).cast("double").alias("qty_all"),
+        )
+        .where(F.col("qty_1997") > F.lit(0.3) * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = F.broadcast(t.nation.where(F.col("n_name") == "NATION_5"))
+    return (
+        t.supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — EXISTS + NOT EXISTS self-joins (waiting suppliers). Adapted:
+# "late" = l_shipdate > o_orderdate (no commit/receipt dates).
+# --------------------------------------------------------------------------
+@query(
+    "q21",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, late l1, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_19'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    f_orders = t.orders.where(F.col("o_orderstatus") == "F")
+    late = (
+        t.lineitem.join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = t.lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    exists_other = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = exists_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    nation = F.broadcast(t.nation.where(F.col("n_name") == "NATION_19"))
+    return (
+        t.supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(sole_late, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — NOT EXISTS + uncorrelated scalar AVG (idle customers). Adapted:
+# country code = last two digits of c_name (no c_phone); since every customer
+# has orders in this data, the anti-join keys on pending ('P') orders so the
+# NOT EXISTS stays selective rather than degenerate.
+# --------------------------------------------------------------------------
+_Q22_CODES = "('00','11','22','33','44','55','66')"
+
+
+@query(
+    "q22",
+    oracle=f"""
+SELECT cntrycode, COUNT(*) AS numcust,
+       {sql_dsum('CAST(c_acctbal AS DECIMAL(12,2))')} AS totacctbal
+FROM (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE substring(c_name, 17, 2) IN {_Q22_CODES}
+    AND c_acctbal > (
+      SELECT {sql_avg('CAST(c_acctbal AS DECIMAL(12,2))')}
+      FROM customer
+      WHERE c_acctbal > 0.00 AND substring(c_name, 17, 2) IN {_Q22_CODES}
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    codes = ["00", "11", "22", "33", "44", "55", "66"]
+    cntry = F.substring("c_name", 17, 2)
+    cust = t.customer.where(cntry.isin(codes))
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        avg_money(dec2("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t.orders.where(F.col("o_orderstatus") == "P"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(cntry.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec2("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+ALL_TPCH = [f"q{i}" for i in range(1, 23)]

@@ -1,0 +1,127 @@
+"""SparkSession factory + table registration.
+
+Parity notes (reference config surface, ballista/core/src/config.rs:183-208):
+- ``ballista.shuffle.partitions`` (default 16)      -> spark.sql.shuffle.partitions
+- ``ballista.batch.size`` (8192)                    -> columnar batch size is a
+  Tungsten/parquet-reader detail in Spark; nothing to set.
+- ``ballista.parquet.pruning``                      -> spark.sql.parquet.filterPushdown
+- ``hash_join_single_partition_threshold`` (1 MiB)  -> spark.sql.autoBroadcastJoinThreshold
+- repartition_joins/aggregations/windows            -> AQE + shuffle partitions
+
+Scale posture (100 TB / 1000 executors): AQE on (runtime coalescing, skew-join
+splitting), broadcast threshold left at Spark's default 10 MiB (the reference's
+1 MiB is pessimistic for a JVM engine), shuffle partitions sized from the core
+budget, session timezone pinned to UTC so timestamp semantics are stable across
+clusters and match naive-UTC parquet data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver's testdata provides (TESTDATA.md). TPC-H-ish star
+#: schema plus an events stream table and LLM-pipeline tables.
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def create_session(
+    app_name: str = "datafusion-ballista-dhruvil-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create a SparkSession configured for this engine.
+
+    On a real cluster, pass ``master=None`` and set ``spark.master`` via
+    spark-submit; ``shuffle_partitions`` should then be ~2-3x total cores.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # broadcast-join demotion/promotion. Core of the 100 TB posture.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Scan-side pushdown (reference: ballista.parquet.pruning, config.rs:38).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Arrow exchange for pandas UDFs / toPandas (reference is Arrow-native).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics; testdata parquet is naive-UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quieter driver logs for bench runs.
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+class Tables:
+    """Lazy accessor for the testdata star schema.
+
+    ``Tables(spark, sf_dir).lineitem`` returns the lineitem DataFrame; reads
+    are lazy so touching only the tables a query needs keeps scan planning
+    minimal (column pruning + filter pushdown happen per-query).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}")
+        if name not in self._cache:
+            self._cache[name] = load_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (parity with the
+    reference's ``register_parquet``; ballista/client/src/context.rs:300-312).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
