@@ -1,1 +1,708 @@
-"""Placeholder — populated in a later milestone."""
+"""Operator-checklist queries: one named query per relational operator /
+expression family from SURVEY.md §2.2-§2.6.
+
+Coverage map (reference proto cites in parentheses):
+- join types INNER/LEFT/RIGHT/FULL/SEMI/ANTI + null-safe + residual filter +
+  cross join (datafusion.proto:240-265,275-278)
+- set ops UNION/UNION ALL/INTERSECT/EXCEPT (rewritten to joins in the
+  reference; :271-273 + planner rewrite)
+- DISTINCT (:267-269), VALUES (:214-217), subquery alias (:292-295),
+  limit/offset (:280-286), sort + Top-K (:147-152)
+- GROUPING SETS / ROLLUP / CUBE + grouping_id (:340-344,370-380)
+- aggregates MIN/MAX/SUM/AVG/COUNT, DISTINCT + FILTER modifiers, stats
+  (VARIANCE/STDDEV/COVAR/CORR), MEDIAN, ARRAY_AGG, APPROX_* (:529-557)
+- window ranking/analytic functions + ROWS/RANGE frames (:569-596,651-679)
+- scalar expression families: string, math, datetime, regexp, hash, CASE /
+  CAST / IN / BETWEEN / LIKE / ILIKE / NULLIF / COALESCE (:298-359,448-521)
+
+Each query is deterministic (tie-broken sorts, exact decimal money sums) so
+the DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_ballista_dhruvil_spark.functions.compat import dec2, dsum, sql_dsum
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.2 join; proto JoinType INNER..RIGHTANTI)
+# --------------------------------------------------------------------------
+@query(
+    "ops_join_outer_coalesce",
+    oracle="""
+SELECT COALESCE(c.nk, s.nk) AS nationkey, c.c_cnt, s.s_cnt
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s
+  ON c.nk = s.nk
+ORDER BY nationkey
+""",
+)
+def ops_join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates + COALESCE over the join keys."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            "c_cnt",
+            "s_cnt",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "ops_join_left_right",
+    oracle="""
+SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey AND s_acctbal > 5000
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def ops_join_left_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with compound ON; RIGHT OUTER is the mirrored plan (Spark
+    canonicalizes RIGHT to LEFT by swapping inputs, same as the reference's
+    RIGHT* types being swapped-input LEFT*)."""
+    t = Tables(spark, sf_dir)
+    sup = t.supplier.where(F.col("s_acctbal") > 5000)
+    # expressed as RIGHT OUTER from supplier to exercise the type
+    return (
+        sup.join(t.nation, F.col("n_nationkey") == F.col("s_nationkey"), "right_outer")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ops_join_semi_anti",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+    AS n_with_urgent,
+  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+    AS n_without_urgent
+""",
+)
+def ops_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS decorrelation)."""
+    t = Tables(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    semi = t.customer.join(urgent, cond, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_with_urgent")
+    )
+    anti = t.customer.join(urgent, cond, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_without_urgent")
+    )
+    return semi.crossJoin(anti)
+
+
+@query(
+    "ops_join_null_safe",
+    oracle="""
+SELECT COUNT(*) AS n_pairs
+FROM (SELECT nullif(c_nationkey, 3) AS k FROM customer) c
+JOIN (SELECT nullif(s_nationkey, 3) AS k FROM supplier) s
+  ON c.k IS NOT DISTINCT FROM s.k
+""",
+)
+def ops_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (reference null_equals_null; Spark <=>)."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.select(F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck"))
+    s = t.supplier.select(F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk"))
+    return c.join(s, c.ck.eqNullSafe(s.sk)).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "ops_cross_join",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+LIMIT 30
+""",
+)
+def ops_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.region.crossJoin(t.nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations + DISTINCT
+# --------------------------------------------------------------------------
+@query(
+    "ops_setops",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                         UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') u)
+    AS n_union,
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                         UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') ua)
+    AS n_union_all,
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                         INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') i)
+    AS n_intersect,
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                         EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') e)
+    AS n_except,
+  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct
+""",
+)
+def ops_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / UNION ALL / INTERSECT / EXCEPT / DISTINCT."""
+    t = Tables(spark, sf_dir)
+    f = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = t.orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    out = [
+        f.union(p).distinct().agg(F.count(F.lit(1)).alias("n_union")),
+        f.unionAll(p).agg(F.count(F.lit(1)).alias("n_union_all")),
+        f.intersect(p).agg(F.count(F.lit(1)).alias("n_intersect")),
+        f.subtract(p).agg(F.count(F.lit(1)).alias("n_except")),  # EXCEPT (distinct)
+        t.orders.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("n_distinct")),
+    ]
+    res = out[0]
+    for df in out[1:]:
+        res = res.crossJoin(df)
+    return res
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP / CUBE (proto :340-344,370-380)
+# --------------------------------------------------------------------------
+@query(
+    "ops_grouping_sets",
+    oracle=f"""
+SELECT r_name, c_mktsegment,
+       GROUPING(r_name) AS g_region, GROUPING(c_mktsegment) AS g_segment,
+       COUNT(*) AS n, {sql_dsum('CAST(c_acctbal AS DECIMAL(12,2))')} AS total_bal
+FROM customer, nation, region
+WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+ORDER BY g_region, g_segment, r_name NULLS FIRST, c_mktsegment NULLS FIRST
+""",
+)
+def ops_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    joined = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    joined.createOrReplaceTempView("ops_gs_input")
+    return spark.sql(
+        f"""
+        SELECT r_name, c_mktsegment,
+               CAST(grouping(r_name) AS INT) AS g_region,
+               CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n, {sql_dsum('CAST(c_acctbal AS DECIMAL(12,2))')} AS total_bal
+        FROM ops_gs_input
+        GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+        ORDER BY g_region, g_segment, r_name NULLS FIRST, c_mktsegment NULLS FIRST
+        """
+    )
+
+
+@query(
+    "ops_rollup_cube",
+    oracle=f"""
+SELECT r_name, n_name, GROUPING(r_name) + GROUPING(n_name) AS lvl,
+       {sql_dsum('CAST(s_acctbal AS DECIMAL(12,2))')} AS total_bal
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def ops_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    joined = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name").cast("int") + F.grouping("n_name").cast("int")).alias("lvl"),
+            dsum(dec2("s_acctbal")).alias("total_bal"),
+        )
+        .select("r_name", "n_name", "lvl", "total_bal")
+        .orderBy("lvl", F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (proto BuiltInWindowFunction :569-581; frames :651-679)
+# --------------------------------------------------------------------------
+@query(
+    "ops_window_ranking",
+    oracle="""
+SELECT c_mktsegment, c_custkey, rn, rnk, drnk,
+       round(prnk, 8) AS prnk, round(cdist, 8) AS cdist, nt
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         percent_rank() OVER w AS prnk,
+         cume_dist() OVER w AS cdist,
+         ntile(4) OVER w AS nt
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+) x
+WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+""",
+)
+def ops_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / percent_rank / cume_dist / ntile."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t.customer.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 8).alias("prnk"),
+            F.round(F.cume_dist().over(w), 8).alias("cdist"),
+            F.ntile(4).over(w).alias("nt"),
+        )
+        .where(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "ops_window_analytic",
+    oracle="""
+SELECT user_id, event_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER
+         (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+       nth_value(value, 2) OVER
+         (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_val
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY user_id, event_id
+""",
+)
+def ops_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value / nth_value with explicit frames."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.events.where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(wfull).alias("last_val"),
+            F.nth_value("value", 2).over(wfull).alias("second_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "ops_window_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderkey
+     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+  COUNT(*) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderkey
+     RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS near_orders
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def ops_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS and RANGE window frames; aggregate-as-window-function."""
+    t = Tables(spark, sf_dir)
+    wrows = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    wrange = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 100)
+    return (
+        t.orders.where(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec2("o_totalprice")).over(wrows).cast("double").alias("moving_sum"),
+            F.count(F.lit(1)).over(wrange).alias("near_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate modifiers + stats aggregates (proto :529-557)
+# --------------------------------------------------------------------------
+@query(
+    "ops_agg_filter_distinct",
+    oracle="""
+SELECT c_mktsegment,
+  COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_list,
+  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def ops_agg_filter_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER clause, COUNT(DISTINCT), ARRAY_AGG(DISTINCT sorted), MIN/MAX."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias(
+                "nation_list"
+            ),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "ops_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+  round(stddev_samp(l_quantity), 6) AS sd_qty,
+  round(stddev_pop(l_quantity), 6) AS sdp_qty,
+  round(corr(l_quantity, l_extendedprice), 8) AS corr_qty_price,
+  median(l_quantity) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def ops_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV / STDDEV_POP / CORR / MEDIAN (VARIANCE family via stddev^2)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("corr_qty_price"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("ops_agg_approx")  # rows-only: HLL/quantile sketches differ per engine
+def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_DISTINCT (HLL) + APPROX_PERCENTILE_CONT + APPROX_MEDIAN.
+
+    No oracle: sketch values are engine-specific (same as the reference,
+    whose approx_distinct is DataFusion's HLL). The companion exact values
+    are covered by ops_setops (count distinct) and ops_agg_stats (median).
+    """
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_quartiles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# VALUES / subquery alias / LIMIT+OFFSET / Top-K
+# --------------------------------------------------------------------------
+@query(
+    "ops_values_limit_offset",
+    oracle="""
+SELECT t.a, t.b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z'), (4, 'w')) AS t(a, b)
+ORDER BY t.a LIMIT 2 OFFSET 1
+""",
+)
+def ops_values_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES + subquery alias + ORDER BY + LIMIT/OFFSET."""
+    return spark.sql(
+        "SELECT t.a, t.b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z'), (4, 'w')) AS t(a, b) "
+        "ORDER BY t.a LIMIT 2 OFFSET 1"
+    )
+
+
+@query(
+    "ops_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def ops_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort.fetch Top-K -> Spark TakeOrderedAndProject."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar expression families (proto ScalarFunction :448-521)
+# --------------------------------------------------------------------------
+@query(
+    "ops_scalar_string",
+    oracle="""
+SELECT p_partkey,
+  upper(p_name) AS up, lower(p_brand) AS lo,
+  substring(p_name, 1, 4) AS sub, trim(p_name) AS trimmed,
+  lpad(p_brand, 12, '*') AS lpadded, rpad(p_brand, 12, '*') AS rpadded,
+  replace(p_name, ' ', '_') AS replaced, reverse(p_type) AS revd,
+  split_part(p_name, ' ', 1) AS first_word,
+  strpos(p_name, ' ') AS space_pos,
+  left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+  repeat(p_brand, 2) AS doubled, translate(p_type, 'AEO', 'aeo') AS xlat,
+  concat(p_brand, ':', p_type) AS joined,
+  length(p_name) AS name_len, ascii(p_name) AS first_ascii,
+  chr(CAST(65 + (p_partkey % 26) AS INT)) AS letter,
+  p_name LIKE '%red%' AS is_red, p_name ILIKE 'RED%' AS starts_red
+FROM part
+WHERE p_partkey < 100
+ORDER BY p_partkey
+""",
+)
+def ops_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (ascii/chr/substr/trim/pad/replace/reverse/
+    split_part/strpos/left/right/repeat/translate/concat/length/like/ilike)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.where(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.substring("p_name", 1, 4).alias("sub"),
+            F.trim("p_name").alias("trimmed"),
+            F.lpad("p_brand", 12, "*").alias("lpadded"),
+            F.rpad("p_brand", 12, "*").alias("rpadded"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
+            F.reverse("p_type").alias("revd"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.locate(" ", F.col("p_name")).alias("space_pos"),
+            F.left(F.col("p_name"), F.lit(3)).alias("l3"),
+            F.right(F.col("p_name"), F.lit(3)).alias("r3"),
+            F.repeat("p_brand", 2).alias("doubled"),
+            F.translate("p_type", "AEO", "aeo").alias("xlat"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("joined"),
+            F.length("p_name").alias("name_len"),
+            F.ascii("p_name").alias("first_ascii"),
+            F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("letter"),
+            F.col("p_name").like("%red%").alias("is_red"),
+            F.col("p_name").ilike("RED%").alias("starts_red"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "ops_scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  abs(l_discount - 0.05) AS ad,
+  CAST(ceil(l_quantity / 7) AS BIGINT) AS ce,
+  CAST(floor(l_quantity / 7) AS BIGINT) AS fl,
+  round(l_extendedprice / 1000, 2) AS rnd, sqrt(l_quantity) AS sq,
+  round(exp(l_discount), 10) AS ex, round(ln(l_extendedprice), 10) AS lnp,
+  round(log10(l_extendedprice), 10) AS lg10, round(log2(l_quantity), 10) AS lg2,
+  power(l_quantity, 2) AS p2, CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+  CAST(CASE WHEN l_tax >= 0 THEN floor(l_tax * 100) ELSE ceil(l_tax * 100) END AS BIGINT)
+    AS trunc_tax
+FROM lineitem
+WHERE l_orderkey < 40
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def ops_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (abs/ceil/floor/round/sqrt/exp/ln/log10/log2/
+    power/signum/trunc). Transcendentals rounded to 10 dp — last-ulp libm
+    differences between engines are below that."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 40)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("ad"),
+            F.ceil(F.col("l_quantity") / 7).alias("ce"),
+            F.floor(F.col("l_quantity") / 7).alias("fl"),
+            F.round(F.col("l_extendedprice") / 1000, 2).alias("rnd"),
+            F.sqrt("l_quantity").alias("sq"),
+            F.round(F.exp("l_discount"), 10).alias("ex"),
+            F.round(F.log("l_extendedprice"), 10).alias("lnp"),
+            F.round(F.log10("l_extendedprice"), 10).alias("lg10"),
+            F.round(F.log2("l_quantity"), 10).alias("lg2"),
+            F.pow("l_quantity", F.lit(2)).alias("p2"),
+            F.signum(F.col("l_discount") - 0.05).alias("sg"),
+            F.when(F.col("l_tax") >= 0, F.floor(F.col("l_tax") * 100))
+            .otherwise(F.ceil(F.col("l_tax") * 100))
+            .alias("trunc_tax"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "ops_scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+  CAST(extract(year FROM o_orderdate) AS INT) AS y,
+  CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+  CAST(extract(day FROM o_orderdate) AS INT) AS d,
+  CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+  CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dw,
+  CAST(extract(doy FROM o_orderdate) AS INT) AS dy,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+  CAST(o_orderdate AS DATE) + 30 AS plus30,
+  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey < 100
+ORDER BY o_orderkey
+""",
+)
+def ops_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: DATE_PART/extract, DATE_TRUNC, date arithmetic
+    (reference DatePart/DateTrunc/DateBin, proto :28-29,68)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofweek("o_orderdate").alias("dw"),
+            F.dayofyear("o_orderdate").alias("dy"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+            F.to_date(F.date_trunc("year", "o_orderdate")).alias("year_start"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("plus30"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch_start"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "ops_case_cast",
+    oracle="""
+SELECT o_orderkey,
+  CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid'
+       ELSE 'small' END AS searched_case,
+  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END
+    AS simple_case,
+  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,  -- Spark CAST truncates; DuckDB rounds
+  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
+  TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hot,
+  o_totalprice BETWEEN 100000 AND 200000 AS in_band,
+  nullif(o_orderstatus, 'P') AS status_or_null,
+  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_filled,
+  (o_orderstatus = 'P') IS NOT NULL AS known
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+)
+def ops_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE (searched+simple) / CAST / TRY_CAST / IN / BETWEEN / NULLIF /
+    COALESCE / IS NOT NULL (proto :298-359)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 300000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("searched_case"),
+            F.when(F.col("o_orderstatus") == "F", "finished")
+            .when(F.col("o_orderstatus") == "O", "open")
+            .otherwise("other")
+            .alias("simple_case"),
+            F.col("o_totalprice").cast("bigint").alias("price_int"),
+            F.col("o_orderkey").cast("string").cast("bigint").alias("roundtrip"),
+            F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_hot"),
+            F.col("o_totalprice").between(100000, 200000).alias("in_band"),
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias(
+                "status_filled"
+            ),
+            (F.col("o_orderstatus") == "P").isNotNull().alias("known"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "ops_regexp_hash",
+    oracle="""
+SELECT doc_id,
+  regexp_extract(text, '([a-z]+)', 1) AS first_token,
+  regexp_replace(text, '[aeiou]', '', 'g') AS no_vowels_head,
+  regexp_matches(text, 'table') AS mentions_table,
+  md5(text) AS text_md5,
+  sha256(substring(text, 1, 32)) AS head_sha256
+FROM (SELECT doc_id, substring(text, 1, 64) AS text FROM documents WHERE doc_id < 100) d
+ORDER BY doc_id
+""",
+)
+def ops_regexp_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpMatch/RegexpReplace + MD5/SHA256 (proto :21,39 + hash family)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.where(F.col("doc_id") < 100)
+        .select("doc_id", F.substring("text", 1, 64).alias("text"))
+        .select(
+            "doc_id",
+            F.regexp_extract("text", "([a-z]+)", 1).alias("first_token"),
+            F.regexp_replace("text", "[aeiou]", "").alias("no_vowels_head"),
+            F.col("text").rlike("table").alias("mentions_table"),
+            F.md5("text").alias("text_md5"),
+            F.sha2(F.substring("text", 1, 32), 256).alias("head_sha256"),
+        )
+        .orderBy("doc_id")
+    )

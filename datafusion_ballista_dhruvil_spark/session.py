@@ -74,6 +74,10 @@ def create_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics; testdata parquet is naive-UTC.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as raw int64 nanos and convert at load
+        # (load_table) — values are µs-aligned so the conversion is lossless.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter driver logs for bench runs.
         .config("spark.ui.showConsoleProgress", "false")
     )
@@ -89,7 +93,15 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts arrives as int64 nanos (nanosAsLong); surface as TimestampType.
+        # DuckDB oracles read the same column as TIMESTAMP_NS and cast to
+        # µs TIMESTAMP — identical values (the data is µs-aligned).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 class Tables:

@@ -42,17 +42,14 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def canon(v):
+        # type-strict (int != float) to mirror the driver's value hashing
         if v is None:
             return (0, "")
         if isinstance(v, bool):
             return (1, str(v))
-        if isinstance(v, float):
-            if math.isnan(v):
-                return (2, "nan")
-            return (2, repr(v))  # full precision — exact match required
-        if isinstance(v, int):
-            return (2, repr(float(v)) if abs(v) < 2**52 else str(v))
-        return (3, str(v))
+        if isinstance(v, float) and math.isnan(v):
+            return (2, "nan")
+        return (2, f"{type(v).__name__}:{v!r}")
 
     out = [tuple(canon(r[i]) for i in order) for r in rows]
     out.sort()
