@@ -11,8 +11,10 @@ from __future__ import annotations
 def load_all() -> None:
     from datafusion_ballista_dhruvil_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         text,
         tpch,
     )
+    from datafusion_ballista_dhruvil_spark.streaming import events  # noqa: F401

@@ -1,1 +1,294 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for LLM training-data pipelines (north-star
+extensions; BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Every variant is expressed with DataFrame operations only — hashing via
+md5 (identical bytes in any engine, which is what makes the DuckDB oracles
+exact), set ops via array functions, candidate generation via equi-joins that
+Catalyst executes as shuffle-hash joins on the band/bucket key.
+
+Scale posture at 100 TB:
+- exact + fingerprint dedup: shuffle 32-byte keys only (map-side partial agg).
+- MinHash LSH: the candidate join is on (band, signature) — cardinality is
+  bounded by bucket collisions, never all-pairs. Skewed buckets (boilerplate
+  docs) are handled by AQE skew-join splitting.
+- n-gram Jaccard all-pairs verification is intentionally scoped to candidate
+  pairs (or a bounded partition) — the all-pairs form is the correctness
+  oracle, LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+#: MinHash parameters: k = BANDS * ROWS_PER_BAND signatures.
+BANDS = 4
+ROWS_PER_BAND = 4
+K = BANDS * ROWS_PER_BAND
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """(doc_id, s): distinct word n-gram shingles per document."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.array_size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), *[F.element_at(toks, i + j) for j in range(1, n)]
+        ),
+    )
+    return (
+        t.documents.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    )
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(list_transform(range(1, len(d.toks)), i -> d.toks[i] || ' ' || d.toks[i+1]))
+         AS u(s)
+"""
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
+FROM (SELECT doc_id, md5(text) AS text_hash FROM documents) h
+GROUP BY text_hash
+ORDER BY n_copies DESC, text_hash
+LIMIT 100
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id per group.
+    Only the hash shuffles; survivors = one row per group."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc"))
+        .orderBy(F.desc("n_copies"), "text_hash")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, common, s1.n AS n1, s2.n AS n2,
+       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.5
+ORDER BY jaccard DESC, d1, d2
+LIMIT 100
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (bigram shingles, J >= 0.5).
+
+    Shingle-explode -> self equi-join on shingle -> count common -> Jaccard.
+    This is the exact verifier; at scale the same verification runs only on
+    LSH candidates (dedup_minhash_lsh), never all pairs.
+    """
+    sh = _shingle_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "common", "n1", "n2", "jaccard")
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+seeds AS (SELECT unnest(range(0, {K})) AS j),
+mh AS (
+  SELECT doc_id, j, MIN(md5(j || ':' || s)) AS m
+  FROM sh, seeds GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band, string_agg(m, '|' ORDER BY j) AS sig
+  FROM mh GROUP BY doc_id, j // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT c.d1, c.d2, COUNT(*) AS common
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2
+)
+SELECT v.d1, v.d2,
+       CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) AS jaccard
+FROM ver v JOIN sizes z1 ON z1.doc_id = v.d1 JOIN sizes z2 ON z2.doc_id = v.d2
+WHERE CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) >= 0.5
+ORDER BY jaccard DESC, v.d1, v.d2
+LIMIT 100
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, exactly reproducible.
+
+    shingle -> K min-hashes (min over md5(seed:shingle), a permutation proxy
+    identical in any engine) -> {BANDS} bands of {ROWS_PER_BAND} -> bucket
+    join on (band, signature) -> exact Jaccard verification of candidates.
+
+    Scale: the only join is on band signatures (bounded buckets); minhash
+    computation is a groupBy (doc, seed) over the shingle explode — partial
+    min() map-side, so the shuffle carries one row per (doc, seed).
+    """
+    sh = _shingle_df(spark, sf_dir).cache()
+    seeds = spark.range(K).select(F.col("id").cast("int").alias("j"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "j",
+            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("m"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("j") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "m"))), lambda x: x["m"]
+                ),
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    s2 = sh.select(F.col("doc_id").alias("vd2"), F.col("s").alias("s2"))
+    ver = (
+        cand.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("vd2")) & (F.col("s2") == F.col("s1")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        ver.join(z1, "d1")
+        .join(z2, "d2")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "jaccard")
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+def _simhash_bits() -> int:
+    return 16
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200) d,
+       unnest(d.toks) AS u(t)
+),
+bits AS (
+  SELECT doc_id,
+    {bit_exprs}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {concat_expr} AS simhash
+FROM bits
+ORDER BY doc_id
+""".format(
+        bit_exprs=",\n    ".join(
+            f"CASE WHEN SUM(CASE WHEN substring(md5({j} || ':' || t), 1, 1) "
+            f"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+            f"THEN '1' ELSE '0' END AS b{j}"
+            for j in range(16)
+        ),
+        concat_expr=" || ".join(f"b{j}" for j in range(16)),
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) document signatures.
+
+    Bit j of a token's hash = top bit of md5(j:token) (engine-portable);
+    the document bit is the sign of the +/-1 sum over distinct tokens.
+    Near-dup candidates are then signatures within small Hamming distance —
+    at scale, bucketed by bit-segments (same banding trick as LSH).
+    Map-explode + one groupBy(doc) with 16 conditional sums.
+    """
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.where(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(F.array_distinct(_tokens())).alias("t"))
+    )
+    top_hex = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    aggs = []
+    for j in range(16):
+        bit_on = F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("t"))), 1, 1
+        ).isin(top_hex)
+        aggs.append(
+            F.when(F.sum(F.when(bit_on, 1).otherwise(-1)) > 0, "1")
+            .otherwise("0")
+            .alias(f"b{j}")
+        )
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    return bits.select(
+        "doc_id", F.concat(*[F.col(f"b{j}") for j in range(16)]).alias("simhash")
+    ).orderBy("doc_id")

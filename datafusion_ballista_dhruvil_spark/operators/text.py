@@ -1,1 +1,217 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extensions beyond the reference surface; BASELINE.json).
+
+All operators are pure DataFrame expressions (JVM-side, codegen-friendly —
+no Python UDFs in the hot path), so they scale linearly with executors and
+never shuffle except where an aggregation genuinely requires it.
+
+Scale posture at 100 TB:
+- per-document scoring (tokens/quality/fingerprint/langid) is map-only —
+  zero shuffles, pipelined with the parquet scan, column-pruned to `text`.
+- aggregations (profile) are partial-agg + single shuffle on low-cardinality
+  keys (lang/source) — no skew risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+#: tiny embedded stopword list (documents use a synthetic lowercase vocab)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+_SQL_STOPS = "('the','a','of','and','to','in','is')"
+
+
+def _toks(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_tokens_quality",
+    oracle=f"""
+SELECT doc_id, lang, n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPS})) AS BIGINT)
+    AS n_stop,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPS})) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stop_ratio,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS uniq_ratio,
+  0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')))
+  + 0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPS})) AS DOUBLE)
+           / len(string_split(text, ' ')))
+  + 0.2 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+           / (len(string_split(text, ' ')) + 100)) AS quality_score
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+""",
+)
+def text_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/stopword/uniqueness ratios).
+
+    Whitespace tokenization — a BPE-ish regex tokeniser plugs into the same
+    shape by swapping the split pattern. The quality score is a deterministic
+    linear blend, the standard shape for quality-filter features (c.f.
+    Gopher/CCNet-style heuristic filters).
+    """
+    t = Tables(spark, sf_dir)
+    toks = _toks()
+    n_tok = F.array_size(toks)
+    n_uniq = F.array_size(F.array_distinct(toks))
+    n_stop = F.array_size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tok
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    quality = (
+        F.lit(0.5) * uniq_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * (n_tok.cast("double") / (n_tok + F.lit(100)))
+    )
+    return (
+        t.documents.where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_tok.alias("n_tokens"),
+            n_uniq.alias("n_uniq"),
+            n_stop.cast("bigint").alias("n_stop"),
+            stop_ratio.alias("stop_ratio"),
+            uniq_ratio.alias("uniq_ratio"),
+            quality.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_langid",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','key','row'))) AS s_a,
+    len(list_filter(string_split(text, ' '), t -> t IN ('table','scan','merge'))) AS s_b,
+    len(list_filter(string_split(text, ' '), t -> t IN ('query','join','group'))) AS s_c
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'profile_a'
+         WHEN s_b >= s_c THEN 'profile_b'
+         ELSE 'profile_c' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM pred
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by n-gram/marker-token profile scoring (argmax with a
+    deterministic tie-break), reported as a lang x predicted confusion
+    matrix. Map-only scoring + one tiny aggregation."""
+    t = Tables(spark, sf_dir)
+    toks = _toks()
+
+    def score(words: list[str]):
+        return F.array_size(F.filter(toks, lambda x: x.isin(*words)))
+
+    s_a = score(["the", "a", "key", "row"])
+    s_b = score(["table", "scan", "merge"])
+    s_c = score(["query", "join", "group"])
+    predicted = (
+        F.when((s_a >= s_b) & (s_a >= s_c), "profile_a")
+        .when(s_b >= s_c, "profile_b")
+        .otherwise("profile_c")
+    )
+    return (
+        t.documents.select("doc_id", "lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      AS fingerprint
+  FROM documents
+) f
+GROUP BY fingerprint
+HAVING COUNT(*) >= 1
+ORDER BY n_docs DESC, fingerprint
+LIMIT 200
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical token-set fingerprint (sorted
+    distinct tokens -> md5), the OpenRefine/key-collision method. Groups of
+    size >1 are token-set near-duplicates. Shuffles only the 32-byte
+    fingerprint + doc_id — at 100 TB this is the cheapest near-dup pass."""
+    t = Tables(spark, sf_dir)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " "))
+    return (
+        t.documents.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .orderBy(F.desc("n_docs"), "fingerprint")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_ngram_profile",
+    oracle="""
+SELECT source, bigram, n FROM (
+  SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, bigram) AS rn
+  FROM (
+    SELECT d.source, u.bigram
+    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) d,
+         unnest(list_transform(range(1, len(d.toks)),
+                               i -> d.toks[i] || ' ' || d.toks[i+1])) AS u(bigram)
+  ) g
+  GROUP BY source, bigram
+) ranked
+WHERE rn <= 5
+ORDER BY source, n DESC, bigram
+""",
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per source: n-gram generation (array transform over
+    token positions), explode, count, windowed top-k. The explode fans out
+    ~L tokens/doc; the count is partial-aggregated map-side so the shuffle
+    carries only (source, bigram) partial counts."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    toks = _toks()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.array_size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        t.documents.select("source", F.explode(bigrams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "bigram", "n")
+        .orderBy("source", F.desc("n"), "bigram")
+    )

@@ -58,6 +58,15 @@ def create_session(
     spark-submit; ``shuffle_partitions`` should then be ~2-3x total cores.
     """
     cpus = _cpus()
+    # Spark's Python workers re-exec python and resolve pickled-by-reference
+    # functions via import; make this package importable for them even when
+    # the driver was launched from outside the repo.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

@@ -1,0 +1,182 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §1.1: every Ballista plan is
+ExecutionMode::Bounded), so these operators EXCEED its surface. Each is
+written as a plain DataFrame transformation on an unbounded-compatible shape:
+``build_*`` functions accept either a batch DataFrame or a readStream
+DataFrame — the tumbling aggregation runs identically under Structured
+Streaming with a watermark (see ``stream_tumbling_counts`` and
+tests/test_streaming.py which asserts stream==batch).
+
+Scale posture: tumbling windows shuffle on (window, event_type) — bounded
+cardinality; sessionization shuffles once on user_id and then runs
+window-function passes within each user partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_ballista_dhruvil_spark.functions.compat import dsum
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def build_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Hourly tumbling window per event_type — identical code batch/stream."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value", "approx_users")
+    )
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream variant with a watermark for late data; run it with
+    Trigger.AvailableNow for batch-equivalent backfill (tests assert
+    stream == batch)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns->us conversion as session.load_table
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return build_tumbling_counts(events.withWatermark("ts", "2 hours"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregation (streaming-window semantics on batch;
+    the same build runs under readStream — see stream_tumbling_counts)."""
+    t = Tables(spark, sf_dir)
+    return (
+        build_tumbling_counts(t.events)
+        .drop("approx_users")  # sketch values are engine-specific
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_sessionize",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END
+      AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, event_id, ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(floor((MAX(ts_us) - MIN(ts_us)) / 1000000) AS BIGINT) AS duration_sec
+FROM sessions
+WHERE user_id < 50
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> new-session flag
+    -> running sum as session id -> per-session aggregates. The stateful-
+    streaming equivalent is applyInPandasWithState; this is the batch/backfill
+    form of the same operator."""
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = t.events.where(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .select("user_id", F.col("session_id").cast("bigint").alias("session_id"), "n_events", "duration_sec")
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_type_pivot",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily counts per event type as columns (groupBy().pivot() with
+    explicit values so the plan stays single-pass)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
