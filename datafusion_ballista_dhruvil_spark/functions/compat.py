@@ -104,8 +104,9 @@ def sql_avg(expr: str) -> str:
 #: handled in the SQL rewrite layer because SQL UDFs cannot wrap aggregates.
 _SQL_ALIASES: dict[str, tuple[str, str, str]] = {
     # proto value cites: datafusion.proto:448-521
+    # character_length/btrim/split_part/startswith/left/right/translate/
+    # octet_length/position are native in Spark >= 3.5 — no shim needed.
     "strpos": ("s STRING, sub STRING", "INT", "locate(sub, s)"),
-    "character_length": ("s STRING", "INT", "char_length(s)"),
     "to_hex": ("x BIGINT", "STRING", "lower(hex(x))"),
     "digest_sha256": ("s STRING", "STRING", "sha2(s, 256)"),
     "trunc_number": (

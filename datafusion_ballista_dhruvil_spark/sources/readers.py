@@ -1,0 +1,123 @@
+"""File/source connectors (SURVEY.md §2.7).
+
+Reference surface: read/register CSV, Parquet, Avro, NDJSON
+(ballista/client/src/context.rs:217-341) over local FS or object stores
+(s3://, azure, gs://, hdfs:// — ballista/core/src/object_store_registry/
+mod.rs:26-110). Spark resolves the same URI schemes through its Hadoop
+filesystem layer, so path handling is pass-through; only per-format option
+names need mapping:
+
+  reference option (ListingTableScanNode, datafusion.proto:87-97)  -> Spark
+  csv has_header                                                   -> header
+  csv delimiter                                                    -> sep
+  json (NDJSON, one object per line)                               -> default
+  parquet pruning / enable_pruning                                 -> spark.sql.parquet.filterPushdown (session-level, on)
+  file_extension                                                   -> pathGlobFilter
+
+Writes: parquet/csv/json mirrors DataFrame::write_{parquet,csv}
+(context.rs:522-555), plus Spark-native partitionBy/compression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class AvroUnavailableError(RuntimeError):
+    """The spark-avro external module is not on the classpath."""
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    has_header: bool = True,
+    delimiter: str = ",",
+    file_extension: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """CSV reader (parity: BallistaContext::read_csv, context.rs:236-244;
+    CsvFormat options, datafusion.proto:85-90). Schema inference when no
+    schema is given, matching the reference's listing-table inference."""
+    reader = spark.read.option("header", str(has_header).lower()).option("sep", delimiter)
+    if file_extension:
+        reader = reader.option("pathGlobFilter", f"*{file_extension}")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Parquet reader (parity: read_parquet, context.rs:246-254). Predicate
+    pushdown / row-group pruning is session-level and on by default
+    (reference knob ballista.parquet.pruning, config.rs:38)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None,
+              **options: str) -> DataFrame:
+    """NDJSON reader (parity: read_json, context.rs:217-226 — DataFusion's
+    JSON format is newline-delimited, Spark's default)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Avro reader (parity: read_avro, context.rs:228-234). Requires the
+    spark-avro module; raises AvroUnavailableError with remediation if the
+    classpath lacks it (this container ships only avro-core jars)."""
+    try:
+        reader = spark.read.format("avro")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
+        df.schema  # force resolution
+        return df
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise AvroUnavailableError(
+                "spark-avro is not on the classpath; add "
+                "org.apache.spark:spark-avro_2.13:<spark-version> via "
+                "spark.jars.packages"
+            ) from e
+        raise
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "error",
+                  partition_by: list[str] | None = None,
+                  compression: str = "zstd") -> None:
+    """Parquet writer (parity: DataFrame::write_parquet, context.rs:522-538).
+    zstd default mirrors modern lake practice; the reference's
+    CREATE EXTERNAL TABLE compression options map to `compression`."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "error",
+              has_header: bool = True, delimiter: str = ",") -> None:
+    """CSV writer (parity: DataFrame::write_csv, context.rs:540-555)."""
+    (
+        df.write.mode(mode)
+        .option("header", str(has_header).lower())
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
+    """NDJSON writer (Spark superset; reference writes only parquet/csv)."""
+    df.write.mode(mode).json(path)

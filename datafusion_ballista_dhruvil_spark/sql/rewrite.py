@@ -1,0 +1,91 @@
+"""Small, test-driven SQL dialect shim: DataFusion/postgres-flavored SQL ->
+Spark SQL (SURVEY.md §7 step 2; risk register item 4).
+
+Deliberately narrow: only constructs the reference's own query corpus and
+client tests use (sqlparser-rs dialect, reference benchmarks/queries/*.sql,
+ballista/client/src/context.rs tests). Everything else passes through
+untouched — Spark SQL accepts the vast majority of the reference dialect
+as-is (ILIKE, FILTER clause, GROUPING SETS, VALUES, EXISTS, ...).
+
+Handled rewrites:
+- ``expr::type`` postgres cast        -> CAST(expr AS type)
+- ``SIMILAR TO`` regex predicate      -> RLIKE with anchored pattern
+- aggregate name deltas               -> approx_distinct -> approx_count_distinct,
+                                         approx_percentile_cont -> percentile_approx
+- CREATE EXTERNAL TABLE ... STORED AS fmt LOCATION p
+                                      -> CREATE TABLE ... USING fmt LOCATION p
+"""
+
+from __future__ import annotations
+
+import re
+
+from datafusion_ballista_dhruvil_spark.functions.compat import SQL_NAME_REWRITES
+
+# expr::type -> CAST(expr AS type); conservative operand = masked string
+# literal (\x00N\x00 placeholder), quoted identifier, identifier, or number.
+_PG_CAST = re.compile(
+    r"""(?P<operand>\x00\d+\x00|"[^"]*"|[A-Za-z_][\w.]*|\d+(?:\.\d+)?)\s*::\s*
+        (?P<type>[A-Za-z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""",
+    re.VERBOSE,
+)
+
+_SIMILAR_TO = re.compile(
+    r"(?P<operand>\S+)\s+(?P<neg>NOT\s+)?SIMILAR\s+TO\s+(?P<pat>'[^']*')",
+    re.IGNORECASE,
+)
+
+_EXTERNAL_TABLE = re.compile(
+    r"CREATE\s+EXTERNAL\s+TABLE\s+(?P<if>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
+    r"(?P<cols>\([^)]*\))?\s*"
+    r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
+    r"(?P<opts>WITH\s+ORDER\s+\([^)]*\)\s*)?"
+    r"LOCATION\s+(?P<loc>'[^']*')",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _similar_to_regex(pat: str) -> str:
+    """SQL SIMILAR TO pattern -> anchored regex: % -> .*, _ -> . (regex
+    metachars in the remainder are kept — SIMILAR TO patterns already use a
+    regex-like syntax for alternation/classes)."""
+    body = pat[1:-1].replace("%", ".*").replace("_", ".")
+    return f"'^{body}$'"
+
+
+_STRING_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def rewrite_sql(sql: str) -> str:
+    # rewrites that legitimately consume their quoted operand run first ...
+    def _sim(m: re.Match) -> str:
+        neg = "NOT " if m.group("neg") else ""
+        return f"{m.group('operand')} {neg}RLIKE {_similar_to_regex(m.group('pat'))}"
+
+    out = _SIMILAR_TO.sub(_sim, sql)
+
+    def _ext(m: re.Match) -> str:
+        ifne = m.group("if") or ""
+        cols = f" {m.group('cols')}" if m.group("cols") else ""
+        return (
+            f"CREATE TABLE {ifne}{m.group('name')}{cols} "
+            f"USING {m.group('fmt')} LOCATION {m.group('loc')}"
+        )
+
+    out = _EXTERNAL_TABLE.sub(_ext, out)
+
+    # ... then string literals are masked so token-level rewrites can never
+    # touch text inside quotes (e.g. SELECT 'a::b').
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = _STRING_LIT.sub(_mask, out)
+
+    out = _PG_CAST.sub(lambda m: f"CAST({m.group('operand')} AS {m.group('type')})", out)
+    for old, new in SQL_NAME_REWRITES.items():
+        out = re.sub(rf"\b{old}\s*\(", f"{new}(", out, flags=re.IGNORECASE)
+
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

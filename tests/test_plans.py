@@ -1,0 +1,84 @@
+"""Plan-shape assertions: the physical plans the 100 TB design depends on.
+
+These guard against regressions that correctness tests cannot see — a lost
+filter pushdown or broadcast still returns right answers, just 100x slower
+at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_ballista_dhruvil_spark.operators import load_all
+from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+from datafusion_ballista_dhruvil_spark.plans.inspect import (
+    codegen_span_count,
+    exchange_count,
+    has_partial_final_agg,
+    has_pushed_filters,
+    scan_read_columns,
+    uses_broadcast_join,
+)
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    # q6 filters on shipdate/discount/quantity must reach the scan
+    df = QUERIES["q6"](spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate")
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_column_pruning(spark):
+    # q1 touches 7 lineitem columns; the scan must not read the other 4
+    df = QUERIES["q1"](spark, SF_DIR)
+    cols = scan_read_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert "l_quantity" in cols and "l_returnflag" in cols
+
+
+def test_small_dims_broadcast(spark):
+    # q5's nation/region joins must be broadcast, not shuffled
+    assert uses_broadcast_join(QUERIES["q5"](spark, SF_DIR))
+    assert uses_broadcast_join(QUERIES["q9"](spark, SF_DIR))
+
+
+def test_two_phase_aggregation(spark):
+    # the reference's Partial/FinalPartitioned split (execution_graph.rs:66-96)
+    assert has_partial_final_agg(QUERIES["q1"](spark, SF_DIR))
+
+
+def test_q1_single_shuffle(spark):
+    # scan -> partial agg -> exchange -> final agg -> sort: exactly the
+    # reference's canonical 2-stage shape; more exchanges = regression
+    df = QUERIES["q1"](spark, SF_DIR)
+    assert exchange_count(df) <= 2  # group-by exchange + global sort
+
+
+def test_codegen_alive_in_hot_path(spark):
+    # TPC-H queries must stay inside Tungsten codegen (no Python in hot path)
+    for name in ("q1", "q3", "q6"):
+        assert codegen_span_count(QUERIES[name](spark, SF_DIR)) >= 1, name
+
+
+def test_dedup_exact_is_single_shuffle(spark):
+    df = QUERIES["dedup_exact"](spark, SF_DIR)
+    # hash -> partial agg -> exchange -> final agg (+topk); one real shuffle
+    assert exchange_count(df) <= 1
+
+
+def test_topk_uses_take_ordered(spark):
+    from datafusion_ballista_dhruvil_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["ops_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 15
+
+
+def test_semi_join_pushes_filter_into_scan(spark):
+    t = Tables(spark, SF_DIR)
+    df = t.orders.where(F.col("o_orderkey") < 100)
+    assert has_pushed_filters(df, "o_orderkey")
