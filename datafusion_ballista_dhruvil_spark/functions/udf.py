@@ -1,0 +1,93 @@
+"""UDF surface (SURVEY.md §2.8).
+
+Reference: named scalar/aggregate UDFs resolved from per-task registries
+(ScalarUDFExprNode/AggregateUDFExprNode, datafusion.proto:558-568;
+executor registries, ballista/executor/src/execution_loop.rs:182-205) and a
+dynamic-library plugin loader (ballista/core/src/plugin/udf.rs:29-45).
+
+Spark-side equivalents, in preference order:
+1. SQL-bodied functions (functions/compat.py) — JVM, codegen-inlined;
+2. Arrow-vectorized pandas UDFs (this module) — the DataFusion-Arrow-native
+   analogue; ~10-100x faster than row Python UDFs;
+3. row-at-a-time ``F.udf`` — supported for parity, discouraged in hot paths.
+
+Python packages/wheels shipped via ``spark.submit.pyFiles`` replace the
+reference's ``.so`` plugin_dir mechanism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+
+def make_signal_score():
+    """Vectorized scalar UDF: polynomial signal score over a double column.
+
+    Pure IEEE double arithmetic in a fixed order, so results are
+    bit-reproducible and oracle-checkable (no libm calls).
+    """
+
+    @pandas_udf("double")
+    def signal_score(v: pd.Series) -> pd.Series:
+        v = v.astype("float64")  # SQL decimal literals arrive as Decimal
+        return 0.3 * v + 0.1 * v * v - 2.0
+
+    return signal_score
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Register named UDFs in the session (parity: executor function
+    registry keyed by name, execution_loop.rs:182-205)."""
+    spark.udf.register("signal_score", make_signal_score())
+
+
+@query(
+    "udf_vectorized_score",
+    oracle="""
+SELECT event_id, 0.3 * value + 0.1 * value * value - 2.0 AS score
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def udf_vectorized_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF in a projection; the oracle evaluates the
+    same IEEE-double expression in SQL — results match exactly because the
+    UDF sticks to fixed-order double arithmetic."""
+    t = Tables(spark, sf_dir)
+    score = make_signal_score()
+    return (
+        t.events.where(F.col("event_id") < 500)
+        .select("event_id", score(F.col("value")).alias("score"))
+        .orderBy("event_id")
+    )
+
+
+@query("udf_grouped_agg")  # rows-only: float sum order inside pandas varies
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF parity): value-weighted mean via
+    applyInPandas. Demonstrates the reference's aggregate-UDF surface
+    (AggregateUDFExprNode); rows-only check because pandas float reduction
+    order is not part of the determinism contract."""
+    t = Tables(spark, sf_dir)
+
+    def weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["value"].clip(lower=0.001)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "weighted_user": [float((pdf["user_id"] * w).sum() / w.sum())],
+            }
+        )
+
+    return (
+        t.events.select("event_type", "user_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(weighted_mean, schema="event_type string, weighted_user double")
+    )

@@ -9,8 +9,10 @@ from __future__ import annotations
 
 
 def load_all() -> None:
+    from datafusion_ballista_dhruvil_spark.functions import udf  # noqa: F401
     from datafusion_ballista_dhruvil_spark.operators import (  # noqa: F401
         dedup,
+        h2o,
         multimodal,
         relational,
         similarity,

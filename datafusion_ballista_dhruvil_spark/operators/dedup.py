@@ -34,7 +34,7 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, s): distinct word n-gram shingles per document."""
     t = Tables(spark, sf_dir)
     toks = _tokens()
@@ -49,10 +49,16 @@ def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     )
 
 
+# word TRIGRAM shingles: with a small vocabulary, bigrams have enormous
+# document frequency and the candidate join degenerates to near-all-pairs
+# (O(df^2) per shingle); trigrams are ~vocab x rarer with the same near-dup
+# signal, keeping the join bounded. Same reasoning applies at 100 TB: pick
+# the shingle width so per-shingle df stays small.
 _SQL_SHINGLES = """
   SELECT DISTINCT doc_id, s
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
-       unnest(list_transform(range(1, len(d.toks)), i -> d.toks[i] || ' ' || d.toks[i+1]))
+       unnest(list_transform(range(1, len(d.toks) - 1),
+                             i -> d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2]))
          AS u(s)
 """
 
@@ -101,7 +107,7 @@ LIMIT 100
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (bigram shingles, J >= 0.5).
+    """Exact n-gram Jaccard near-dup pairs (trigram shingles, J >= 0.5).
 
     Shingle-explode -> self equi-join on shingle -> count common -> Jaccard.
     This is the exact verifier; at scale the same verification runs only on
@@ -174,28 +180,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min() map-side, so the shuffle carries one row per (doc, seed).
     """
     sh = _shingle_df(spark, sf_dir).cache()
-    seeds = spark.range(K).select(F.col("id").cast("int").alias("j"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "j",
-            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("m"))
+    # All K min-hashes in ONE aggregation pass: K md5s map-side per shingle
+    # row, partial min() combine, a single shuffle carrying K strings per
+    # doc. (A seeds-cross-join formulation shuffles K rows per doc and needs
+    # a second groupBy for banding — measured ~3x slower.)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
+            for j in range(K)
+        ]
     )
-    bands = (
-        mh.withColumn("band", (F.col("j") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "m"))), lambda x: x["m"]
-                ),
-            ).alias("sig")
-        )
+    band_sigs = [
+        F.concat_ws(
+            "|", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"sig{b}")
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(BANDS))
+    bands = mh.select("doc_id", *band_sigs).select(
+        "doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)")
     )
     a = bands.alias("a")
     b = bands.alias("b")

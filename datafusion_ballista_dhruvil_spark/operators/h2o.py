@@ -1,0 +1,151 @@
+"""h2o db-benchmark-style groupby queries (reference test surface:
+benchmarks/db-benchmark/groupby-datafusion.py:73-226 — 10 groupby shapes on
+the G1 dataset; join shapes are covered by the TPC-H suite).
+
+Adapted to the ``events`` table: id1 := event_type (low cardinality),
+id2 := user_id % 100 (medium), id3 := user_id (high cardinality),
+v1/v3 := value. Money-determinism contract applies (exact decimal sums).
+
+Scale notes: every query is a single partial-agg + shuffle on its group key;
+the high-cardinality variants are the shuffle-heavy stress shapes the h2o
+benchmark exists to measure. Top-2-per-group uses a window after one hash
+partition by the key — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_ballista_dhruvil_spark.functions.compat import dsum, sql_dsum
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+_V = "CAST(value AS DECIMAL(18,6))"
+
+
+# groupby-datafusion.py:85-95 — q1 "sum v1 by id1" (low-cardinality key)
+@query(
+    "h2o_sum_lowcard",
+    oracle=f"""
+SELECT event_type, {sql_dsum(_V)} AS v1_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def h2o_sum_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(dsum(F.col("value").cast("decimal(18,6)")).alias("v1_sum"))
+        .orderBy("event_type")
+    )
+
+
+# groupby-datafusion.py:97-110 — q2 "sum v1 by id1:id2" (composite key)
+@query(
+    "h2o_sum_composite",
+    oracle=f"""
+SELECT event_type, user_id % 100 AS id2, {sql_dsum(_V)} AS v1_sum
+FROM events GROUP BY event_type, user_id % 100
+ORDER BY event_type, id2
+""",
+)
+def h2o_sum_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type", (F.col("user_id") % 100).alias("id2"))
+        .agg(dsum(F.col("value").cast("decimal(18,6)")).alias("v1_sum"))
+        .orderBy("event_type", "id2")
+    )
+
+
+# groupby-datafusion.py:112-126 — q3/q5 "sum+mean by id3" (high cardinality)
+@query(
+    "h2o_sum_hicard",
+    oracle=f"""
+SELECT user_id, {sql_dsum(_V)} AS v1_sum,
+       {sql_dsum(_V)} / COUNT(*) AS v3_mean
+FROM events GROUP BY user_id
+ORDER BY user_id
+LIMIT 500
+""",
+)
+def h2o_sum_hicard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            dsum(v).alias("v1_sum"),
+            (F.sum(v).cast("decimal(38,4)").cast("double") / F.count(F.lit(1))).alias(
+                "v3_mean"
+            ),
+        )
+        .orderBy("user_id")
+        .limit(500)
+    )
+
+
+# groupby-datafusion.py:156-170 — q7 "max(v1) - min(v2) by id3"
+@query(
+    "h2o_range_by_group",
+    oracle="""
+SELECT user_id, max(value) - min(value) AS range_v
+FROM events GROUP BY user_id
+HAVING max(value) - min(value) > 0
+ORDER BY user_id
+LIMIT 500
+""",
+)
+def h2o_range_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .agg((F.max("value") - F.min("value")).alias("range_v"))
+        .where(F.col("range_v") > 0)
+        .orderBy("user_id")
+        .limit(500)
+    )
+
+
+# groupby-datafusion.py:172-192 — q8 "top 2 v3 per id6" (window, the query
+# the reference runs via row_number() OVER — its only distributed-window use)
+@query(
+    "h2o_top2_per_group",
+    oracle="""
+SELECT event_type, value FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) x WHERE rn <= 2
+ORDER BY event_type, value DESC
+""",
+)
+def h2o_top2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("event_type", "value")
+        .orderBy("event_type", F.desc("value"))
+    )
+
+
+# groupby-datafusion.py:194-211 — q9 "corr(v1,v2)^2 by id2,id4"
+@query(
+    "h2o_corr_by_group",
+    oracle="""
+SELECT user_id % 10 AS id4, round(pow(corr(value, epoch_us(CAST(ts AS TIMESTAMP))), 2), 8) AS r2
+FROM events GROUP BY user_id % 10
+ORDER BY id4
+""",
+)
+def h2o_corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy((F.col("user_id") % 10).alias("id4"))
+        .agg(F.round(F.pow(F.corr("value", F.unix_micros("ts")), 2), 8).alias("r2"))
+        .orderBy("id4")
+    )

@@ -10,12 +10,15 @@ functions/compat.py; the scale-6 reduction before the double cast avoids
 DuckDB's int128 double-rounding).
 
 Scale posture at 100 TB:
+- norms are precomputed ONCE per row before any join (norm work is O(N),
+  pair work is O(pairs) x one dot product — recomputing norms per pair
+  costs more than every dot product combined);
 - brute-force top-k: O(|Q| x |corpus|) — correct baseline, used with small
-  query sets or as the per-bucket kernel.
+  query sets or as the per-bucket kernel;
 - bucketed ANN (sim_ann_bucketed): rank-LSH code computed map-side; the join
   is an equi-join on the bucket code, so each query only scans its bucket.
   Swap-in point for IVF centroids: replace the code expression with
-  argmin-centroid assignment, same join shape.
+  argmin-centroid assignment, same join shape;
 - near-dup: blocked all-pairs inside a partition key (label here; any
   clustering key in production) — never global all-pairs.
 """
@@ -38,7 +41,9 @@ def dot(a: Column, b: Column) -> Column:
     # widen float->double BEFORE the decimal cast: casting float32 directly
     # to decimal goes through float arithmetic in some engines (DuckDB) and
     # picks up ~1e-8 noise; float->double is exact everywhere.
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC))
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC)
+    )
     # Spark's decimal-add widens precision past 38, so the fold re-casts the
     # accumulator each step; the ~1e-17 rounding this admits is far below
     # the scale-6 reduction used for the surfaced double.
@@ -46,8 +51,9 @@ def dot(a: Column, b: Column) -> Column:
     return s.cast("decimal(38,6)").cast("double")
 
 
-def sq_norm(a: Column) -> Column:
-    return dot(a, a)
+def norm(a: Column) -> Column:
+    """sqrt(<a,a>) — precompute per row, never per pair."""
+    return F.sqrt(dot(a, a))
 
 
 _SQL_DOT = (
@@ -61,17 +67,22 @@ def _sql_dot(a: str, b: str) -> str:
     return _SQL_DOT.format(a=a, b=b)
 
 
+_SQL_NORM = f"sqrt({_SQL_DOT.format(a='{e}', b='{e}')})"
+
+
+def _sql_norm(e: str) -> str:
+    return _SQL_NORM.format(e=e)
+
+
 # --------------------------------------------------------------------------
 @query(
     "sim_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding FROM embeddings),
+WITH c AS (SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings),
+q AS (SELECT vec_id, embedding, nrm FROM c WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_sql_dot('q.embedding', 'c.embedding')}
-           / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
-              * sqrt({_sql_dot('c.embedding', 'c.embedding')})) AS cosine
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
   FROM q, c
   WHERE q.vec_id <> c.vec_id
 )
@@ -86,24 +97,31 @@ ORDER BY query_id, cosine DESC, neighbor_id
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for a query set (ANN baseline).
 
-    Queries are broadcast against the corpus (at scale: corpus stays
-    partitioned, queries ship to every executor — no corpus shuffle).
+    Norms precomputed per row; queries broadcast against the corpus (at
+    scale: corpus stays partitioned, queries ship to every executor — no
+    corpus shuffle).
     """
     t = Tables(spark, sf_dir)
-    q = t.embeddings.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
     )
-    c = t.embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    q = (
+        t.embeddings.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qe"), F.col("ce"))
-                / (F.sqrt(sq_norm(F.col("qe"))) * F.sqrt(sq_norm(F.col("ce"))))
-            ).alias("cosine"),
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -139,14 +157,14 @@ def _code(e: Column) -> Column:
     "sim_ann_bucketed",
     oracle=f"""
 WITH coded AS (
-  SELECT vec_id, embedding, {_SQL_CODE.format(e='embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_SQL_CODE.format(e='embedding')} AS bucket,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
 ),
 q AS (SELECT * FROM coded WHERE vec_id < 20),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
-         {_sql_dot('q.embedding', 'c.embedding')}
-           / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
-              * sqrt({_sql_dot('c.embedding', 'c.embedding')})) AS cosine
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
   FROM q JOIN coded c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 )
 SELECT query_id, bucket, neighbor_id, cosine FROM (
@@ -166,28 +184,34 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     coded = t.embeddings.select(
-        "vec_id", "embedding", _code(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _code(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     q = coded.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket"),
+        F.col("nrm").alias("qn"),
     )
     c = coded.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("bucket").alias("cbucket"),
+        F.col("nrm").alias("cn"),
     )
     scored = (
-        q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        q.join(
+            c,
+            (F.col("bucket") == F.col("cbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
         .select(
             "query_id",
             "bucket",
             "neighbor_id",
-            (
-                dot(F.col("qe"), F.col("ce"))
-                / (F.sqrt(sq_norm(F.col("qe"))) * F.sqrt(sq_norm(F.col("ce"))))
-            ).alias("cosine"),
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -203,15 +227,16 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_embedding_neardup",
     oracle=f"""
-WITH lbl AS (SELECT vec_id, label, embedding FROM embeddings WHERE label = 0)
-SELECT a.vec_id AS d1, b.vec_id AS d2,
-       {_sql_dot('a.embedding', 'b.embedding')}
-         / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-            * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
-FROM lbl a JOIN lbl b ON a.vec_id < b.vec_id
-WHERE {_sql_dot('a.embedding', 'b.embedding')}
-        / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-           * sqrt({_sql_dot('b.embedding', 'b.embedding')})) >= 0.25
+WITH lbl AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+  FROM embeddings WHERE label = 0
+)
+SELECT d1, d2, cosine FROM (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+  FROM lbl a JOIN lbl b ON a.vec_id < b.vec_id
+) p
+WHERE cosine >= 0.25
 ORDER BY cosine DESC, d1, d2
 LIMIT 100
 """,
@@ -224,16 +249,19 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the quadratic term bounded at 100 TB.
     """
     t = Tables(spark, sf_dir)
-    lbl = t.embeddings.where(F.col("label") == 0)
-    a = lbl.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"))
-    b = lbl.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"))
+    lbl = t.embeddings.where(F.col("label") == 0).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = lbl.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = lbl.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("d1") < F.col("d2")).select(
         "d1",
         "d2",
-        (
-            dot(F.col("ea"), F.col("eb"))
-            / (F.sqrt(sq_norm(F.col("ea"))) * F.sqrt(sq_norm(F.col("eb"))))
-        ).alias("cosine"),
+        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
     )
     return (
         pairs.where(F.col("cosine") >= 0.25)
