@@ -155,6 +155,34 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "ev_date_bin",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bin,
+       COUNT(*) AS n
+FROM events
+WHERE user_id < 100
+GROUP BY 1
+ORDER BY bin
+LIMIT 300
+""",
+)
+def ev_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE_BIN parity (reference ScalarFunction::DateBin, datafusion.proto
+    value 68): arbitrary-width time bucketing == F.window(ts, width).start
+    (DuckDB spells it time_bucket)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.where(F.col("user_id") < 100)
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bin"), "n")
+        .orderBy("bin")
+        .limit(300)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
     "ev_type_pivot",
     oracle="""
 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

@@ -1,0 +1,95 @@
+"""Property-based conformance: randomized filter+group+aggregate queries must
+hash-match DuckDB (SURVEY.md §5 'optional stretch' — the reference has no
+randomized testing; this goes beyond it).
+
+A tiny query AST is generated, rendered BOTH as a DataFrame plan and as
+oracle SQL, and compared exactly — the same determinism contract as the
+static suites (decimal sums, exact doubles for min/max).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datafusion_ballista_dhruvil_spark.functions.compat import dsum, sql_dsum
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+from tests.conftest import SF_DIR, _normalize
+
+NUM_COLS = {
+    "l_quantity": (1.0, 50.0),
+    "l_extendedprice": (900.0, 100000.0),
+    "l_discount": (0.0, 0.1),
+}
+OPS = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}
+KEYS = ["l_returnflag", "l_linestatus"]
+
+
+predicate = st.tuples(
+    st.sampled_from(sorted(NUM_COLS)),
+    st.sampled_from(sorted(OPS)),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+query_ast = st.tuples(
+    st.lists(predicate, min_size=0, max_size=3),
+    st.lists(st.sampled_from(KEYS), min_size=0, max_size=2, unique=True),
+    st.sampled_from(["count", "sum", "min", "max"]),
+    st.sampled_from(sorted(NUM_COLS)),
+)
+
+
+def _threshold(col: str, frac: float) -> float:
+    lo, hi = NUM_COLS[col]
+    # 2-decimal thresholds keep double comparisons boundary-clean
+    return round(lo + (hi - lo) * frac, 2)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(query_ast)
+def test_random_query_matches_oracle(spark, oracle, ast):
+    preds, keys, agg, agg_col = ast
+
+    df = Tables(spark, SF_DIR).lineitem
+    where_sql = []
+    for col, op, frac in preds:
+        thr = _threshold(col, frac)
+        df = df.where(
+            {
+                "lt": F.col(col) < thr,
+                "le": F.col(col) <= thr,
+                "gt": F.col(col) > thr,
+                "ge": F.col(col) >= thr,
+            }[op]
+        )
+        where_sql.append(f"{col} {OPS[op]} {thr}")
+
+    if agg == "count":
+        agg_expr = F.count(F.lit(1)).alias("v")
+        agg_sql = "COUNT(*) AS v"
+    elif agg == "sum":
+        agg_expr = dsum(F.col(agg_col).cast("decimal(18,4)")).alias("v")
+        agg_sql = f"{sql_dsum(f'CAST({agg_col} AS DECIMAL(18,4))')} AS v"
+    elif agg == "min":
+        agg_expr = F.min(agg_col).alias("v")
+        agg_sql = f"MIN({agg_col}) AS v"
+    else:
+        agg_expr = F.max(agg_col).alias("v")
+        agg_sql = f"MAX({agg_col}) AS v"
+
+    sdf = df.groupBy(*keys).agg(agg_expr) if keys else df.agg(agg_expr)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+
+    sql = f"SELECT {', '.join(keys + [agg_sql])} FROM lineitem"
+    if where_sql:
+        sql += " WHERE " + " AND ".join(where_sql)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    cur = oracle.execute(sql)
+    ocols = [d[0].lower() for d in cur.description]
+    orows = cur.fetchall()
+
+    assert len(srows) == len(orows), sql
+    assert _normalize(srows, scols) == _normalize(orows, ocols), sql
