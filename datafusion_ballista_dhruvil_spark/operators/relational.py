@@ -168,6 +168,12 @@ SELECT
   (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
                          EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') e)
     AS n_except,
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                         INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') ia)
+    AS n_intersect_all,
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                         EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') ea)
+    AS n_except_all,
   (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct
 """,
 )
@@ -181,6 +187,8 @@ def ops_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.unionAll(p).agg(F.count(F.lit(1)).alias("n_union_all")),
         f.intersect(p).agg(F.count(F.lit(1)).alias("n_intersect")),
         f.subtract(p).agg(F.count(F.lit(1)).alias("n_except")),  # EXCEPT (distinct)
+        f.intersectAll(p).agg(F.count(F.lit(1)).alias("n_intersect_all")),
+        f.exceptAll(p).agg(F.count(F.lit(1)).alias("n_except_all")),
         t.orders.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("n_distinct")),
     ]
     res = out[0]
@@ -475,6 +483,13 @@ def ops_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(15)
     )
+
+
+@query("ops_empty_relation", oracle="SELECT 1 AS one")
+def ops_empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmptyRelation one-row plan (reference client test SELECT 1,
+    context.rs:765-780; proto empty_relation :167-169)."""
+    return spark.sql("SELECT 1 AS one")
 
 
 # --------------------------------------------------------------------------

@@ -82,3 +82,15 @@ def test_semi_join_pushes_filter_into_scan(spark):
     t = Tables(spark, SF_DIR)
     df = t.orders.where(F.col("o_orderkey") < 100)
     assert has_pushed_filters(df, "o_orderkey")
+
+
+def test_repartition_nodes(spark):
+    # logical repartition node parity (datafusion.proto:154-165):
+    # hash(exprs, n) and round-robin(n)
+    from datafusion_ballista_dhruvil_spark.plans.inspect import formatted_plan
+
+    t = Tables(spark, SF_DIR)
+    hashed = formatted_plan(t.orders.repartition(8, "o_custkey"))
+    assert "hashpartitioning(o_custkey" in hashed
+    rr = formatted_plan(t.orders.repartition(8))
+    assert "RoundRobinPartitioning" in rr or "REPARTITION_BY_NUM" in rr
