@@ -133,6 +133,36 @@ def h2o_top2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NYC-taxi aggregation (reference benchmarks/src/bin/nyctaxi.rs:104:
+# passenger_count MIN/MAX/AVG fare grouped query) adapted to events
+@query(
+    "nyctaxi_agg",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       {sql_dsum(_V)} / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def nyctaxi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.sum(v).cast("decimal(38,4)").cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # groupby-datafusion.py:194-211 — q9 "corr(v1,v2)^2 by id2,id4"
 @query(
     "h2o_corr_by_group",

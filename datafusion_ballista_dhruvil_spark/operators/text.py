@@ -92,6 +92,43 @@ def text_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "text_regex_tokens",
+    oracle="""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
+  len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs,
+  array_to_string(list_slice(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'), 1, 5), '|')
+    AS head_tokens
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alpha runs | digit runs | single
+    non-alnum symbols (the pre-tokenization split most BPE vocabularies
+    use). Same regex engine class in both stores (RE2-style), so counts and
+    token heads match exactly. Map-only."""
+    t = Tables(spark, sf_dir)
+    # idx=0 -> whole match (Spark defaults to capture group 1; DuckDB's
+    # default is the whole match)
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return (
+        t.documents.where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_size(toks).alias("n_regex_tokens"),
+            F.array_size(
+                F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0)
+            ).alias("n_vowel_runs"),
+            F.array_join(F.slice(toks, 1, 5), "|").alias("head_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
     "text_langid",
     oracle="""
 WITH scored AS (

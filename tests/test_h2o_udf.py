@@ -11,7 +11,7 @@ from tests.conftest import SF_DIR, assert_query_matches
 
 load_all()
 
-NAMES = sorted(n for n in QUERIES if n.startswith(("h2o_", "udf_")))
+NAMES = sorted(n for n in QUERIES if n.startswith(("h2o_", "udf_", "nyctaxi")))
 
 
 @pytest.mark.parametrize("name", NAMES)
