@@ -97,11 +97,36 @@ def create_session(
     return spark
 
 
+#: SQL confs the engine's results DEPEND on (not just perf): applied
+#: defensively on any session that reaches the query path, because the
+#: driver/harness may hand us a SparkSession it built itself.
+_REQUIRED_SQL_CONFS = {
+    # timestamp values must be interpreted as naive-UTC to match the
+    # parquet data and the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet is TIMESTAMP(NANOS); without this the scan throws
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply correctness-critical runtime SQL confs to an externally-created
+    session (idempotent)."""
+    for k, v in _REQUIRED_SQL_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+    return spark
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts arrives as int64 nanos (nanosAsLong); surface as TimestampType.

@@ -46,6 +46,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream variant with a watermark for late data; run it with
     Trigger.AvailableNow for batch-equivalent backfill (tests assert
     stream == batch)."""
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(raw_schema)

@@ -114,6 +114,9 @@ def stream_sessionize(
     per-key Python group count (each user is one Arrow batch round-trip; at
     local test scale that overhead, not data volume, dominates).
     """
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(raw_schema)
