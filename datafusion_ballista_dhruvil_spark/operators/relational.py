@@ -508,6 +508,12 @@ SELECT p_partkey,
   left(p_name, 3) AS l3, right(p_name, 3) AS r3,
   repeat(p_brand, 2) AS doubled, translate(p_type, 'AEO', 'aeo') AS xlat,
   concat(p_brand, ':', p_type) AS joined,
+  concat_ws('-', p_brand, p_type) AS ws_joined,
+  ltrim(concat(' ', p_name)) AS ltrimmed, rtrim(concat(p_name, ' ')) AS rtrimmed,
+  trim(concat('xx', p_brand, 'xx'), 'x') AS btrimmed,
+  CAST(8 * octet_length(encode(p_name)) AS INT) AS bits,
+  CAST(octet_length(encode(p_name)) AS INT) AS octets,
+  starts_with(p_name, 'red') AS sw,
   length(p_name) AS name_len, ascii(p_name) AS first_ascii,
   chr(CAST(65 + (p_partkey % 26) AS INT)) AS letter,
   p_name LIKE '%red%' AS is_red, p_name ILIKE 'RED%' AS starts_red
@@ -539,6 +545,15 @@ def ops_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat("p_brand", 2).alias("doubled"),
             F.translate("p_type", "AEO", "aeo").alias("xlat"),
             F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("joined"),
+            F.concat_ws("-", F.col("p_brand"), F.col("p_type")).alias("ws_joined"),
+            F.ltrim(F.concat(F.lit(" "), F.col("p_name"))).alias("ltrimmed"),
+            F.rtrim(F.concat(F.col("p_name"), F.lit(" "))).alias("rtrimmed"),
+            F.btrim(F.concat(F.lit("xx"), F.col("p_brand"), F.lit("xx")), F.lit("x")).alias(
+                "btrimmed"
+            ),
+            F.bit_length("p_name").alias("bits"),
+            F.octet_length("p_name").alias("octets"),
+            F.startswith(F.col("p_name"), F.lit("red")).alias("sw"),
             F.length("p_name").alias("name_len"),
             F.ascii("p_name").alias("first_ascii"),
             F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("letter"),
@@ -609,7 +624,10 @@ SELECT o_orderkey,
   CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
   CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
   CAST(o_orderdate AS DATE) + 30 AS plus30,
-  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+  make_timestamp(o_orderkey * 1000000) AS ts_from_s,
+  make_timestamp(o_orderkey * 1000) AS ts_from_ms,
+  make_timestamp(o_orderkey) AS ts_from_us
 FROM orders
 WHERE o_orderkey < 100
 ORDER BY o_orderkey
@@ -635,6 +653,11 @@ def ops_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
                 "days_since_epoch_start"
             ),
+            # ToTimestamp{Seconds,Millis,Micros} parity (proto :55-58):
+            # DuckDB spells all three via make_timestamp(microseconds)
+            F.timestamp_seconds("o_orderkey").alias("ts_from_s"),
+            F.timestamp_millis("o_orderkey").alias("ts_from_ms"),
+            F.timestamp_micros("o_orderkey").alias("ts_from_us"),
         )
         .orderBy("o_orderkey")
     )
