@@ -1,6 +1,7 @@
-"""h2o db-benchmark-style groupby queries (reference test surface:
-benchmarks/db-benchmark/groupby-datafusion.py:73-226 — 10 groupby shapes on
-the G1 dataset; join shapes are covered by the TPC-H suite).
+"""h2o db-benchmark-style groupby + join queries (reference test surface:
+benchmarks/db-benchmark/groupby-datafusion.py:73-226 — 10 groupby shapes —
+and join-datafusion.py:89-159 — small/medium/big join shapes on the G1/J1
+datasets).
 
 Adapted to the ``events`` table: id1 := event_type (low cardinality),
 id2 := user_id % 100 (medium), id3 := user_id (high cardinality),
@@ -130,6 +131,81 @@ def h2o_top2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .select("event_type", "value")
         .orderBy("event_type", F.desc("value"))
+    )
+
+
+# join-datafusion.py:89-112 — "small" join: big table x tiny dim (AQE
+# broadcasts the dim; at 100 TB this is the classic fact x dim broadcast)
+@query(
+    "h2o_join_small",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS n, {sql_dsum(_V)} AS v_sum
+FROM events JOIN nation ON events.user_id % 25 = nation.n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def h2o_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.join(
+            F.broadcast(t.nation), F.col("user_id") % 25 == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# join-datafusion.py:114-135 — "medium" join: fact x mid-size dim on a
+# shared key domain (shuffle-hash / sort-merge territory at scale)
+@query(
+    "h2o_join_medium",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum(_V)} AS v_sum
+FROM events JOIN customer ON events.user_id % 1000 = customer.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def h2o_join_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.join(t.customer, F.col("user_id") % 1000 == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# join-datafusion.py:137-159 — "big" join: fact x fact on the full key
+# (both sides shuffle on the join key; the stress shape)
+@query(
+    "h2o_join_big",
+    oracle="""
+WITH a AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+b AS (SELECT user_id, COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id)
+SELECT a.user_id, a.n_events, b.n_types
+FROM a JOIN b ON a.user_id = b.user_id
+ORDER BY a.user_id
+LIMIT 1000
+""",
+)
+def h2o_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    b = t.events.groupBy(F.col("user_id").alias("uid")).agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return (
+        a.join(b, F.col("user_id") == F.col("uid"))
+        .select("user_id", "n_events", "n_types")
+        .orderBy("user_id")
+        .limit(1000)
     )
 
 

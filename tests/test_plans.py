@@ -84,6 +84,21 @@ def test_semi_join_pushes_filter_into_scan(spark):
     assert has_pushed_filters(df, "o_orderkey")
 
 
+def test_groups_frame_documented_gap(spark):
+    # SURVEY §2.6: GROUPS window frames are a documented Spark gap (not
+    # reachable from the reference's tested SQL either). Assert the gap is
+    # real and surfaces as a parse/analysis error, not silent misbehavior.
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException, ParseException
+
+    Tables(spark, SF_DIR).orders.createOrReplaceTempView("gap_orders")
+    with _pytest.raises((ParseException, AnalysisException)):
+        spark.sql(
+            "SELECT sum(o_totalprice) OVER (ORDER BY o_orderkey "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM gap_orders"
+        ).collect()
+
+
 def test_repartition_nodes(spark):
     # logical repartition node parity (datafusion.proto:154-165):
     # hash(exprs, n) and round-robin(n)
