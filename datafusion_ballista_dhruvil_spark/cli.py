@@ -28,8 +28,11 @@ def run_statement(ctx, stmt: str) -> None:
             print(t)
         return
     if stmt.startswith(".schema"):
-        name = stmt.split(None, 1)[1]
-        ctx.read_table(name).printSchema()
+        parts = stmt.split(None, 1)
+        if len(parts) < 2 or not parts[1].strip():
+            print("usage: .schema <table>", file=sys.stderr)
+            return
+        ctx.read_table(parts[1].strip()).printSchema()
         return
     _print_df(ctx.sql(stmt))
 

@@ -108,6 +108,6 @@ class BallistaSparkContext:
         return [t.name for t in self.spark.catalog.listTables()]
 
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), mode
-        )
+        from datafusion_ballista_dhruvil_spark.plans.inspect import explain_string
+
+        return explain_string(df, mode)

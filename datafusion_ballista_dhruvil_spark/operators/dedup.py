@@ -38,12 +38,20 @@ def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, s): distinct word n-gram shingles per document."""
     t = Tables(spark, sf_dir)
     toks = _tokens()
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.array_size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), *[F.element_at(toks, i + j) for j in range(1, n)]
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which would
+    # drive element_at out of bounds for documents shorter than n tokens —
+    # those documents simply have no shingles (matches the oracle's range()).
+    shingles = F.when(
+        F.array_size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                *[F.element_at(toks, i + j) for j in range(1, n)],
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         t.documents.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
     )

@@ -103,7 +103,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     assets = with_payload(t.documents).where(F.col("doc_id") < 100)
     n_bytes = F.col("meta.n_bytes")
-    offsets = F.sequence(F.lit(0), n_bytes - 1, F.lit(64))
+    # zero-byte payloads get an empty offset list (sequence(0,-1,64) throws)
+    offsets = F.when(
+        n_bytes > 0, F.sequence(F.lit(0), n_bytes - 1, F.lit(64))
+    ).otherwise(F.array().cast("array<int>"))
     return assets.select(
         "doc_id",
         n_bytes.alias("n_bytes"),

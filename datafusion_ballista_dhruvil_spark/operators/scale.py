@@ -37,7 +37,16 @@ def salted_join(
 
     Cost model: dim side grows by `salt` x — use only when the dim is small
     or pre-filtered, which is exactly the skew scenario (few hot keys).
+
+    Only fact-preserving join types are allowed: right/full outer joins
+    would emit each unmatched (replicated) dim row `salt` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — unmatched dim rows would be duplicated {salt}x"
+        )
     fact_salted = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(salt)).cast("int")
     )

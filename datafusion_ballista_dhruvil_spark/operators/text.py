@@ -238,10 +238,16 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     toks = _toks()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.array_size(toks) - 1),
-        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
-    )
+    # sequence(1, 0) descends in Spark — single-token docs get no bigrams
+    bigrams = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
     return (
         t.documents.select("source", F.explode(bigrams).alias("bigram"))

@@ -21,10 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def formatted_plan(df: DataFrame) -> str:
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    """Single wrapper around PySpark's internal explain surface — the ONLY
+    call site for this private API (context.explain delegates here)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), mode
     )
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return explain_string(df, "formatted")
 
 
 def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:

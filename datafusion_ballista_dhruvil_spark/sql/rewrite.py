@@ -37,12 +37,18 @@ _SIMILAR_TO = re.compile(
 
 _EXTERNAL_TABLE = re.compile(
     r"CREATE\s+EXTERNAL\s+TABLE\s+(?P<if>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
-    r"(?P<cols>\([^)]*\))?\s*"
+    # column list may contain parenthesized types (DECIMAL(12,2)) — allow
+    # one level of nesting
+    r"(?P<cols>\((?:[^()]|\([^()]*\))*\))?\s*"
     r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
     r"(?P<opts>WITH\s+ORDER\s+\([^)]*\)\s*)?"
     r"LOCATION\s+(?P<loc>'[^']*')",
     re.IGNORECASE | re.DOTALL,
 )
+
+# DataFusion's numeric trunc(x) collides with Spark's date trunc(date, fmt);
+# rewrite only the single-argument form to the numeric shim.
+_NUMERIC_TRUNC = re.compile(r"\btrunc\s*\(\s*([^(),]+)\s*\)", re.IGNORECASE)
 
 
 def _similar_to_regex(pat: str) -> str:
@@ -87,5 +93,8 @@ def rewrite_sql(sql: str) -> str:
     out = _PG_CAST.sub(lambda m: f"CAST({m.group('operand')} AS {m.group('type')})", out)
     for old, new in SQL_NAME_REWRITES.items():
         out = re.sub(rf"\b{old}\s*\(", f"{new}(", out, flags=re.IGNORECASE)
+    # single-arg numeric trunc -> trunc_number (Spark's trunc is date-only);
+    # limitation: the argument must not itself contain parentheses/commas
+    out = _NUMERIC_TRUNC.sub(lambda m: f"trunc_number({m.group(1)})", out)
 
     return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

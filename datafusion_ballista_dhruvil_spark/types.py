@@ -33,14 +33,14 @@ ARROW_TO_SPARK: dict[str, tuple[T.DataType, bool, str]] = {
     "large_binary": (T.BinaryType(), True, ""),
     "fixed_size_binary": (T.BinaryType(), True, "size constraint dropped"),
     "date32": (T.DateType(), True, ""),
-    "date64": (T.DateType(), True, "ms-of-epoch truncated to days"),
+    "date64": (T.DateType(), False, "ms-of-epoch truncated to days"),
     "timestamp[s]": (T.TimestampType(), True, ""),
     "timestamp[ms]": (T.TimestampType(), True, ""),
     "timestamp[us]": (T.TimestampType(), True, ""),
     "timestamp[ns]": (T.TimestampType(), False, "truncated to microseconds"),
     "time32": (T.LongType(), False, "no TimeType: microseconds-of-day"),
     "time64": (T.LongType(), False, "no TimeType: microseconds-of-day"),
-    "duration": (T.DayTimeIntervalType(), True, ""),
+    "duration": (T.DayTimeIntervalType(), False, "ns-unit durations truncate to us"),
     "interval_year_month": (T.YearMonthIntervalType(), True, ""),
     "interval_day_time": (T.DayTimeIntervalType(), True, ""),
     "interval_month_day_nano": (
@@ -51,18 +51,29 @@ ARROW_TO_SPARK: dict[str, tuple[T.DataType, bool, str]] = {
 }
 
 
-def spark_type_for(arrow_name: str, precision: int = 38, scale: int = 18) -> T.DataType:
+_DECIMAL_RE = __import__("re").compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def spark_type_for(arrow_name: str) -> T.DataType:
     """Resolve an Arrow type name to the Spark type used for parity.
 
-    Parameterized types: ``decimal(p,s)`` (max p=38, same as Decimal128),
-    ``list<...>`` -> ArrayType, ``struct<...>`` -> StructType,
-    ``dictionary<k,v>`` -> the value type (encoding detail, not logical),
-    ``map<...>`` -> MapType (absent from the reference's proto surface but
-    free in Spark).
+    Parameterized types handled here: ``decimal(p,s)`` (p/s parsed from the
+    name; max p=38, same as Decimal128), ``list<elem>`` -> ArrayType(elem),
+    ``dictionary<k,v>`` -> the value type (encoding detail, not logical).
+    ``struct``/``map``/``union`` require field schemas beyond a type name
+    and raise ValueError — build those with StructType/MapType directly.
     """
     name = arrow_name.strip().lower()
-    if name.startswith("decimal"):
-        return T.DecimalType(precision, scale)
+    m = _DECIMAL_RE.fullmatch(name)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if name == "decimal":
+        return T.DecimalType(38, 18)
+    if name.startswith("list<") and name.endswith(">"):
+        return T.ArrayType(spark_type_for(name[5:-1]))
+    if name.startswith("dictionary<") and name.endswith(">"):
+        value = name[11:-1].split(",", 1)[1]
+        return spark_type_for(value)
     if name in ARROW_TO_SPARK:
         return ARROW_TO_SPARK[name][0]
     raise ValueError(f"no Spark mapping for Arrow type {arrow_name!r}")

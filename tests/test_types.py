@@ -31,7 +31,10 @@ def test_documented_gaps():
 
 
 def test_decimal_and_unknown():
-    assert spark_type_for("decimal(15,2)", 15, 2) == T.DecimalType(15, 2)
+    assert spark_type_for("decimal(15,2)") == T.DecimalType(15, 2)
+    assert spark_type_for("decimal(10, 4)") == T.DecimalType(10, 4)
+    assert spark_type_for("list<float32>") == T.ArrayType(T.FloatType())
+    assert spark_type_for("dictionary<int32,utf8>") == T.StringType()
     with pytest.raises(ValueError, match="no Spark mapping"):
         spark_type_for("union")
 
