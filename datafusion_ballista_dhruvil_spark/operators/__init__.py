@@ -16,6 +16,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        temporal,
         text,
         tpch,
     )
