@@ -450,6 +450,92 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_quantile(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    group_cols: list[str],
+    qs: dict[str, tuple[int, int]],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles per group: the smallest ``value`` whose
+    cumulative weight reaches ``q`` of the group's total weight.
+
+    ``qs`` maps output column name -> quantile as an exact fraction
+    (num, den), e.g. ``{"wp50": (1, 2)}``. Weights must be positive.
+    ``value``/``weight`` must already be exact types (decimal/int) — the
+    cumulative sum is then order-independent and engine-portable.
+
+    Reference parity: DataFusion's APPROX_PERCENTILE_CONT_WITH_WEIGHT
+    (datafusion.proto:529-549) is the sketch version of this; here the
+    weighted rank is computed exactly with one running-sum window (a single
+    hash shuffle on the group key + per-group sort — the same cost as the
+    sort any exact quantile needs).
+    """
+    order = [F.col(value).asc()] + [F.col(c).asc() for c in (order_tiebreak or [])]
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cw, tw = F.sum(weight).over(w_cum), F.sum(weight).over(w_all)
+    staged = df.withColumn("__cw", cw).withColumn("__tw", tw)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw") * F.lit(den) >= F.col("__tw") * F.lit(num),
+                F.col(value),
+            )
+        ).alias(name)
+        for name, (num, den) in qs.items()
+    ]
+    return staged.groupBy(*group_cols).agg(*aggs)
+
+
+@query(
+    "ops_agg_weighted_percentile",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+         CAST(l_quantity AS DECIMAL(12,2)) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, p,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM t
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN 4*cw >= tw THEN p END) AS wp25,
+       MIN(CASE WHEN 2*cw >= tw THEN p END) AS wp50,
+       MIN(CASE WHEN 4*cw >= 3*tw THEN p END) AS wp75
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def ops_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per returnflag, exact decimals."""
+    t = Tables(spark, sf_dir)
+    staged = t.lineitem.select(
+        "l_returnflag",
+        dec2("l_extendedprice").alias("p"),
+        dec2("l_quantity").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return weighted_quantile(
+        staged,
+        value="p",
+        weight="w",
+        group_cols=["l_returnflag"],
+        qs={"wp25": (1, 4), "wp50": (1, 2), "wp75": (3, 4)},
+        order_tiebreak=["l_orderkey", "l_linenumber"],
+    ).orderBy("l_returnflag")
+
+
 # --------------------------------------------------------------------------
 # VALUES / subquery alias / LIMIT+OFFSET / Top-K
 # --------------------------------------------------------------------------

@@ -27,6 +27,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
+#: Production state-store posture: RocksDB keeps per-key state off-heap and
+#: spills to local disk, so state size is bounded by disk not executor heap —
+#: required once keyed state outgrows memory (changelog checkpointing keeps
+#: commit cost proportional to the delta, not the store size). rocksdbjni
+#: ships with this Spark build; verified against the HDFS-backed default in
+#: tests/test_stateful_streaming.py.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
 OUTPUT_SCHEMA = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
 )
