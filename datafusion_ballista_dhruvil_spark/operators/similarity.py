@@ -1,13 +1,16 @@
 """Similarity search over embedding columns (north-star extensions;
-BASELINE.json): brute-force cosine top-k baseline, bucketed-ANN scale path,
-and embedding-cosine near-duplicate detection.
+BASELINE.json): brute-force cosine top-k baseline, bucketed-ANN + IVF scale
+paths, and embedding-cosine near-duplicate detection.
 
-Vectors are ``array<float>`` columns; all arithmetic runs JVM-side through
-``zip_with`` + ``aggregate`` higher-order functions (no Python). Dot products
-accumulate in exact DECIMAL so results are bit-reproducible across engines
-and partitionings (same determinism contract as the money math — see
-functions/compat.py; the scale-6 reduction before the double cast avoids
-DuckDB's int128 double-rounding).
+Vectors are ``array<float>`` columns. Dot products quantize each element to
+a scale-7 integer (~float32's own resolution) and accumulate in int64 via an
+Arrow-vectorized pandas UDF (numpy einsum): integer sums are exact and
+order-independent, so both engines produce the same integer, and every
+downstream scalar op (long->double, /1e14, sqrt, divide) is a
+correctly-rounded IEEE-754 op — bit-identical across engines. This replaced
+an exact-DECIMAL ``zip_with``+``aggregate`` fold: per-element lambda
+evaluation in Spark's higher-order functions is interpreted, and the Arrow
+batch path measured 5.3x faster on the same 40k-pair workload (PERF.md).
 
 Scale posture at 100 TB:
 - norms are precomputed ONCE per row before any join (norm work is O(N),
@@ -25,30 +28,41 @@ Scale posture at 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from datafusion_ballista_dhruvil_spark.operators.registry import query
 from datafusion_ballista_dhruvil_spark.session import Tables
 
-_DEC = "decimal(15,9)"
-_ACC = "decimal(38,18)"
+# elements quantize to round(x * 1e7) (away-from-zero, matching Spark's
+# HALF_UP and DuckDB's round()); a 64-dim dot of |x| < 10 values stays
+# under 64 * (1e8)^2 ~ 6.4e17 < 2^63, and < 2^53 for exact long->double
+_SCALE = 1e7
+_SCALE_SQ = 1e14
+
+
+# return type as a DataType object: a DDL string would be parsed at import
+# time, which requires an active SparkSession this module must not assume
+@pandas_udf(LongType())
+def _dot7(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    am = np.stack(a.to_numpy()).astype(np.float64) * _SCALE
+    bm = np.stack(b.to_numpy()).astype(np.float64) * _SCALE
+    # away-from-zero ties (np.round is half-to-even and would diverge)
+    ai = np.trunc(am + np.copysign(0.5, am)).astype(np.int64)
+    bi = np.trunc(bm + np.copysign(0.5, bm)).astype(np.int64)
+    return pd.Series(np.einsum("ij,ij->i", ai, bi))
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product of two float arrays, surfaced as DOUBLE."""
-    # widen float->double BEFORE the decimal cast: casting float32 directly
-    # to decimal goes through float arithmetic in some engines (DuckDB) and
-    # picks up ~1e-8 noise; float->double is exact everywhere.
-    prods = F.zip_with(
-        a, b, lambda x, y: x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC)
-    )
-    # Spark's decimal-add widens precision past 38, so the fold re-casts the
-    # accumulator each step; the ~1e-17 rounding this admits is far below
-    # the scale-6 reduction used for the surfaced double.
-    s = F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, v: (acc + v).cast(_ACC))
-    return s.cast("decimal(38,6)").cast("double")
+    """Exact scaled-integer dot product of two float arrays, as DOUBLE."""
+    return _dot7(a, b).cast("double") / F.lit(_SCALE_SQ)
 
 
 def norm(a: Column) -> Column:
@@ -57,9 +71,10 @@ def norm(a: Column) -> Column:
 
 
 _SQL_DOT = (
-    "CAST(round(list_sum(list_transform(list_zip({a}, {b}), "
-    "x -> CAST(CAST(x[1] AS DOUBLE) AS DECIMAL(15,9))"
-    " * CAST(CAST(x[2] AS DOUBLE) AS DECIMAL(15,9)))), 6) AS DOUBLE)"
+    "(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(round(CAST(x[1] AS DOUBLE) * 10000000) AS BIGINT)"
+    " * CAST(round(CAST(x[2] AS DOUBLE) * 10000000) AS BIGINT))) AS DOUBLE)"
+    " / 1e14)"
 )
 
 
@@ -219,6 +234,120 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("query_id", "bucket", "neighbor_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )
+
+
+# --------------------------------------------------------------------------
+_IVF_STRIDE = 97  # centroid seeds: vec_id % stride == 0 (K grows ~N/stride)
+_IVF_NPROBE = 2
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cnrm
+  FROM base WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT b.vec_id, b.embedding, b.nrm, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY {_sql_dot('b.embedding', 'c.cemb')} / (b.nrm * c.cnrm) DESC,
+                    c.centroid_id) AS arn
+  FROM base b, cent c
+),
+corpus AS (SELECT vec_id, embedding, nrm, centroid_id FROM assign WHERE arn = 1),
+probes AS (SELECT vec_id, embedding, nrm, centroid_id FROM assign
+           WHERE arn <= {_IVF_NPROBE} AND vec_id < 20),
+scored AS (
+  SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id, s.centroid_id,
+         {_sql_dot('p.embedding', 's.embedding')} / (p.nrm * s.nrm) AS cosine
+  FROM probes p JOIN corpus s
+    ON p.centroid_id = s.centroid_id AND p.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, centroid_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+    AS rn
+  FROM scored
+) r WHERE rn <= 3
+ORDER BY query_id, cosine DESC, neighbor_id
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus to its nearest
+    centroid, probe each query's ``nprobe`` nearest cells only.
+
+    Deterministic "training": every ``vec_id % stride == 0`` vector seeds a
+    centroid (K ~ N/stride here so the oracle is reproducible; production
+    swaps in k-means centroids — the dataflow is identical). Assignment is
+    a map-side broadcast of the centroid table (centroids are tiny by
+    construction: K ~ sqrt(N) at scale), so the corpus is never shuffled to
+    be assigned; the probe is an equi-join on centroid_id, exactly the
+    sim_ann_bucketed join shape with a learned code instead of an LSH code.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cent = base.where(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    def _assigned(side: DataFrame, max_rank: int) -> DataFrame:
+        a = side.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "centroid_id",
+            (
+                dot(F.col("embedding"), F.col("cemb"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ).alias("ccos"),
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.asc("centroid_id")
+        )
+        return a.withColumn("arn", F.row_number().over(w_assign)).where(
+            F.col("arn") <= max_rank
+        )
+
+    # corpus assignment (the O(N*K) pass) is one branch, computed once;
+    # probe assignment re-derives only the |Q| query vectors — recomputing
+    # 20 rows is far cheaper than materializing/recomputing the corpus
+    # lineage for a second consumer
+    corpus = _assigned(base, 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "centroid_id",
+    )
+    probes = _assigned(base.where(F.col("vec_id") < 20), _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("centroid_id").alias("pcent"),
+    )
+    scored = probes.join(
+        corpus,
+        (F.col("pcent") == F.col("centroid_id"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "centroid_id",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "centroid_id", "cosine")
         .orderBy("query_id", F.desc("cosine"), "neighbor_id")
     )
 
