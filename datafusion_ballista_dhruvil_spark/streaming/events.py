@@ -60,6 +60,33 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_tumbling_counts(events.withWatermark("ts", "2 hours"))
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size tracks the late-data horizon instead
+    of growing with the stream — the posture a 100 TB/day ingest needs
+    (plain ``dropDuplicates`` on a stream retains every key forever).
+
+    The input doubles every event (self-union) to guarantee duplicates;
+    output must equal the distinct batch input. Batch counterpart of the
+    same operator family: dedup_exact (operators/dedup.py).
+    """
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    doubled = events.union(events)
+    return doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 # --------------------------------------------------------------------------
 @query(
     "ev_tumbling_window",

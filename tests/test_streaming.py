@@ -36,3 +36,31 @@ def test_stream_matches_batch(spark):
     )
     assert len(stream_rows) == len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_stream_dedup_within_watermark(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.streaming.events import stream_dedup_events
+
+    sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup_events(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    deduped = spark.table(sink)
+    batch = Tables(spark, SF_DIR).events
+
+    n_dedup = deduped.count()
+    n_batch = batch.count()
+    assert n_dedup == n_batch > 0  # doubled input collapsed to distinct
+    assert deduped.select("event_id").distinct().count() == n_batch
+    # spot-check content parity on a slice
+    s = sorted(map(tuple, deduped.where(F.col("event_id") < 100).select("event_id", "user_id", "event_type").collect()))
+    b = sorted(map(tuple, batch.where(F.col("event_id") < 100).select("event_id", "user_id", "event_type").collect()))
+    assert s == b
