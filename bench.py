@@ -70,6 +70,62 @@ def loadtest(requests: int = 100, concurrency: int = 5) -> int:
     return 0
 
 
+def skewtest(rows: int = 20_000_000) -> int:
+    """Skew-join A/B: 50% of the fact on one hot key, broadcast disabled
+    (simulating a dim too large to broadcast). Compares a plain shuffle
+    join, AQE's skew-join splitting, and operators/scale.py::salted_join —
+    the evidence behind the salting guidance in PERF.md."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.operators.scale import salted_join
+    from datafusion_ballista_dhruvil_spark.session import create_session
+
+    spark = create_session(
+        app_name="skewtest",
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    fact = spark.range(rows).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), 10_000))
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("dk"), (F.col("id") * 7 % 101).alias("dv")
+    )
+
+    def median_sec(out) -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 2)
+
+    plain = fact.join(dim, fact["k"] == dim["dk"]).select("k", "v", "dv")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t_plain = median_sec(plain)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    t_aqe = median_sec(plain)
+    t_salted = median_sec(salted_join(fact, dim, "k", "dk", salt=16).select("k", "v", "dv"))
+    print(
+        json.dumps(
+            {
+                "metric": "skewtest_sec",
+                "value": t_salted,
+                "unit": "sec",
+                "rows": rows,
+                "plain_sec": t_plain,
+                "aqe_skew_sec": t_aqe,
+                "salted_sec": t_salted,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1:
         if sys.argv[1] == "--loadtest":
@@ -77,9 +133,11 @@ def main() -> int:
                 int(sys.argv[2]) if len(sys.argv) > 2 else 100,
                 int(sys.argv[3]) if len(sys.argv) > 3 else 5,
             )
+        if sys.argv[1] == "--skewtest":
+            return skewtest(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000)
         print(
             f"unknown argument {sys.argv[1]!r}; usage: bench.py [--loadtest "
-            "[requests] [concurrency]]",
+            "[requests] [concurrency] | --skewtest [rows]]",
             file=sys.stderr,
         )
         return 2
