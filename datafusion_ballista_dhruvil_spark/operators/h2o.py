@@ -5,7 +5,11 @@ datasets).
 
 Adapted to the ``events`` table: id1 := event_type (low cardinality),
 id2 := user_id % 100 (medium), id3 := user_id (high cardinality),
-v1/v3 := value. Money-determinism contract applies (exact decimal sums).
+id4 := user_id % 10, id5 := user_id % 25, id6 := user_id % 300,
+v1/v3 := value, v2 := event_id % 100. All 10 groupby + 5 join shapes of
+the reference suite are covered. Money-determinism contract applies
+(exact decimal sums); the reference's approx_percentile_cont median (q6)
+is computed exact here so it oracle-checks.
 
 Scale notes: every query is a single partial-agg + shuffle on its group key;
 the high-cardinality variants are the shuffle-heavy stress shapes the h2o
@@ -236,6 +240,176 @@ def nyctaxi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+# groupby-datafusion.py:124-138 — q4 "mean v1:v3 by id4"
+@query(
+    "h2o_mean_multi",
+    oracle=f"""
+SELECT user_id % 10 AS id4,
+       {sql_dsum(_V)} / COUNT(*) AS v1_mean,
+       CAST(SUM(event_id % 100) AS DOUBLE) / COUNT(*) AS v2_mean,
+       {sql_dsum(_V)} / COUNT(*) AS v3_mean
+FROM events GROUP BY user_id % 10 ORDER BY id4
+""",
+)
+def h2o_mean_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    mean_v = (F.sum(v).cast("decimal(38,4)").cast("double") / F.count(F.lit(1)))
+    return (
+        t.events.groupBy((F.col("user_id") % 10).alias("id4"))
+        .agg(
+            mean_v.alias("v1_mean"),
+            (F.sum(F.col("event_id") % 100).cast("double") / F.count(F.lit(1))).alias(
+                "v2_mean"
+            ),
+            mean_v.alias("v3_mean"),
+        )
+        .orderBy("id4")
+    )
+
+
+# groupby-datafusion.py:140-154 — q5 "sum v1:v3 by id6" (medium cardinality)
+@query(
+    "h2o_sum_multi",
+    oracle=f"""
+SELECT user_id % 300 AS id6, {sql_dsum(_V)} AS v1_sum,
+       SUM(event_id % 100) AS v2_sum, {sql_dsum(_V)} AS v3_sum
+FROM events GROUP BY user_id % 300 ORDER BY id6
+""",
+)
+def h2o_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    return (
+        t.events.groupBy((F.col("user_id") % 300).alias("id6"))
+        .agg(
+            dsum(v).alias("v1_sum"),
+            F.sum(F.col("event_id") % 100).alias("v2_sum"),
+            dsum(v).alias("v3_sum"),
+        )
+        .orderBy("id6")
+    )
+
+
+# groupby-datafusion.py:156-170 — q6 "median + sd by id4,id5" (the reference
+# uses approx_percentile_cont; here the median is EXACT so it oracle-checks)
+@query(
+    "h2o_median_sd",
+    oracle="""
+SELECT user_id % 10 AS id4, user_id % 25 AS id5,
+       median(value) AS median_v3, round(stddev(value), 6) AS sd_v3
+FROM events GROUP BY user_id % 10, user_id % 25
+ORDER BY id4, id5
+""",
+)
+def h2o_median_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            (F.col("user_id") % 10).alias("id4"), (F.col("user_id") % 25).alias("id5")
+        )
+        .agg(
+            F.median("value").alias("median_v3"),
+            F.round(F.stddev("value"), 6).alias("sd_v3"),
+        )
+        .orderBy("id4", "id5")
+    )
+
+
+# groupby-datafusion.py:213-226 — q10 "sum + count by id1:id6" (6-key wide
+# group: near-unique groups, the widest-shuffle stress shape)
+@query(
+    "h2o_sum_count_wide",
+    oracle=f"""
+SELECT event_type, user_id % 10 AS id4, user_id % 25 AS id5, user_id % 300 AS id6,
+       user_id AS id3, event_id % 7 AS id7,
+       {sql_dsum(_V)} AS v3_sum, COUNT(*) AS cnt
+FROM events
+GROUP BY event_type, user_id % 10, user_id % 25, user_id % 300, user_id, event_id % 7
+ORDER BY event_type, id3, id7, v3_sum
+LIMIT 1000
+""",
+)
+def h2o_sum_count_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            "event_type",
+            (F.col("user_id") % 10).alias("id4"),
+            (F.col("user_id") % 25).alias("id5"),
+            (F.col("user_id") % 300).alias("id6"),
+            F.col("user_id").alias("id3"),
+            (F.col("event_id") % 7).alias("id7"),
+        )
+        .agg(
+            dsum(F.col("value").cast("decimal(18,6)")).alias("v3_sum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("event_type", "id3", "id7", "v3_sum")
+        .limit(1000)
+    )
+
+
+# join-datafusion.py:124-146 — medium LEFT joins (q3 on id2, q4 on a factor
+# key): outer semantics — rows without a match survive with NULL dim columns
+@query(
+    "h2o_join_left_medium",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n, COUNT(c_custkey) AS n_matched,
+       {sql_dsum(_V)} AS v_sum
+FROM events LEFT JOIN customer ON events.user_id % 3000 = customer.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST
+""",
+)
+def h2o_join_left_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.join(
+            t.customer, F.col("user_id") % 3000 == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_custkey").alias("n_matched"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+        )
+        .orderBy(F.asc_nulls_first("c_mktsegment"))
+    )
+
+
+# join-datafusion.py:148-159 variant — join on a STRING factor key (the h2o
+# id5 factor join): dim derived per event_type, joined back on the factor
+@query(
+    "h2o_join_factor",
+    oracle=f"""
+WITH dim AS (
+  SELECT event_type AS d_type, COUNT(*) AS type_total
+  FROM events GROUP BY event_type
+)
+SELECT event_type, user_id % 25 AS id5, COUNT(*) AS n,
+       MIN(type_total) AS type_total, {sql_dsum(_V)} AS v_sum
+FROM events JOIN dim ON events.event_type = dim.d_type
+GROUP BY event_type, user_id % 25
+ORDER BY event_type, id5
+""",
+)
+def h2o_join_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    dim = t.events.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    return (
+        t.events.join(F.broadcast(dim), F.col("event_type") == F.col("d_type"))
+        .groupBy("event_type", (F.col("user_id") % 25).alias("id5"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("type_total").alias("type_total"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+        )
+        .orderBy("event_type", "id5")
     )
 
 

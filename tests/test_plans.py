@@ -14,6 +14,7 @@ from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
 from datafusion_ballista_dhruvil_spark.plans.inspect import (
     codegen_span_count,
     exchange_count,
+    formatted_plan,
     has_partial_final_agg,
     has_pushed_filters,
     scan_read_columns,
@@ -109,3 +110,23 @@ def test_repartition_nodes(spark):
     assert "hashpartitioning(o_custkey" in hashed
     rr = formatted_plan(t.orders.repartition(8))
     assert "RoundRobinPartitioning" in rr or "REPARTITION_BY_NUM" in rr
+
+
+def test_temporal_joins_never_nested_loop(spark):
+    """The whole point of the as-of/range formulations: Catalyst must plan
+    hash/sort-merge joins, never a BroadcastNestedLoopJoin over the
+    inequality predicate."""
+    for name in ("asof_click_attribution", "range_recent_clicks"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "NestedLoop" not in plan, f"{name} degraded to nested-loop"
+        assert "Cartesian" not in plan, f"{name} degraded to cartesian"
+    # as-of is the union-window shape: exactly one Window, a Union below it
+    asof = formatted_plan(QUERIES["asof_click_attribution"](spark, SF_DIR))
+    assert "Union" in asof and "Window" in asof
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    plan = formatted_plan(QUERIES["sim_ivf_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # probing is an equi-join on centroid_id -> must be a hash join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
