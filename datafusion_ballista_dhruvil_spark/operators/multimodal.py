@@ -116,6 +116,64 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@query(
+    "mm_resize_thumbnail",
+    oracle="""
+SELECT doc_id, length(text) AS orig_chars,
+       length(thumb) AS thumb_chars, md5(thumb) AS thumb_md5
+FROM (
+  SELECT doc_id, text,
+         array_to_string(list_transform(range(1, least(length(text), 1024) + 1, 4),
+                                        i -> substring(text, i, 1)), '') AS thumb
+  FROM documents WHERE doc_id < 200
+)
+ORDER BY doc_id
+""",
+)
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stage via mapInPandas — crop to the first 1024
+    units and keep every 4th (a 4:1 'thumbnail').
+
+    The downsample here runs on the decoded characters so it is exactly
+    reproducible in the oracle (a hash-verified mapInPandas stage, not a
+    rows-only stub); a real image resize swaps the batch body for
+    PIL.Image.resize over decoded pixels with the same (binary in, typed
+    row out) plumbing. Map-only: no shuffle ever carries the payload;
+    output rows carry sizes + digest, not bytes.
+    """
+
+    def resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            s = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+            thumb = s.map(lambda x: x[:1024:4])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_chars": s.str.len().astype("int64"),
+                    "thumb_chars": thumb.str.len().astype("int64"),
+                    "thumb_md5": thumb.map(
+                        lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(
+            resize_batch,
+            schema="doc_id long, orig_chars long, thumb_chars long, thumb_md5 string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 @query("mm_decode_features")  # rows-only: stub decoder output is engine-local
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).

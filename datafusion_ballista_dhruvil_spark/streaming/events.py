@@ -112,6 +112,63 @@ def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "ev_session_window",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      AS prev_us
+  FROM events WHERE user_id < 50
+),
+flagged AS (
+  SELECT user_id, ts_us,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {SESSION_GAP_US} THEN 1 ELSE 0 END
+      AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS last_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+""",
+)
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` sessionization — Spark's built-in
+    gap-window operator (works identically under Structured Streaming with
+    a watermark, where the manual lag/cumsum form cannot run).
+
+    Boundary semantics differ from ev_sessionize by design: session_window
+    windows are ``[ts, ts + gap)`` (end-exclusive), so an event exactly at
+    ``prev + gap`` STARTS a new session; the oracle mirrors that with
+    ``>= gap``. window.start == min event ts, so values align exactly.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.where(F.col("user_id") < 50)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "last_us",
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
     "ev_sessionize",
     oracle=f"""
 WITH ordered AS (
