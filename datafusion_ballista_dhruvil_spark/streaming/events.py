@@ -112,6 +112,62 @@ def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "ev_rollup_multires",
+    oracle="""
+WITH minute_agg AS (
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m, event_type,
+         COUNT(*) AS n, CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', m) AS TIMESTAMP) AS day,
+       date_trunc('hour', m) AS hour, event_type,
+       SUM(n) AS n_events,
+       CAST(round(SUM(CAST(v AS DECIMAL(27,4))), 4) AS DOUBLE) AS total_value
+FROM minute_agg
+GROUP BY ROLLUP (CAST(date_trunc('day', m) AS TIMESTAMP), date_trunc('hour', m)),
+         event_type
+ORDER BY day NULLS FIRST, hour NULLS FIRST, event_type
+""",
+)
+def ev_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: a fine-grain (minute)
+    partial aggregate is the ONLY pass over raw events; hour/day/total
+    grains are re-aggregated from the minute partials via ROLLUP.
+
+    This is the scale pattern behind continuous aggregates: at 100 TB the
+    minute partials are materialized incrementally (tumbling-window
+    streaming agg writes them; see build_tumbling_counts) and every coarser
+    resolution reads partials, never raw data. Decimal partials stay exact
+    under re-aggregation, so the two-level rollup is oracle-identical to a
+    direct aggregate.
+    """
+    t = Tables(spark, sf_dir)
+    minute_agg = (
+        t.events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("m"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+    )
+    # dsum surfaces exact scale-4 decimals as doubles, so the cast back to
+    # DECIMAL(27,4) is lossless and the re-aggregation stays exact
+    minute_agg.createOrReplaceTempView("ev_minute_agg")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', m) AS day, date_trunc('hour', m) AS hour,
+               event_type, SUM(n) AS n_events,
+               CAST(CAST(SUM(CAST(v AS DECIMAL(27,4))) AS DECIMAL(38,4)) AS DOUBLE)
+                 AS total_value
+        FROM ev_minute_agg
+        GROUP BY event_type, ROLLUP (date_trunc('day', m), date_trunc('hour', m))
+        ORDER BY day NULLS FIRST, hour NULLS FIRST, event_type
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
     "ev_session_window",
     oracle=f"""
 WITH ordered AS (
