@@ -64,3 +64,54 @@ def test_stream_dedup_within_watermark(spark):
     s = sorted(map(tuple, deduped.where(F.col("event_id") < 100).select("event_id", "user_id", "event_type").collect()))
     b = sorted(map(tuple, batch.where(F.col("event_id") < 100).select("event_id", "user_id", "event_type").collect()))
     assert s == b
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Real watermark semantics (not just backfill parity). The watermark
+    persists in the checkpoint across restarts, so a three-run sequence is
+    deterministic: run 1 sees on-time data (12:00, watermark -> 11:00,
+    window still open -> nothing emitted); run 2 sees 6:00 data, 5 hours
+    below the watermark -> DROPPED, no state created; run 3 sees 14:00 data
+    which advances the watermark past the 12:00 window -> it finalizes with
+    exactly the on-time rows. If late rows had been kept, the 6:00 window
+    would exist in state and finalize in run 3 too."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp"
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return sorted((r.ws.hour, r.n) for r in spark.read.parquet(out).collect())
+        except Exception:  # no output files yet
+            return []
+
+    add_file([(i, dt.datetime(2024, 1, 1, 12, 0, i)) for i in range(10)])
+    assert run_once() == []  # window open, append emits nothing
+    add_file([(100 + i, dt.datetime(2024, 1, 1, 6, 0, i)) for i in range(5)])
+    assert run_once() == []  # late rows dropped, no state, nothing emitted
+    add_file([(200 + i, dt.datetime(2024, 1, 1, 14, 0, i)) for i in range(3)])
+    # 12:00 finalizes WITHOUT the late rows; no 6:00 window ever appears
+    assert run_once() == [(12, 10)]
