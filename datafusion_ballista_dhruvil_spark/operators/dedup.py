@@ -35,25 +35,29 @@ def _tokens(col: str = "text"):
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, s): distinct word n-gram shingles per document."""
+    """(doc_id, s): distinct word n-gram shingles per document.
+
+    The token array is materialized as its own projection BEFORE the
+    higher-order transform: lambdas don't participate in common-
+    subexpression elimination, so referencing the split expression inside
+    them re-runs the split per element — O(L^2) splits per document
+    (measured 8x on the bigram profile; PERF.md #9). A column reference is
+    computed once per row.
+
+    Short documents (< n tokens) produce no shingles: the slice length
+    clamps to 0 (Spark's sequence(1, stop) DESCENDS when stop < 1, so the
+    sequence+element_at formulation would go out of bounds instead).
+    """
     t = Tables(spark, sf_dir)
-    toks = _tokens()
-    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which would
-    # drive element_at out of bounds for documents shorter than n tokens —
-    # those documents simply have no shingles (matches the oracle's range()).
-    shingles = F.when(
-        F.array_size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.array_size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                *[F.element_at(toks, i + j) for j in range(1, n)],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tk = F.col("__tk")
+    n_sh = F.greatest(F.array_size(tk) - (n - 1), F.lit(0))
+    slices = [F.slice(tk, j + 1, n_sh) for j in range(n)]
+    shingles = slices[0]
+    for s in slices[1:]:
+        shingles = F.zip_with(shingles, s, lambda a, b: F.concat_ws(" ", a, b))
     return (
-        t.documents.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+        t.documents.select("doc_id", _tokens().alias("__tk"))
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
     )
 
 
@@ -150,9 +154,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
 seeds AS (SELECT unnest(range(0, {K})) AS j),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, j, MIN(md5(j || ':' || s)) AS m
-  FROM sh, seeds GROUP BY doc_id, j
+  SELECT doc_id, j,
+         MIN(((2 * j + 3) * h0 + (104729 * j + 12345)) % 2147483647) AS m
+  FROM hashed, seeds GROUP BY doc_id, j
 ),
 bands AS (
   SELECT doc_id, j // {ROWS_PER_BAND} AS band, string_agg(m, '|' ORDER BY j) AS sig
@@ -179,22 +189,31 @@ LIMIT 100
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection, exactly reproducible.
 
-    shingle -> K min-hashes (min over md5(seed:shingle), a permutation proxy
-    identical in any engine) -> {BANDS} bands of {ROWS_PER_BAND} -> bucket
-    join on (band, signature) -> exact Jaccard verification of candidates.
+    shingle -> ONE md5 -> K universal-hash derivations
+    ``(a_j*h0 + b_j) mod (2^31-1)`` (a permutation family identical in any
+    engine; operands stay under 2^62 so 64-bit arithmetic never wraps)
+    -> K min-aggregates -> {BANDS} bands of {ROWS_PER_BAND} -> bucket join
+    on (band, signature) -> exact Jaccard verification of candidates.
 
     Scale: the only join is on band signatures (bounded buckets); minhash
-    computation is a groupBy (doc, seed) over the shingle explode — partial
-    min() map-side, so the shuffle carries one row per (doc, seed).
+    computation is a groupBy over the shingle explode — partial min()
+    map-side, one shuffle carrying K ints per doc. One md5 per shingle
+    (not per (seed, shingle)): the affine re-mix costs a codegen'd
+    multiply-add instead of K-1 additional digests — measured 2.5x on the
+    signature stage (PERF.md #9). h0 is materialized as a projection so
+    the K aggregate expressions share it instead of re-hashing.
     """
     sh = _shingle_df(spark, sf_dir).cache()
-    # All K min-hashes in ONE aggregation pass: K md5s map-side per shingle
-    # row, partial min() combine, a single shuffle carrying K strings per
-    # doc. (A seeds-cross-join formulation shuffles K rows per doc and needs
-    # a second groupBy for banding — measured ~3x slower.)
-    mh = sh.groupBy("doc_id").agg(
+    P = 2_147_483_647
+    h0 = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % P
+    ).alias("h0")
+    hashed = sh.select("doc_id", h0)
+    mh = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
+            F.min(
+                (F.lit(2 * j + 3) * F.col("h0") + F.lit(104729 * j + 12345)) % P
+            ).alias(f"m{j}")
             for j in range(K)
         ]
     )

@@ -237,20 +237,22 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     from pyspark.sql.window import Window
 
-    toks = _toks()
-    # sequence(1, 0) descends in Spark — single-token docs get no bigrams
-    bigrams = F.when(
-        F.array_size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.array_size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # tokens materialized as a projection first: referencing the split
+    # expression inside the higher-order lambda re-runs it per element
+    # (no CSE inside lambdas) — O(L^2) splits; measured 8x (PERF.md #9).
+    # zip_with of two clamped slices also handles single-token docs
+    # (length clamps to 0) without a descending-sequence guard.
+    tk = F.col("__tk")
+    n1 = F.greatest(F.array_size(tk) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tk, 1, n1),
+        F.slice(tk, 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
     w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
     return (
-        t.documents.select("source", F.explode(bigrams).alias("bigram"))
+        t.documents.select("source", _toks().alias("__tk"))
+        .select("source", F.explode(bigrams).alias("bigram"))
         .groupBy("source", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("rn", F.row_number().over(w))
