@@ -15,6 +15,7 @@ def load_all() -> None:
         h2o,
         multimodal,
         relational,
+        sampling,
         similarity,
         temporal,
         text,

@@ -149,10 +149,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH sh AS ({_SQL_SHINGLES}),
+# Shared CTE chain producing the verified near-dup pairs (J >= 0.5, d1 < d2);
+# composed by the pair oracle (ORDER/LIMIT on top) and the clustering oracle
+# (recursive closure on top).
+_SQL_PAIR_CTES = f"""
+sh AS ({_SQL_SHINGLES}),
 seeds AS (SELECT unnest(range(0, {K})) AS j),
 hashed AS (
   SELECT doc_id,
@@ -177,12 +178,21 @@ ver AS (
   SELECT c.d1, c.d2, COUNT(*) AS common
   FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
   GROUP BY c.d1, c.d2
-)
-SELECT v.d1, v.d2,
-       CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) AS jaccard
-FROM ver v JOIN sizes z1 ON z1.doc_id = v.d1 JOIN sizes z2 ON z2.doc_id = v.d2
-WHERE CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) >= 0.5
-ORDER BY jaccard DESC, v.d1, v.d2
+),
+pairs AS (
+  SELECT v.d1, v.d2,
+         CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) AS jaccard
+  FROM ver v JOIN sizes z1 ON z1.doc_id = v.d1 JOIN sizes z2 ON z2.doc_id = v.d2
+  WHERE CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) >= 0.5
+)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES}
+SELECT d1, d2, jaccard FROM pairs
+ORDER BY jaccard DESC, d1, d2
 LIMIT 100
 """,
 )
@@ -202,6 +212,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-add instead of K-1 additional digests — measured 2.5x on the
     signature stage (PERF.md #9). h0 is materialized as a projection so
     the K aggregate expressions share it instead of re-hashing.
+    """
+    return (
+        _verified_pairs(spark, sf_dir)
+        .select("d1", "d2", "jaccard")
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(100)
+    )
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2, jaccard): LSH candidate pairs verified at J >= 0.5, d1 < d2.
+
+    The full MinHash->bands->bucket-join->exact-verify pipeline shared by
+    the pair query (dedup_minhash_lsh) and the clustering stage
+    (dedup_cluster_cc).
     """
     sh = _shingle_df(spark, sf_dir).cache()
     P = 2_147_483_647
@@ -257,8 +282,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.5)
         .select("d1", "d2", "jaccard")
-        .orderBy(F.desc("jaccard"), "d1", "d2")
-        .limit(100)
     )
 
 
@@ -322,3 +345,96 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select(
         "doc_id", F.concat(*[F.col(f"b{j}") for j in range(16)]).alias("simhash")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIR_CTES},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.doc_id = e.dst
+),
+labels AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT l.cluster_id, l.doc_id, c.n_docs
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM labels GROUP BY cluster_id) c
+  USING (cluster_id)
+ORDER BY cluster_id, doc_id
+""",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: the dedup CLUSTERING stage.
+
+    Pair detection (dedup_minhash_lsh) only says "A~B, B~C"; a real pipeline
+    must then pick one survivor per transitive group {A,B,C}. This computes
+    the components of the J>=0.5 pair graph by iterative min-label
+    propagation (Pregel-style, cf. the reference's lack of any iterative
+    operator — SURVEY.md §2.2): every doc starts labeled with its own id;
+    each round replaces a doc's label with the min over itself and its
+    neighbors; at fixpoint the label is the min doc_id of the component,
+    which is the canonical "keep" doc.
+
+    Scale posture: each round is one equi-join (edges x labels, both
+    partitioned on the join key) + a map-side-partial min aggregate —
+    no all-pairs work, no driver-side data. The driver only inspects ONE
+    scalar per round (sum of labels, which strictly decreases until
+    fixpoint) for convergence, exactly how GraphX/Pregel superstep
+    termination works. ``localCheckpoint`` truncates lineage each round so
+    the plan stays O(1) deep instead of O(rounds); near-dup components are
+    shallow (dups of a common ancestor), so rounds ~ component diameter,
+    typically <= 3.
+
+    Output: (cluster_id = min doc_id, doc_id, n_docs) per clustered doc.
+    Oracle: DuckDB recursive CTE computing min reachable label — same
+    fixpoint, declaratively.
+    """
+    pairs = _verified_pairs(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(25):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("dedup_cluster_cc: no fixpoint after 25 rounds")
+    labels = labels.withColumnRenamed("label", "cluster_id")
+    csize = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        labels.join(csize, "cluster_id")
+        .select("cluster_id", "doc_id", "n_docs")
+        .orderBy("cluster_id", "doc_id")
+    )

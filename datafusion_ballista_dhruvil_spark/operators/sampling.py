@@ -1,0 +1,172 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+A 100 TB corpus is never split or sampled with ``rand()``: the assignment
+must be reproducible across runs, engines, and re-partitions, and must not
+require a shuffle. All three operators key on ``md5(doc_id)`` — a pure
+per-row map, so the assignment is stable no matter how the data is
+partitioned, and identical in any engine (which is what makes the DuckDB
+oracles exact; same conv/0x trick as operators/dedup.py minhash).
+
+Scale posture:
+- split/stratified sampling are ONE narrow pass: hash + conditional
+  aggregate with map-side partials; the shuffle carries one row per group.
+- per-group top-k-by-hash ("consistent sample") is a window with a
+  rank<=k filter — Spark >= 3.5 plans WindowGroupLimit, a per-partition
+  top-k heap, so the shuffle carries at most k rows per (partition, group),
+  never the full group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+
+def _hash_bucket(col, mod: int):
+    """Deterministic bucket in [0, mod) from md5 of the (stringified) key.
+
+    15 hex chars = 60 bits, always < 2^62: fits a signed 64-bit int in both
+    engines, and md5 output is non-negative so Spark's % and DuckDB's %
+    agree (both engines return negative for negative operands, which never
+    occur here).
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % mod
+    )
+
+
+_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "split_hash_assign",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars, {_SQL_BUCKET} AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM b
+GROUP BY 1
+ORDER BY split
+""",
+)
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by hash bucket of the document id.
+
+    The assignment is a pure projection — every executor can compute it
+    locally with no shuffle and no coordination, and a re-run (or a
+    different engine) assigns every doc to the same split. The summary
+    aggregate here verifies the bucketing; a pipeline would instead
+    ``write.partitionBy("split")``.
+    """
+    t = Tables(spark, sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    ).alias("split")
+    return (
+        t.documents.select(split, "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+WITH b AS (
+  SELECT source, {_SQL_BUCKET} AS bucket FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS sample_rate
+FROM b
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample: keep docs with hash bucket < 10.
+
+    Unlike ``df.sampleBy`` (seeded pseudo-random, partition-order
+    sensitive), a hash threshold gives the same sample on every run and
+    composes: bucket < 10 is a subset of bucket < 20, so sample growth is
+    monotone — the property training-data ablations need. One scan,
+    conditional counts with map-side partials.
+    """
+    t = Tables(spark, sf_dir)
+    sampled = (_hash_bucket(F.col("doc_id"), 100) < 10).cast("int")
+    return (
+        t.documents.select("source", sampled.alias("in_sample"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("in_sample").alias("n_sampled"),
+            (F.sum("in_sample").cast("double") / F.count(F.lit(1))).alias(
+                "sample_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_topk_per_group",
+    oracle="""
+WITH h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 5
+ORDER BY source, rk
+""",
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent per-group sample: the 5 docs with smallest md5(doc_id)
+    per source.
+
+    Hash-ordered top-k is a uniform sample that is stable under data growth
+    (a doc stays sampled until 5 smaller hashes arrive in its group) —
+    bottom-k sketch semantics. Plan: WindowGroupLimit pushes the k=5 limit
+    into a per-partition heap before the source shuffle, so at 100 TB the
+    exchange carries <= 5 rows per (input partition, source), not the
+    whole corpus (asserted in tests/test_plans.py).
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        t.documents.select(
+            "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )

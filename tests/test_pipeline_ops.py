@@ -12,12 +12,17 @@ from tests.conftest import SF_DIR, assert_query_matches
 
 load_all()
 
-PREFIXES = ("dedup_", "sim_", "text_", "mm_", "ev_")
+PREFIXES = ("dedup_", "sim_", "text_", "mm_", "ev_", "split_", "sample_")
 PIPELINE = sorted(n for n in QUERIES if n.startswith(PREFIXES))
 
 # queries whose result can legitimately be empty at small SF (near-dup
 # detectors over random text may find nothing)
-MAY_BE_EMPTY = {"dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_embedding_neardup"}
+MAY_BE_EMPTY = {
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "sim_embedding_neardup",
+}
 
 
 @pytest.mark.parametrize("name", PIPELINE)
@@ -37,3 +42,45 @@ def test_decode_stub_features_deterministic(spark):
     assert sorted(map(tuple, df1)) == sorted(map(tuple, df2))
     assert all(r.decode_ok for r in df1)
     assert len(df1) == 200
+
+
+def test_cluster_cc_is_transitive_closure(spark):
+    """Every verified near-dup pair lands in one cluster; cluster_id is the
+    member minimum (the canonical keep-doc)."""
+    from datafusion_ballista_dhruvil_spark.operators.dedup import _verified_pairs
+
+    members = QUERIES["dedup_cluster_cc"](spark, SF_DIR).collect()
+    label = {r.doc_id: r.cluster_id for r in members}
+    assert label, "sf0.01 corpus is expected to contain near-dup pairs"
+    for p in _verified_pairs(spark, SF_DIR).collect():
+        assert label[p.d1] == label[p.d2], (p.d1, p.d2)
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in label.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, docs in by_cluster.items():
+        assert c == min(docs)
+        assert len(docs) >= 2  # singletons never enter the edge list
+    sizes = {r.doc_id: r.n_docs for r in members}
+    for doc, c in label.items():
+        assert sizes[doc] == len(by_cluster[c])
+
+
+def test_hash_split_is_partition_invariant(spark):
+    """The split assignment must not depend on physical layout: recomputing
+    after a repartition yields identical per-split counts."""
+    from datafusion_ballista_dhruvil_spark.operators.sampling import _hash_bucket
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    import pyspark.sql.functions as F
+
+    docs = Tables(spark, SF_DIR).documents
+    a = (
+        docs.select((_hash_bucket(F.col("doc_id"), 100) < 10).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    b = (
+        docs.repartition(13)
+        .select((_hash_bucket(F.col("doc_id"), 100) < 10).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -130,3 +130,11 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # probing is an equi-join on centroid_id -> must be a hash join
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    # sample_topk_per_group's rank<=k filter must push a per-partition top-k
+    # heap BELOW the shuffle (WindowGroupLimit, Spark >= 3.5) — at scale the
+    # exchange then carries <= k rows per (partition, group), not the corpus.
+    plan = formatted_plan(QUERIES["sample_topk_per_group"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
