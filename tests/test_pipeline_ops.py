@@ -84,3 +84,20 @@ def test_hash_split_is_partition_invariant(spark):
         .groupBy("s").count().collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_recursive_cte_gapfill_equivalence(spark):
+    """Spark 4 WITH RECURSIVE end-to-end: the recursive-CTE formulation of
+    the calendar axis returns exactly what the sequence()-based registered
+    query returns (the query avoids recursion only for per-iteration job
+    overhead — see ev_gapfill_series docstring)."""
+    from datafusion_ballista_dhruvil_spark.session import Tables
+    from datafusion_ballista_dhruvil_spark.streaming.events import (
+        GAPFILL_RECURSIVE_SQL,
+    )
+
+    Tables(spark, SF_DIR).events.createOrReplaceTempView("gapfill_events_v")
+    rec = spark.sql(GAPFILL_RECURSIVE_SQL).collect()
+    seq = QUERIES["ev_gapfill_series"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rec)) == sorted(map(tuple, seq))
+    assert len(rec) == 30  # contiguous day axis
