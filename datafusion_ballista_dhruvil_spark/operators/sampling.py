@@ -170,3 +170,84 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pack_token_bins",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hk,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+           AS shard
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start_off
+  FROM h
+)
+SELECT shard,
+       start_off // 512 AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM c
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+""",
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign docs to ~512-token bins.
+
+    The pre-tokenization packing step of an LLM training pipeline: group
+    documents into fixed token-budget packs so downstream concatenation
+    emits near-full context windows. True first-fit packing is inherently
+    sequential; the distributed form used here (and by real pipelines)
+    shards the corpus by hash, orders each shard deterministically by
+    (md5(doc_id), doc_id), and cuts the running token total every
+    ``capacity`` tokens — a doc whose start offset lands in bin *k* joins
+    pack *k*. Fully reproducible: re-runs, re-partitions, and other engines
+    assign every doc to the same pack (same md5/conv trick as the split
+    operators above).
+
+    Scale: ONE shuffle on ``shard``; the per-shard window sort is bounded
+    by corpus_size / n_shards, so at 100 TB the shard count dials partition
+    memory (set it to a multiple of the cluster's cores — 8 here only so
+    sf0.01's 500 docs still make multi-doc packs). The pack summary then
+    aggregates on (shard, pack) with map-side partials.
+    """
+    t = Tables(spark, sf_dir)
+    capacity = 512
+    n_shards = 8
+    h = t.documents.select(
+        "doc_id",
+        F.array_size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        _hash_bucket(F.col("doc_id"), n_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    return (
+        c.groupBy("shard", F.expr(f"start_off div {capacity}").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )

@@ -12,7 +12,7 @@ from tests.conftest import SF_DIR, assert_query_matches
 
 load_all()
 
-PREFIXES = ("dedup_", "sim_", "text_", "mm_", "ev_", "split_", "sample_")
+PREFIXES = ("dedup_", "sim_", "text_", "mm_", "ev_", "split_", "sample_", "pack_")
 PIPELINE = sorted(n for n in QUERIES if n.startswith(PREFIXES))
 
 # queries whose result can legitimately be empty at small SF (near-dup
@@ -101,3 +101,21 @@ def test_recursive_cte_gapfill_equivalence(spark):
     seq = QUERIES["ev_gapfill_series"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rec)) == sorted(map(tuple, seq))
     assert len(rec) == 30  # contiguous day axis
+
+
+def test_pack_token_bins_invariants(spark):
+    """Sequence packing: every doc lands in exactly one pack, pack ids are
+    contiguous from 0 within each shard, and the assignment is invariant to
+    input partitioning (hash-sharded, not partition-ordered)."""
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    packs = QUERIES["pack_token_bins"](spark, SF_DIR).collect()
+    n_docs = Tables(spark, SF_DIR).documents.count()
+    assert sum(r.n_docs for r in packs) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in packs:
+        by_shard.setdefault(r.shard, []).append(r.pack_id)
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
+    again = QUERIES["pack_token_bins"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
