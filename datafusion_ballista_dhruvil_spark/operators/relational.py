@@ -457,6 +457,7 @@ def weighted_quantile(
     group_cols: list[str],
     qs: dict[str, tuple[int, int]],
     order_tiebreak: list[str] | None = None,
+    bucket_width: int = 32,
 ) -> DataFrame:
     """Exact weighted quantiles per group: the smallest ``value`` whose
     cumulative weight reaches ``q`` of the group's total weight.
@@ -465,32 +466,118 @@ def weighted_quantile(
     (num, den), e.g. ``{"wp50": (1, 2)}``. Weights must be positive.
     ``value``/``weight`` must already be exact types (decimal/int) — the
     cumulative sum is then order-independent and engine-portable.
+    ``order_tiebreak`` is accepted for API stability but unused: rows with
+    equal values are pre-aggregated, so the window order is total without
+    it (the selected value is identical whichever row of a tied run
+    crosses the threshold).
 
     Reference parity: DataFusion's APPROX_PERCENTILE_CONT_WITH_WEIGHT
     (datafusion.proto:529-549) is the sketch version of this; here the
-    weighted rank is computed exactly with one running-sum window (a single
-    hash shuffle on the group key + per-group sort — the same cost as the
-    sort any exact quantile needs).
+    weighted rank is exact.
+
+    Scale — two-phase binned quantile, NOT one big per-group sort. The
+    naive form windows every row partitioned by the group key; with few
+    groups (3 returnflags) that collapses parallelism to n_groups sort
+    tasks over the full data, the exact pattern that dies at 100 TB.
+    Instead:
+
+    1. histogram pass: bucket = floor(value / bucket_width); aggregate
+       weight per (group, bucket) — map-side partials, full parallelism,
+       output is ~values_range/width rows however big the input is.
+    2. locate: a window over the tiny histogram finds, per quantile, the
+       first bucket whose cumulative weight crosses the threshold, and the
+       exact cumulative weight BEFORE it.
+    3. resolve: broadcast those (group, bucket, quantile) targets back
+       onto the input; only rows in a boundary bucket survive the join
+       (~1/n_buckets of the data), and a window over that sliver finds the
+       smallest value whose (carry-in + in-bucket running) weight crosses.
+
+    Cost: two parallel scans + tiny shuffles, vs one scan + a near-serial
+    full sort. Weights must be positive for the crossing bucket to
+    contain the crossing value.
     """
-    order = [F.col(value).asc()] + [F.col(c).asc() for c in (order_tiebreak or [])]
+    gcols = [F.col(c) for c in group_cols]
+    bucket = F.floor(F.col(value) / F.lit(bucket_width)).cast("long").alias("__bkt")
+
+    hist = (
+        df.select(*gcols, bucket, F.col(weight).alias("__w"))
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.sum("__w").alias("__bw"))
+    )
     w_cum = (
         Window.partitionBy(*group_cols)
-        .orderBy(*order)
+        .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*group_cols)
-    cw, tw = F.sum(weight).over(w_cum), F.sum(weight).over(w_all)
-    staged = df.withColumn("__cw", cw).withColumn("__tw", tw)
-    aggs = [
-        F.min(
-            F.when(
-                F.col("__cw") * F.lit(den) >= F.col("__tw") * F.lit(num),
-                F.col(value),
+    hist = hist.withColumn("__through", F.sum("__bw").over(w_cum)).withColumn(
+        "__tw", F.sum("__bw").over(w_all)
+    )
+    # per quantile: the first bucket whose cumulative crosses num/den.
+    # The quantile list is exploded onto the histogram (NOT a union of one
+    # filtered branch per quantile — each branch would re-evaluate the
+    # whole histogram scan+aggregate).
+    qrow = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("qn"),
+                    F.lit(num).alias("num"),
+                    F.lit(den).alias("den"),
+                )
+                for name, (num, den) in qs.items()
+            ]
+        )
+    ).alias("__q")
+    targets = (
+        hist.select(
+            *group_cols,
+            "__bkt",
+            "__bw",
+            "__through",
+            "__tw",
+            qrow,
+        )
+        .where(
+            (F.col("__through") * F.col("__q.den") >= F.col("__tw") * F.col("__q.num"))
+            & (
+                (F.col("__through") - F.col("__bw")) * F.col("__q.den")
+                < F.col("__tw") * F.col("__q.num")
             )
-        ).alias(name)
-        for name, (num, den) in qs.items()
+        )
+        .select(
+            *group_cols,
+            "__bkt",
+            F.col("__q.qn").alias("__qn"),
+            F.col("__q.num").alias("__num"),
+            F.col("__q.den").alias("__den"),
+            (F.col("__through") - F.col("__bw")).alias("__carry"),
+            "__tw",
+        )
+    )
+
+    cand = df.select(*gcols, bucket, F.col(value).alias("__v"), F.col(weight).alias("__w")).join(
+        F.broadcast(targets), [*group_cols, "__bkt"]
+    )
+    # collapse equal values, then in-bucket running weight + carry-in
+    cand = cand.groupBy(
+        *group_cols, "__qn", "__num", "__den", "__carry", "__tw", "__v"
+    ).agg(F.sum("__w").alias("__vw"))
+    w_in = (
+        Window.partitionBy(*group_cols, "__qn")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = cand.withColumn("__cw", F.col("__carry") + F.sum("__vw").over(w_in))
+    picked = F.when(
+        F.col("__cw") * F.col("__den") >= F.col("__tw") * F.col("__num"),
+        F.col("__v"),
+    )
+    aggs = [
+        F.min(F.when(F.col("__qn") == name, picked)).alias(name)
+        for name in qs
     ]
-    return staged.groupBy(*group_cols).agg(*aggs)
+    return cand.groupBy(*group_cols).agg(*aggs)
 
 
 @query(
