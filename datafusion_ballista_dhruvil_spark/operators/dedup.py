@@ -34,8 +34,9 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, s): distinct word n-gram shingles per document.
+def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, ss): the distinct word n-gram shingle SET per document, as
+    one array row — no explode, no shuffle; the whole set stays map-side.
 
     The token array is materialized as its own projection BEFORE the
     higher-order transform: lambdas don't participate in common-
@@ -55,9 +56,15 @@ def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     shingles = slices[0]
     for s in slices[1:]:
         shingles = F.zip_with(shingles, s, lambda a, b: F.concat_ws(" ", a, b))
-    return (
-        t.documents.select("doc_id", _tokens().alias("__tk"))
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    return t.documents.select("doc_id", _tokens().alias("__tk")).select(
+        "doc_id", F.array_distinct(shingles).alias("ss")
+    )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, s): distinct word n-gram shingles per document, exploded."""
+    return _shingle_arrays(spark, sf_dir, n).select(
+        "doc_id", F.explode("ss").alias("s")
     )
 
 
@@ -125,17 +132,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact verifier; at scale the same verification runs only on
     LSH candidates (dedup_minhash_lsh), never all pairs.
     """
-    sh = _shingle_df(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    arrs = _shingle_arrays(spark, sf_dir).cache()
+    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
+    # one groupBy(shingle) + in-bucket pair explode, not a shingle self-join:
+    # same O(df^2) pair cardinality (the algorithm's cost model), but one
+    # shuffle of the shingle table instead of two plus a join.
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        sh.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.array_size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.d1", "p.d2")
         .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("d1"), F.col("d2"), "common")
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    s1 = arrs.select(F.col("doc_id").alias("d1"), F.array_size("ss").alias("n1"))
+    s2 = arrs.select(F.col("doc_id").alias("d2"), F.array_size("ss").alias("n2"))
     jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
         pairs.join(s1, "d1")
@@ -224,11 +243,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d1, d2, jaccard): LSH candidate pairs verified at J >= 0.5, d1 < d2.
 
-    The full MinHash->bands->bucket-join->exact-verify pipeline shared by
+    The full MinHash->bands->bucket-group->exact-verify pipeline shared by
     the pair query (dedup_minhash_lsh) and the clustering stage
     (dedup_cluster_cc).
+
+    Shape choices (each replaces a join with something cheaper):
+    - candidates come from ONE groupBy(band, sig) + in-bucket pair explode,
+      not a bands-self-join: the self-join shuffled (and under a cold cache
+      computed) the signature table twice. O(bucket^2) pair generation is
+      the algorithm's intent — LSH's guarantee IS that buckets stay small;
+      a boilerplate mega-bucket should be capped/sampled upstream, not
+      smeared across a shuffle.
+    - verification joins each candidate to the per-doc shingle SET array
+      (_shingle_arrays — built map-side, no explode) and computes
+      |intersection| with array_intersect in the join's projection. The
+      old form joined the exploded shingle table twice (candidates x
+      ~shingles-per-doc intermediate rows) then re-aggregated; set size
+      |s1 ∩ s2| over distinct-element arrays is the same number with zero
+      shuffle past the joins, and the join build sides are doc-count-sized,
+      not shingle-count-sized.
     """
-    sh = _shingle_df(spark, sf_dir).cache()
+    arrs = _shingle_arrays(spark, sf_dir).cache()
+    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
     P = 2_147_483_647
     h0 = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % P
@@ -252,33 +288,35 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", *band_sigs).select(
         "doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.array_size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
-    s2 = sh.select(F.col("doc_id").alias("vd2"), F.col("s").alias("s2"))
-    ver = (
-        cand.join(s1, "d1")
-        .join(s2, (F.col("d2") == F.col("vd2")) & (F.col("s2") == F.col("s1")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    s1 = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
+    s2 = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
+    common = F.array_size(F.array_intersect(F.col("ss1"), F.col("ss2")))
     jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        ver.join(z1, "d1")
-        .join(z2, "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            common.alias("common"),
+            F.array_size("ss1").alias("n1"),
+            F.array_size("ss2").alias("n2"),
+        )
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.5)
         .select("d1", "d2", "jaccard")
