@@ -386,6 +386,128 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_TOP_HEX = "('8','9','a','b','c','d','e','f')"
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(d.toks) AS u(t)
+),
+bitsum AS (
+  SELECT doc_id, j,
+    SUM(CASE
+      WHEN j < 30 THEN CASE WHEN substring(md5(t), j + 1, 1) IN {_TOP_HEX}
+                            THEN 1 ELSE -1 END
+      ELSE CASE WHEN substring(md5(t), j - 29, 1)
+                     IN ('4','5','6','7','c','d','e','f')
+                THEN 1 ELSE -1 END
+    END) AS v
+  FROM toks, (SELECT unnest(range(60)) AS j) js
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+  FROM bitsum GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 1
+ORDER BY hamming, d1, d2
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 60-bit signatures, Hamming distance <= 1.
+
+    Completes the SimHash pipeline (dedup_simhash stops at signatures).
+    One md5 per distinct token yields all 60 bits — bits 0-29 are the top
+    bit of hex nibbles 1-30, bits 30-59 the second bit of the same nibbles
+    (independent bits of the same digest; the minhash one-digest lesson,
+    PERF.md #9). The document bit is the sign of the +/-1 sum over its
+    distinct tokens; the signature packs the bits into one BIGINT (60 bits
+    keeps well clear of the sign bit in both engines).
+
+    Width and threshold are data-informed: at 32 bits this synthetic corpus
+    (shared small vocabulary, similar lengths) put 28% of ALL pairs within
+    Hamming 3 — an undiscriminative sketch, and the mega-bucket it induced
+    OOMed the pair explode. At 60 bits with threshold 1 the pair set is the
+    exact-dup clusters plus single-bit drift.
+
+    Candidate generation is segment banding: split the signature into two
+    30-bit halves; by pigeonhole a pair within Hamming distance 1 agrees on
+    at least one whole half, so bucketing by (half_index, half_value) finds
+    EVERY qualifying pair — lossless at this threshold, which is why the
+    oracle can be the plain all-pairs spec. Verification is one
+    bit_count(xor) per candidate.
+
+    Scale: one row per doc, each doc in exactly 2 buckets, bucket size =
+    docs sharing an entire signature half (≈ dup clusters); O(N^2)
+    all-pairs (the oracle's formulation) never runs on the cluster.
+    """
+    t = Tables(spark, sf_dir)
+    bit1 = list("89abcdef")  # nibble & 8
+    bit2 = list("4567cdef")  # nibble & 4
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    aggs = []
+    for j in range(60):
+        nib = F.substring("h", (j + 1) if j < 30 else (j - 29), 1)
+        on = nib.isin(bit1 if j < 30 else bit2)
+        aggs.append(F.sum(F.when(on, 1).otherwise(-1)).alias(f"v{j}"))
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    sig_col = None
+    for j in range(60):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sig_col = term if sig_col is None else sig_col + term
+    sigs = bits.select("doc_id", sig_col.cast("long").alias("sig"))
+    segs = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(f"shiftright(sig, {30 * k}) & 1073741823").alias(
+                            "seg"
+                        ),
+                    )
+                    for k in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", "b.k", "b.seg")
+    cand = (
+        segs.groupBy("k", "seg")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids"))
+        .where(F.array_size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(x.doc_id AS d1, y.doc_id AS d2, x.sig AS sig1, "
+                    "y.sig AS sig2)))), p -> p.d1 < p.d2)"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2", "p.sig1", "p.sig2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        cand.select("d1", "d2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 1)
+        .orderBy("hamming", "d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
 @query(
     "dedup_cluster_cc",
     oracle=f"""
