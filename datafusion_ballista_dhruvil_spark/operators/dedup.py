@@ -483,6 +483,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "sig", "b.k", "b.seg")
+    # emit a pair only from the FIRST band where the halves agree (band 1
+    # additionally requires differing low halves): no pair is produced twice,
+    # so no distinct — that was a second full shuffle of the candidate set
+    # (324k structs at sf0.1; 5.5s -> see PERF.md). Hamming filters inline
+    # before the only remaining exchange (the output sort).
     cand = (
         segs.groupBy("k", "seg")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids"))
@@ -492,12 +497,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     "filter(flatten(transform(ids, x -> transform(ids, y -> "
                     "struct(x.doc_id AS d1, y.doc_id AS d2, x.sig AS sig1, "
-                    "y.sig AS sig2)))), p -> p.d1 < p.d2)"
+                    "y.sig AS sig2)))), p -> p.d1 < p.d2 AND (k = 0 OR "
+                    "(p.sig1 & 1073741823) != (p.sig2 & 1073741823)))"
                 )
             ).alias("p")
         )
         .select("p.d1", "p.d2", "p.sig1", "p.sig2")
-        .distinct()
     )
     hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
     return (
