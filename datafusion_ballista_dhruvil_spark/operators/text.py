@@ -371,3 +371,171 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition_filter",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM d, unnest(list_transform(range(1, len(tk)), j -> j)) AS u(i)
+),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM bgc GROUP BY 1
+),
+tg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM d, unnest(list_transform(range(1, len(tk) - 1), j -> j)) AS u(i)
+),
+tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n,
+         CAST(SUM(c) AS BIGINT) AS n_trigrams
+  FROM tgc GROUP BY 1
+)
+SELECT b.doc_id, b.top_bigram_n, b.n_bigrams,
+       CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+       t.dup_trigram_n, t.n_trigrams,
+       CAST(t.dup_trigram_n AS DOUBLE) / t.n_trigrams AS dup_trigram_frac,
+       (CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams <= 0.0625
+        AND CAST(t.dup_trigram_n AS DOUBLE) / t.n_trigrams <= 0.2) AS keep
+FROM bstat b JOIN tstat t USING (doc_id)
+WHERE b.n_bigrams >= 2 AND t.n_trigrams >= 1
+ORDER BY doc_id
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, table A1):
+    per-document top-bigram fraction and duplicated-trigram fraction, plus
+    the keep/drop decision.
+
+    Heavily repeated n-grams mark boilerplate/spam for LLM training data.
+    Thresholds (1/16 top-bigram, 0.2 dup-trigram) sit near this corpus's
+    p85 so both outcomes materialize in the oracle check.
+
+    Scale: the explode fans out ~L grams/doc but counts partial-aggregate
+    map-side before the single (doc_id, gram)-keyed shuffle; the two stat
+    relations then join on doc_id. Ratios are int/int divisions (one
+    correctly-rounded IEEE op — engine-portable, no float accumulation).
+    """
+    t = Tables(spark, sf_dir)
+    tk = F.col("__tk")
+    n1 = F.greatest(F.array_size(tk) - 1, F.lit(0))
+    n2 = F.greatest(F.array_size(tk) - 2, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tk, 1, n1), F.slice(tk, 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    trigrams = F.zip_with(
+        F.zip_with(F.slice(tk, 1, n2), F.slice(tk, 2, n2),
+                   lambda x, y: F.concat(x, F.lit(" "), y)),
+        F.slice(tk, 3, n2),
+        lambda xy, z: F.concat(xy, F.lit(" "), z),
+    )
+    docs = t.documents.select("doc_id", _toks().alias("__tk"))
+    bstat = (
+        docs.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+        .where(F.col("n_bigrams") >= 2)
+    )
+    tstat = (
+        docs.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_trigram_n"
+            ),
+            F.sum("c").alias("n_trigrams"),
+        )
+        .where(F.col("n_trigrams") >= 1)
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_frac = F.col("dup_trigram_n").cast("double") / F.col("n_trigrams")
+    return (
+        bstat.join(tstat, "doc_id")
+        .select(
+            "doc_id", "top_bigram_n", "n_bigrams",
+            top_frac.alias("top_bigram_frac"),
+            "dup_trigram_n", "n_trigrams",
+            dup_frac.alias("dup_trigram_frac"),
+            ((top_frac <= 0.0625) & (dup_frac <= 0.2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_decontam_overlap",
+    oracle="""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, source,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS g
+  FROM d, unnest(list_transform(range(1, len(tk) - 3), j -> j)) AS u(i)
+),
+ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+tr AS (
+  SELECT g.doc_id,
+         COUNT(DISTINCT g.g) AS n_ngrams,
+         COUNT(DISTINCT CASE WHEN ev.g IS NOT NULL THEN g.g END) AS n_hits
+  FROM g LEFT JOIN ev USING (g)
+  WHERE g.source <> 'src0'
+  GROUP BY 1
+)
+SELECT doc_id, n_ngrams, n_hits,
+       CAST(n_hits AS DOUBLE) / n_ngrams AS hit_frac
+FROM tr WHERE n_hits > 0
+ORDER BY doc_id
+""",
+)
+def text_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram with
+    the held-out eval set (source 'src0' stands in for the benchmark).
+
+    The standard pre-training hygiene pass (GPT-3 appendix C / PaLM-style
+    13-gram overlap, width scaled to this corpus's short docs). A doc with
+    n_hits > 0 leaks eval text and must be dropped from training.
+
+    Scale: the eval n-gram set is tiny relative to the corpus, so it is
+    DISTINCT-ed and broadcast — the training side stays map-local (explode,
+    broadcast-hash semi-probe, per-doc distinct agg on a doc_id-keyed
+    shuffle). No corpus-sized shuffle, no all-pairs comparison.
+    """
+    t = Tables(spark, sf_dir)
+    tk = F.col("__tk")
+    n4 = F.greatest(F.array_size(tk) - 4, F.lit(0))
+    parts = [F.slice(tk, i + 1, n4) for i in range(5)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    docs = t.documents.select("doc_id", "source", _toks().alias("__tk"))
+    g = docs.select("doc_id", "source", F.explode(grams).alias("g"))
+    ev = g.where(F.col("source") == "src0").select("g").distinct()
+    return (
+        g.where(F.col("source") != "src0")
+        .join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_ngrams"),
+            F.countDistinct(
+                F.when(F.col("__hit").isNotNull(), F.col("g"))
+            ).alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .select(
+            "doc_id", "n_ngrams", "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_ngrams")).alias(
+                "hit_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
