@@ -450,3 +450,83 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# raw scale-7 integer dot (no /1e14 descale): exact int64 in both engines,
+# so squared L2 distances composed from it compare exactly
+_SQL_QDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(round(CAST(x[1] AS DOUBLE) * 10000000) AS BIGINT)"
+    " * CAST(round(CAST(x[2] AS DOUBLE) * 10000000) AS BIGINT))) AS BIGINT)"
+)
+
+
+@query(
+    "sim_kmeans_assign",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_QDOT.format(a='embedding', b='embedding')} AS selfq
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, selfq AS cselfq
+      FROM e WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.cid,
+         e.selfq + c.cselfq - 2 * {_SQL_QDOT.format(a='e.embedding', b='c.cv')}
+           AS d
+  FROM e CROSS JOIN c
+),
+r AS (SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM p)
+SELECT vec_id, cid AS cluster, d AS dist2_q FROM r WHERE rn = 1
+ORDER BY vec_id
+""",
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (Lloyd iteration half #1): every vector to
+    its nearest of K=8 centroids (deterministic init: vec_id < 8), by
+    squared L2 distance with smaller-cid tie-break.
+
+    Composes with sim_centroid_by_label (the update/reduce half) into a full
+    distributed Lloyd iteration: assign -> re-centroid -> repeat, which is
+    also how IVF coarse quantizers train.
+
+    Exactness: ||a-c||^2 = <a,a> + <c,c> - 2<a,c> over scale-7 quantized
+    int64 dots — all three terms exact integers (bounded by 64*(1e8)^2 so
+    the combination stays far from int64 overflow), making the argmin
+    engine-portable with no float comparison.
+
+    Scale: self-dots precomputed ONCE per row (never per pair); the K
+    centroids BROADCAST so assignment is map-side (corpus never shuffles);
+    the argmin is a lexicographic min(struct) with map-side partial
+    aggregation — the exchange carries one (vec_id, best) row per vector,
+    and in a real iteration loop only the K centroid rows move between
+    steps.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", _dot7("embedding", "embedding").alias("selfq")
+    )
+    c = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("selfq").alias("cselfq"),
+    )
+    d = (
+        F.col("selfq") + F.col("cselfq") - F.lit(2) * _dot7("embedding", "cv")
+    ).alias("d")
+    return (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", F.struct(d, F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster"),
+            F.col("m.d").alias("dist2_q"),
+        )
+        .orderBy("vec_id")
+    )
