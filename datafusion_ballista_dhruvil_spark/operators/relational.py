@@ -917,3 +917,56 @@ def ops_regexp_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_unpivot",
+    oracle="""
+WITH m AS (
+  SELECT n.n_name,
+         (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+           AS n_customers,
+         (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+           AS n_suppliers
+  FROM nation n
+)
+SELECT n_name, metric, n FROM (
+  SELECT n_name, 'n_customers' AS metric, n_customers AS n FROM m
+  UNION ALL
+  SELECT n_name, 'n_suppliers' AS metric, n_suppliers AS n FROM m
+) u
+ORDER BY n_name, metric
+""",
+)
+def ops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): per-nation entity counts melted to
+    (nation, metric, n) rows — `DataFrame.unpivot` (SQL `UNPIVOT` /
+    `stack`), the inverse of ev_type_pivot.
+
+    The wide relation comes from two broadcast-joined counts (nation is
+    tiny); the unpivot itself is a zero-shuffle projection — each input row
+    expands to one row per value column in place, so it composes with
+    whatever partitioning the wide side already has.
+    """
+    t = Tables(spark, sf_dir)
+    cust = t.customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = t.supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    wide = (
+        t.nation.join(
+            cust, t.nation.n_nationkey == cust.c_nationkey, "left"
+        )
+        .join(supp, t.nation.n_nationkey == supp.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_customers", "n_suppliers"], "metric", "n"
+    ).orderBy("n_name", "metric")
