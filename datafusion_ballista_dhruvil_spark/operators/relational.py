@@ -373,6 +373,71 @@ def ops_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@query(
+    "ops_window_groups",
+    oracle="""
+WITH f AS (SELECT * FROM orders WHERE o_custkey < 20),
+g AS (
+  SELECT o_orderpriority, o_orderdate,
+         COUNT(*) AS c, SUM(o_custkey) AS s
+  FROM f GROUP BY 1, 2
+),
+gr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_orderdate
+  ) AS rn
+  FROM g
+),
+fr AS (
+  SELECT a.o_orderpriority, a.o_orderdate,
+         CAST(SUM(b.c) AS BIGINT) AS grp_cnt, SUM(b.s) AS grp_sum
+  FROM gr a JOIN gr b
+    ON a.o_orderpriority = b.o_orderpriority AND abs(a.rn - b.rn) <= 1
+  GROUP BY 1, 2
+)
+SELECT f.o_orderkey, f.o_orderpriority, f.o_orderdate, fr.grp_cnt, fr.grp_sum
+FROM f JOIN fr USING (o_orderpriority, o_orderdate)
+ORDER BY o_orderkey
+""",
+)
+def ops_window_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frames, emulated (closes the §2.6 documented gap —
+    neither Spark nor this DuckDB build implements GROUPS natively).
+
+    Spark has no GROUPS frame mode, but a GROUPS frame is definable as a
+    RANGE frame over the peer-group index: dense_rank() numbers the ORDER BY
+    peer groups consecutively, so `ORDER BY dense_rank RANGE BETWEEN n
+    PRECEDING AND m FOLLOWING` covers exactly the same rows as `GROUPS
+    BETWEEN n PRECEDING AND m FOLLOWING`. The oracle is an independent
+    first-principles formulation: aggregate each peer group, neighbor-join
+    groups at index distance <= 1, re-join to rows.
+
+    Both windows share one partitioning+sort, so Catalyst evaluates them in
+    a single Window node after one exchange — the emulation costs one extra
+    integer column, not a second shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    wd = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    wg = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__dr")
+        .rangeBetween(-1, 1)
+    )
+    return (
+        t.orders.where(F.col("o_custkey") < 20)
+        .withColumn("__dr", F.dense_rank().over(wd))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.count(F.lit(1)).over(wg).alias("grp_cnt"),
+            F.sum("o_custkey").over(wg).alias("grp_sum"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Aggregate modifiers + stats aggregates (proto :529-557)
 # --------------------------------------------------------------------------
 @query(

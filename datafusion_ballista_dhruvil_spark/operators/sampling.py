@@ -251,3 +251,70 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id")
     )
+
+
+# --------------------------------------------------------------------------
+_SQL_MIXBUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000000"
+)
+
+
+@query(
+    "mix_resample_sources",
+    oracle=f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1),
+m AS (SELECT MIN(n_total) AS mn FROM c),
+th AS (SELECT lang, n_total, (mn * 1000000) // n_total AS keep_below
+       FROM c CROSS JOIN m),
+b AS (SELECT lang, {_SQL_MIXBUCKET} AS bucket FROM documents)
+SELECT b.lang, th.n_total, th.keep_below,
+       CAST(COUNT(*) FILTER (WHERE b.bucket < th.keep_below) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE b.bucket < th.keep_below) AS DOUBLE)
+         / th.n_total AS realized_rate
+FROM b JOIN th USING (lang)
+GROUP BY b.lang, th.n_total, th.keep_below
+ORDER BY lang
+""",
+)
+def mix_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every language to the smallest
+    language's share (uniform target mixture) with deterministic hash
+    thresholds — the "data mixing" step of a pre-training pipeline.
+
+    Per-group rate = min_count / n_group, applied as an integer hash
+    threshold `bucket < (min*1e6) // n` so the decision is a pure per-row
+    map: reproducible across runs/engines/partitionings, monotone under
+    quota growth, and requiring NO shuffle of the corpus. Generalizes to
+    arbitrary target weights by swapping the numerator.
+
+    Two passes at scale: (1) the group-count aggregate (tiny result —
+    one row per language); (2) thresholds BROADCAST back for a map-side
+    filter. The final per-group summary shuffles one partial row per
+    (map task, lang). The hash realizes ~rate exactly in expectation;
+    realized_rate reports the delivered fraction.
+    """
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    mn = counts.agg(F.min("n_total").alias("mn"))
+    th = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_total",
+        F.expr("(mn * 1000000) div n_total").alias("keep_below"),
+    )
+    b = t.documents.select(
+        "lang", _hash_bucket(F.col("doc_id"), 1000000).alias("bucket")
+    )
+    kept = F.count(F.when(F.col("bucket") < F.col("keep_below"), 1))
+    return (
+        b.join(F.broadcast(th), "lang")
+        .groupBy("lang", "n_total", "keep_below")
+        .agg(
+            kept.alias("n_kept"),
+            (kept.cast("double") / F.col("n_total")).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -87,6 +87,49 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Inner interval join: each purchase attributed to same-user clicks in
+    the preceding hour — identical code batch/stream."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the hardest streaming operator shape):
+    both sides watermarked, the time-range predicate bounds how long each
+    side's state is retained — click state expires 1 hour + watermark past
+    its event time, so state size tracks the join horizon, not the stream.
+
+    Spark plans this as StreamingSymmetricHashJoin; batch parity is asserted
+    in tests/test_streaming.py (same build function on the batch table).
+    """
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return build_click_purchase_join(events.withWatermark("ts", "2 hours"))
+
+
 # --------------------------------------------------------------------------
 @query(
     "ev_tumbling_window",

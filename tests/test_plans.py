@@ -138,3 +138,24 @@ def test_per_group_topk_uses_window_group_limit(spark):
     # exchange then carries <= k rows per (partition, group), not the corpus.
     plan = formatted_plan(QUERIES["sample_topk_per_group"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_partition_pruning_skips_partitions(spark, tmp_path):
+    # Hive-partitioned layout + a partition-key filter must prune at plan
+    # time: the scan's partition count drops and the predicate appears as a
+    # partition filter, not a data filter — at 100 TB this is the difference
+    # between reading one day and reading the lake.
+    out = str(tmp_path / "events_by_type")
+    t = Tables(spark, SF_DIR)
+    t.events.write.partitionBy("event_type").parquet(out)
+    pruned = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = formatted_plan(pruned)
+    import re
+
+    part = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert part and "event_type" in part.group(1)
+    # the partition predicate must NOT appear in PushedFilters (data filters)
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert not pushed or "event_type" not in pushed.group(1)
+    # count distinct event types read: exactly the one selected partition
+    assert pruned.select("event_type").distinct().count() == 1

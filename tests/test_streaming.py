@@ -115,3 +115,31 @@ def test_watermark_drops_late_data(spark, tmp_path):
     add_file([(200 + i, dt.datetime(2024, 1, 1, 14, 0, i)) for i in range(3)])
     # 12:00 finalizes WITHOUT the late rows; no 6:00 window ever appears
     assert run_once() == [(12, 10)]
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from datafusion_ballista_dhruvil_spark.streaming.events import (
+        build_click_purchase_join,
+        stream_click_purchase_join,
+    )
+
+    sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_click_purchase_join(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(map(tuple, spark.table(sink).collect()))
+
+    batch_rows = sorted(
+        map(
+            tuple,
+            build_click_purchase_join(Tables(spark, SF_DIR).events).collect(),
+        )
+    )
+    assert len(stream_rows) == len(batch_rows) > 0
+    assert stream_rows == batch_rows
