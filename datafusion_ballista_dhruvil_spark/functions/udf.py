@@ -91,3 +91,49 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(weighted_mean, schema="event_type string, weighted_user double")
     )
+
+
+@query(
+    "udf_table_function",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE doc_id < 20)
+SELECT doc_id, i AS pos, tk[i] AS token
+FROM d, unnest(range(1, len(tk) + 1)) AS r(i)
+ORDER BY doc_id, pos
+""",
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> many output rows via
+    SQL `LATERAL udtf(...)` — the user-defined-relation surface beyond
+    scalar/aggregate UDFs.
+
+    Token positions here are expressible with posexplode (and production
+    code should use it — this family is the Python slow path, documented as
+    such); the UDTF exists to cover the extension point where the row
+    expansion genuinely needs imperative Python. Bounded to 20 docs.
+    Class defined inside the function so cloudpickle serializes it by value
+    (module-level classes pickle by reference and fail on foreign-cwd
+    workers).
+    """
+    from pyspark.sql.functions import udtf
+
+    t = Tables(spark, sf_dir)
+
+    @udtf(returnType="pos: int, token: string")
+    class TokenPositions:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("token_positions", TokenPositions)
+    t.documents.where(F.col("doc_id") < 20).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, tp.pos, tp.token
+        FROM udtf_docs d, LATERAL token_positions(d.text) tp
+        ORDER BY d.doc_id, tp.pos
+        """
+    )

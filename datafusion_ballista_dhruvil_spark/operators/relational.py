@@ -1035,3 +1035,92 @@ def ops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_name"], ["n_customers", "n_suppliers"], "metric", "n"
     ).orderBy("n_name", "metric")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "yoy_sales_growth",
+    oracle=f"""
+WITH rev AS (
+  SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+         {sql_dsum("CAST(o_totalprice AS DECIMAL(12,2))")} AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, yr, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       (revenue - lag(revenue) OVER w) / lag(revenue) OVER w AS yoy_growth
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+ORDER BY n_name, yr
+""",
+)
+def yoy_sales_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: window-over-aggregate (the
+    TPC-DS q-shape Spark analytics lives on — aggregate, then lag() across
+    the grouped time axis).
+
+    Two broadcast joins (nation, customer-side key join shuffles on
+    o_custkey), one groupBy producing ~|nations x years| rows, then the lag
+    window runs on that tiny aggregate — the window never touches fact-table
+    cardinality. Growth = one exact double subtraction + division over the
+    decimal-contract revenue (deterministic across engines; first year NULL
+    in both).
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(dsum(dec2("o_totalprice")).alias("revenue"))
+        .select(
+            "n_name",
+            "yr",
+            "revenue",
+            prev.alias("prev_revenue"),
+            ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_sort_null_order",
+    oracle="""
+SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY status_or_null ASC NULLS FIRST, o_orderkey DESC
+LIMIT 50
+""",
+)
+def ops_sort_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering in sorts (the reference sort node's
+    nulls_first flag, datafusion.proto sort options): ASC NULLS FIRST
+    overriding Spark's ASC default of NULLS FIRST-vs-LAST asymmetry, with a
+    descending tie-break so the LIMIT is deterministic."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias(
+                "status_or_null"
+            ),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_orderkey").desc(),
+        )
+        .limit(50)
+    )

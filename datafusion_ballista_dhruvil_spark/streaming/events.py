@@ -528,3 +528,163 @@ def ev_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_cohort_retention",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+),
+f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+SELECT f.cohort_wk,
+       date_diff('day', f.cohort_wk, ev.wk) // 7 AS week_offset,
+       COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent week they return — the standard growth-analytics
+    triangle.
+
+    Two shuffles at scale, both on user_id: the first-seen aggregate and
+    the self-join back to activity (co-partitioned, so AQE plans the join
+    without a third exchange). The distinct-user count per (cohort, offset)
+    partially dedupes map-side. Week bucketing is date_trunc (Monday-start
+    in both engines); offsets are exact integer day arithmetic.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_funnel_stages",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT
+    CAST(COUNT(*) FILTER (t_signup IS NOT NULL) AS BIGINT) AS s1,
+    CAST(COUNT(*) FILTER (t_signup IS NOT NULL AND t_click >= t_signup)
+         AS BIGINT) AS s2,
+    CAST(COUNT(*) FILTER (t_signup IS NOT NULL AND t_click >= t_signup
+                          AND t_purchase >= t_click) AS BIGINT) AS s3
+  FROM m
+),
+s AS (
+  SELECT 1 AS stage_ord, 'signup' AS stage, s1 AS n_users FROM c
+  UNION ALL SELECT 2, 'signup>click', s2 FROM c
+  UNION ALL SELECT 3, 'signup>click>purchase', s3 FROM c
+)
+SELECT stage_ord, stage, n_users,
+       CAST(n_users AS DOUBLE)
+         / lag(n_users) OVER (ORDER BY stage_ord) AS conv_prev
+FROM s ORDER BY stage_ord
+""",
+)
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis on first occurrences: signup -> click -> purchase in
+    strict timestamp order, with per-stage conversion vs the previous stage.
+
+    The whole funnel is ONE pass over events: conditional MIN per stage in
+    a single user_id groupBy (map-side partials), then the stage counts
+    reduce to a single row — the unpivot to stage rows and the lag window
+    run on 3 rows. First-occurrence ordering (min_click >= min_signup) is
+    the deterministic strict-funnel metric; a per-path sequence match is the
+    sessionization operators' job.
+    """
+    t = Tables(spark, sf_dir)
+    ts_of = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    m = t.events.groupBy("user_id").agg(
+        ts_of("signup").alias("t_signup"),
+        ts_of("click").alias("t_click"),
+        ts_of("purchase").alias("t_purchase"),
+    )
+    ok1 = F.col("t_signup").isNotNull()
+    ok2 = ok1 & (F.col("t_click") >= F.col("t_signup"))
+    ok3 = ok2 & (F.col("t_purchase") >= F.col("t_click"))
+    c = m.agg(
+        F.count(F.when(ok1, 1)).alias("s1"),
+        F.count(F.when(ok2, 1)).alias("s2"),
+        F.count(F.when(ok3, 1)).alias("s3"),
+    )
+    stages = c.select(
+        F.expr(
+            "stack(3, 1, 'signup', s1, 2, 'signup>click', s2,"
+            " 3, 'signup>click>purchase', s3) AS (stage_ord, stage, n_users)"
+        )
+    )
+    w = Window.orderBy("stage_ord")
+    return stages.select(
+        "stage_ord",
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.lag("n_users").over(w)).alias(
+            "conv_prev"
+        ),
+    ).orderBy("stage_ord")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_props_variant",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via the VARIANT type (Spark 4): parse_json
+    once in the scan projection, typed variant_get extraction downstream.
+
+    Where get_json_object re-parses the string per path (ev_props_json),
+    VARIANT parses once into a binary-encoded value that any number of
+    later extractions navigate without re-parsing — the open-table-format
+    pattern for ingesting schemaless payloads at scale. Aggregates stay
+    integer-exact.
+    """
+    t = Tables(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        t.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
