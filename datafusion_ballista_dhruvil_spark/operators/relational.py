@@ -1124,3 +1124,49 @@ def ops_sort_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_map_functions",
+    oracle="""
+WITH hc AS (
+  SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n_hours,
+       MAX(CASE WHEN hr = 12 THEN n END) AS at_noon,
+       string_agg(hr, ',' ORDER BY hr) AS hours_csv
+FROM hc GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def ops_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP type construction + navigation: hour->count maps per event type
+    via map_from_entries, probed with element_at / map_keys / size.
+
+    The oracle is deliberately map-free (plain conditional aggregation), so
+    it checks the MAP semantics rather than mirroring them. Entries are
+    sorted before map construction, making key order deterministic.
+    """
+    t = Tables(spark, sf_dir)
+    hc = (
+        t.events.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = hc.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("hr", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "event_type",
+        F.size("m").alias("n_hours"),
+        F.element_at("m", F.lit(12)).alias("at_noon"),
+        F.concat_ws(
+            ",", F.transform(F.map_keys("m"), lambda k: k.cast("string"))
+        ).alias("hours_csv"),
+    ).orderBy("event_type")

@@ -34,6 +34,18 @@ def main() -> None:
     print("== Language-ID + quality scores ==")
     QUERIES["text_langid"](spark, sf_dir).show(5)
 
+    print("== Gopher-style repetition filter (keep/drop) ==")
+    QUERIES["text_repetition_filter"](spark, sf_dir).show(5)
+
+    print("== Benchmark decontamination (5-gram overlap vs eval set) ==")
+    QUERIES["text_decontam_overlap"](spark, sf_dir).show(5)
+
+    print("== Mixture rebalancing to uniform language target ==")
+    QUERIES["mix_resample_sources"](spark, sf_dir).show()
+
+    print("== K-means assign (IVF training step) ==")
+    QUERIES["sim_kmeans_assign"](spark, sf_dir).show(5)
+
     spark.stop()
 
 
