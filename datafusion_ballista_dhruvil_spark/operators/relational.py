@@ -1170,3 +1170,44 @@ def ops_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(F.map_keys("m"), lambda k: k.cast("string"))
         ).alias("hours_csv"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_bool_predicates",
+    oracle="""
+SELECT c_mktsegment,
+  CAST(COUNT(*) FILTER ((nullif(c_nationkey, 3) > 10) IS TRUE) AS BIGINT)
+    AS n_true,
+  CAST(COUNT(*) FILTER ((nullif(c_nationkey, 3) > 10) IS FALSE) AS BIGINT)
+    AS n_false,
+  CAST(COUNT(*) FILTER ((nullif(c_nationkey, 3) > 10) IS NULL) AS BIGINT)
+    AS n_unknown,
+  CAST(COUNT(*) FILTER ((nullif(c_nationkey, 3) > 10) IS NOT TRUE) AS BIGINT)
+    AS n_not_true
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def ops_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued boolean predicates IS [NOT] TRUE / FALSE / UNKNOWN
+    (LogicalExprNode :346-351): a NULL-producing comparison classified into
+    all three truth values. IS UNKNOWN ≡ IS NULL on booleans — DuckDB spells
+    it IS NULL; Spark accepts both (IS UNKNOWN exercised here)."""
+    t = Tables(spark, sf_dir)
+    pred = "(nullif(c_nationkey, 3) > 10)"
+    return (
+        t.customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.when(F.expr(f"{pred} IS TRUE"), 1)).alias("n_true"),
+            F.count(F.when(F.expr(f"{pred} IS FALSE"), 1)).alias("n_false"),
+            F.count(F.when(F.expr(f"{pred} IS UNKNOWN"), 1)).alias(
+                "n_unknown"
+            ),
+            F.count(F.when(F.expr(f"{pred} IS NOT TRUE"), 1)).alias(
+                "n_not_true"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
