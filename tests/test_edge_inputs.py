@@ -85,3 +85,70 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(3).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError, match="fact-preserving"):
         salted_join(df, df, "k", "k", how="full_outer")
+
+
+def test_repetition_filter_survives_degenerate_docs(spark, monkeypatch):
+    import datafusion_ballista_dhruvil_spark.operators.text as text
+
+    clean = " ".join(f"w{i}" for i in range(20))  # 19 unique bigrams
+    docs = _docs(spark, ["", "a", "a b", clean, "x x x x"])
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(text, "Tables", FakeTables)
+    rows = {r.doc_id: r for r in text.text_repetition_filter(spark, "unused").collect()}
+    # docs with < 2 bigrams are excluded, not crashed on
+    assert set(rows) == {3, 4}
+    assert rows[3].keep  # all-unique bigrams: top frac 1/19 < 1/16
+    assert not rows[4].keep  # "x x x x": top bigram frac 1.0 -> drop
+
+
+def test_decontam_empty_eval_set(spark, monkeypatch):
+    import datafusion_ballista_dhruvil_spark.operators.text as text
+
+    # all docs too short for a 5-gram: eval set empty, no crash, no rows
+    docs = _docs(spark, ["a b", "c d", "e f g h"])
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(text, "Tables", FakeTables)
+    assert text.text_decontam_overlap(spark, "unused").count() == 0
+
+
+def test_simhash_pairs_unique_emission_for_exact_dups(spark, monkeypatch):
+    import datafusion_ballista_dhruvil_spark.operators.dedup as dedup
+
+    # 3 identical docs agree on BOTH signature halves: the first-agreeing-
+    # band rule must emit each pair exactly once (regression for the
+    # removed distinct())
+    same = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(spark, [same, same, same, "totally different words here now"])
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(dedup, "Tables", FakeTables)
+    rows = dedup.dedup_simhash_pairs(spark, "unused").collect()
+    pairs = [(r.d1, r.d2) for r in rows]
+    assert sorted(pairs) == [(0, 1), (0, 2), (1, 2)]
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_kmeans_assign_fewer_vectors_than_k(spark, monkeypatch):
+    import datafusion_ballista_dhruvil_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i], i % 2) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    class FakeTables:
+        def __init__(self, *_): self.embeddings = emb
+
+    monkeypatch.setattr(sim, "Tables", FakeTables)
+    rows = {r.vec_id: r for r in sim.sim_kmeans_assign(spark, "unused").collect()}
+    # every vector is its own centroid: self-assignment at distance 0
+    assert set(rows) == {0, 1, 2}
+    assert all(r.cluster == vid and r.dist2_q == 0 for vid, r in rows.items())
