@@ -688,3 +688,226 @@ def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_transition_matrix",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS p_transition
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (event_type -> next event_type) pair, the transition count and
+    the row-normalized probability.
+
+    Path analysis is a staple of the reference's event workloads (session
+    flows); the lead() formulation is ONE shuffle on user_id for the
+    sequence step, and the transition aggregate is a tiny
+    (n_types x n_types) relation, so the normalizing window costs nothing.
+    Ties in ts break on event_id — a total order, so lead() is
+    deterministic. The probability is one int/int IEEE division
+    (engine-portable).
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        t.events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    wt = Window.partitionBy("event_type")
+    agg = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    return agg.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double")
+        ).alias("p_transition"),
+    ).orderBy("event_type", "next_type")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_scd2_intervals",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+),
+g AS (
+  SELECT user_id, run_id, event_type,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM g ORDER BY user_id, valid_from
+""",
+)
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build (gaps-and-islands): collapse each user's
+    consecutive runs of the same event_type into [valid_from, valid_to)
+    intervals, valid_to = next run's start (NULL for the open current run).
+
+    This is how a change-log becomes a slowly-changing dimension without
+    MERGE support: a lag()-flag marks run starts, a running sum numbers the
+    runs, and one groupBy collapses them. Everything partitions by user_id
+    — a single hash shuffle reused by both windows AND the aggregate
+    (Catalyst plans one Exchange), so the shape scales linearly with the
+    event volume. Total order (ts, event_id) makes run numbering
+    deterministic.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    chg = F.when(
+        lagged.isNull() | (lagged != F.col("event_type")), 1
+    ).otherwise(0)
+    r = t.events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "run_id"
+        ),
+    )
+    g = r.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    return g.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "valid_from")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+stat AS (
+  SELECT event_type, day, cnt,
+         COUNT(*) OVER w AS n,
+         SUM(cnt) OVER w AS s,
+         SUM(cnt * cnt) OVER w AS ssq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, cnt,
+       CAST(n AS BIGINT) AS n_prior,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_prior,
+       CASE WHEN n * ssq - s * s > 0 THEN
+         (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * ssq - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE))
+       END AS zscore,
+       COALESCE(n * ssq - s * s > 0 AND abs(
+         (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * ssq - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE))) > 2.0, FALSE)
+         AS is_anomaly
+FROM stat WHERE n >= 5
+ORDER BY event_type, day
+""",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each (event_type, day) count is
+    z-scored against the previous 7 days' counts (excluding today), flagging
+    |z| > 2 once at least 5 prior days exist.
+
+    The trailing frame is a RANGE over integer epoch-days, so calendar gaps
+    widen the window correctly instead of silently sliding over them. All
+    window accumulations are exact integer sums (count/sum/sum-of-squares);
+    mean/variance/z are derived at the end through a fixed tree of
+    correctly-rounded IEEE ops — the population stays integer until the
+    final projection, so the result is engine-exact (no float accumulation
+    order dependence). sd == 0 windows yield NULL z, not a division blowup.
+    """
+    t = Tables(spark, sf_dir)
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    daily = (
+        t.events.select(
+            "event_type",
+            day.alias("day"),
+            F.datediff(day, F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("event_type", "day", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-7, -1)
+    )
+    stat = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ssq"),
+    ).where(F.col("n") >= 5)
+    n, s, ssq, cnt = (F.col(c) for c in ("n", "s", "ssq", "cnt"))
+    var_num = n * ssq - s * s
+    mean = s.cast("double") / n.cast("double")
+    z = (cnt.cast("double") - mean) / F.sqrt(
+        var_num.cast("double") / (n * (n - 1)).cast("double")
+    )
+    return stat.select(
+        "event_type",
+        "day",
+        "cnt",
+        n.alias("n_prior"),
+        mean.alias("mean_prior"),
+        F.when(var_num > 0, z).alias("zscore"),
+        F.coalesce((var_num > 0) & (F.abs(z) > 2.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "day")
