@@ -1211,3 +1211,131 @@ def ops_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_array_hof",
+    oracle="""
+WITH o AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+  FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5
+)
+SELECT l_orderkey,
+  CAST(len(arr) AS BIGINT) AS n_items,
+  CAST(len(list_filter(arr, x -> x > 25)) AS BIGINT) AS n_big,
+  CAST(list_sum(list_transform(arr, x -> CAST(x * 2 AS DECIMAL(38,2))))
+       AS DOUBLE) AS sum_doubled,
+  arr[1] AS min_qty,
+  arr[-1] AS max_qty,
+  len(list_filter(arr, x -> x >= 50)) > 0 AS has_50,
+  CAST(len(list_distinct(arr)) AS BIGINT) AS n_uniq
+FROM o ORDER BY l_orderkey
+""",
+)
+def ops_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (ScalarFunction array ops,
+    LogicalExprNode lambda variants): per-order sorted quantity arrays
+    pushed through filter / transform+aggregate / exists / array_distinct /
+    element_at — the full lambda surface, reduced back to scalars.
+
+    sort_array() after collect_list pins element order (collect order is
+    partition-dependent; equal elements are interchangeable so the sorted
+    array is deterministic). The decimal transform keeps the fold exact;
+    only the final projection drops to DOUBLE (value < 2^53, lossless both
+    engines). One shuffle: the groupBy; every lambda is per-row after that.
+    """
+    t = Tables(spark, sf_dir)
+    arr = F.col("arr")
+    dbl = "CAST(aggregate(arr, CAST(0 AS DECIMAL(38,2)), (acc, x) -> CAST(acc + x * 2 AS DECIMAL(38,2)))  AS DOUBLE)"
+    return (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("arr"),
+             F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 5)
+        .select(
+            "l_orderkey",
+            F.size(arr).cast("long").alias("n_items"),
+            F.size(F.filter(arr, lambda x: x > 25)).cast("long").alias(
+                "n_big"
+            ),
+            F.expr(dbl).alias("sum_doubled"),
+            F.element_at(arr, 1).alias("min_qty"),
+            F.element_at(arr, -1).alias("max_qty"),
+            F.exists(arr, lambda x: x >= 50).alias("has_50"),
+            F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_lateral_explode",
+    oracle="""
+SELECT p_partkey, CAST(pos AS BIGINT) AS pos, word,
+       CAST(length(word) AS BIGINT) AS wlen
+FROM (
+  SELECT p_partkey,
+         generate_subscripts(string_split(p_name, ' '), 1) AS pos,
+         unnest(string_split(p_name, ' ')) AS word
+  FROM part
+)
+ORDER BY p_partkey, pos
+""",
+)
+def ops_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal table-function expansion (Unnest plan node): split each part
+    name and emit one row per token with its 1-based position — LATERAL
+    UNNEST WITH ORDINALITY semantics via posexplode.
+
+    Narrow transform: no shuffle at all (the explode happens in the scan
+    stage); output order is pinned by (p_partkey, pos). DuckDB's
+    generate_subscripts is 1-based, so the 0-based posexplode ordinal is
+    shifted to match.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos0", "word"),
+        )
+        .select(
+            "p_partkey",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "word",
+            F.length("word").cast("long").alias("wlen"),
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_explode_outer",
+    oracle="""
+SELECT p_partkey,
+       unnest(CASE WHEN r IS NULL OR len(r) = 0
+                   THEN [NULL]::VARCHAR[] ELSE r END) AS rare_word
+FROM (
+  SELECT p_partkey,
+         list_filter(string_split(p_name, ' '), x -> length(x) >= 5) AS r
+  FROM part
+)
+ORDER BY p_partkey, rare_word
+""",
+)
+def ops_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer (outer Unnest): rows whose filtered token list is
+    empty survive with a NULL token instead of vanishing — LEFT JOIN
+    LATERAL semantics. DuckDB's unnest drops empty lists, so the oracle
+    substitutes [NULL] explicitly; Spark's explode_outer does it natively.
+    """
+    t = Tables(spark, sf_dir)
+    rare = F.filter(
+        F.split("p_name", " "), lambda x: F.length(x) >= 5
+    )
+    return (
+        t.part.select("p_partkey", F.explode_outer(rare).alias("rare_word"))
+        .orderBy("p_partkey", "rare_word")
+    )

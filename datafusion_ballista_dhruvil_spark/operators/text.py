@@ -539,3 +539,94 @@ def text_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bm25_score(tf: str, df: str) -> str:
+    """BM25 scoring expression, shared verbatim by the Spark plan and the
+    DuckDB oracle so both engines evaluate the identical IEEE op tree.
+
+    Classic BM25 idf uses ln(); ln is not guaranteed correctly rounded
+    across engines, so this uses the rational idf (N - df + 0.5)/(df + 0.5)
+    (the log's argument, order-preserving for ranking). k1 = 1.2, b = 0.75:
+    every constant parses to the same double; +,-,*,/ are correctly rounded,
+    so the score is engine-exact. tf = 0 yields exactly 0.
+    """
+    t, d = f"CAST({tf} AS DOUBLE)", f"CAST({df} AS DOUBLE)"
+    dl = "CAST(dl AS DOUBLE)"
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    nd = "CAST(n_docs AS DOUBLE)"
+    return (
+        f"({t} * 2.2 / ({t} + 1.2 * (0.25 + 0.75 * ({dl} / {avgdl})))"
+        f" * (({nd} - {d} + 0.5) / ({d} + 0.5)))"
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+              AS BIGINT) AS tf_spark,
+         CAST(len(list_filter(string_split(text, ' '), x -> x = 'stream'))
+              AS BIGINT) AS tf_stream
+  FROM documents
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (tf_spark > 0) AS BIGINT) AS df_spark,
+         CAST(COUNT(*) FILTER (tf_stream > 0) AS BIGINT) AS df_stream
+  FROM s
+)
+SELECT doc_id, dl, tf_spark, tf_stream,
+       {_bm25_score('tf_spark', 'df_spark')}
+         + {_bm25_score('tf_stream', 'df_stream')} AS score
+FROM s, g
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-k for the two-term query {{spark, stream}}: tf
+    saturation (k1 = 1.2) with length normalization (b = 0.75) against the
+    corpus average, rational idf (see _bm25_score).
+
+    One narrow pass computes (dl, tf) per doc; the corpus stats reduce to a
+    single broadcast row (crossJoin of a 1-row relation — Catalyst plans
+    BroadcastNestedLoopJoin over 1 row, i.e. free); scoring is per-row
+    arithmetic. The only wide op is the final top-k sort, which Spark
+    executes as TakeOrderedAndProject — no full sort at scale. LIMIT is
+    tie-broken by doc_id for a deterministic selected set.
+    """
+    t = Tables(spark, sf_dir)
+    toks = _toks()
+    s = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "spark")).cast("long").alias(
+            "tf_spark"
+        ),
+        F.size(F.filter(toks, lambda x: x == "stream")).cast("long").alias(
+            "tf_stream"
+        ),
+    )
+    g = s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.count(F.when(F.col("tf_spark") > 0, 1)).alias("df_spark"),
+        F.count(F.when(F.col("tf_stream") > 0, 1)).alias("df_stream"),
+    )
+    score = (
+        f"{_bm25_score('tf_spark', 'df_spark')}"
+        f" + {_bm25_score('tf_stream', 'df_stream')}"
+    )
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select("doc_id", "dl", "tf_spark", "tf_stream",
+                F.expr(score).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
