@@ -14,6 +14,7 @@ def load_all() -> None:
         dedup,
         h2o,
         multimodal,
+        profiling,
         relational,
         sampling,
         similarity,

@@ -530,3 +530,195 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_embedding_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings WHERE vec_id < 300
+),
+s AS (
+  SELECT e.vec_id, e.max_abs,
+         CASE WHEN e.max_abs = 0 THEN 0.0 ELSE 127.0 / e.max_abs END AS qscale,
+         emb.embedding
+  FROM e JOIN embeddings emb USING (vec_id)
+),
+q AS (
+  SELECT vec_id, max_abs, qscale, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * qscale) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, max_abs, qscale,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS sum_absq,
+       CAST(len(list_filter(qv, v -> abs(v) >= 127)) AS BIGINT) AS n_saturated,
+       CAST(list_sum(list_transform(list_zip(embedding, qv),
+            p -> (CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT)
+                  - CAST(round(CASE WHEN qscale = 0 THEN 0.0
+                               ELSE CAST(p[2] AS DOUBLE) / qscale END
+                               * 10000000) AS BIGINT))
+                 * (CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT)
+                    - CAST(round(CASE WHEN qscale = 0 THEN 0.0
+                                 ELSE CAST(p[2] AS DOUBLE) / qscale END
+                                 * 10000000) AS BIGINT))))
+         AS BIGINT) AS err2_q
+FROM q
+ORDER BY vec_id
+""",
+)
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization (the storage/bandwidth step before ANN
+    at scale): symmetric max-abs scaling to [-127, 127], with
+    reconstruction-error accounting.
+
+    Map-only (zero shuffles): every output is a per-row higher-order
+    expression over the embedding array. Exactness contract: quantized
+    codes are integers (argmax-abs scaling and round are deterministic
+    IEEE ops), and the reconstruction error is accumulated in the same
+    scale-7 integer domain as the similarity kernels — int64 sums are
+    exact and order-independent, so both engines produce identical longs
+    where a float sum could differ by accumulation order.
+
+    At 100 TB the qv array (not shown; shown aggregates prove it) is what
+    you'd write back to parquet — 4x smaller than float32, and the int8
+    dot-product kernel in _dot7 consumes it unchanged.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.where(F.col("vec_id") < 300)
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    ).alias("max_abs")
+    e = emb.select("vec_id", "embedding", max_abs)
+    qscale = (
+        F.when(F.col("max_abs") == 0, F.lit(0.0))
+        .otherwise(F.lit(127.0) / F.col("max_abs"))
+        .alias("qscale")
+    )
+    s = e.select("vec_id", "embedding", "max_abs", qscale)
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * F.col("qscale")).cast("long")
+    ).alias("qv")
+    qq = s.select("vec_id", "embedding", "max_abs", "qscale", qv)
+    # reconstruction error in the scale-7 integer domain (exact int64 sum)
+    q7 = lambda c: F.round(c * F.lit(1e7)).cast("long")  # noqa: E731
+    deq = lambda v: F.when(  # noqa: E731
+        F.col("qscale") == 0, F.lit(0.0)
+    ).otherwise(v.cast("double") / F.col("qscale"))
+    err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda x, v: (q7(x.cast("double")) - q7(deq(v)))
+            * (q7(x.cast("double")) - q7(deq(v))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("err2_q")
+    return qq.select(
+        "vec_id",
+        "max_abs",
+        "qscale",
+        F.aggregate(
+            F.transform("qv", F.abs), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_absq"),
+        F.size(F.filter("qv", lambda v: F.abs(v) >= 127)).cast("long").alias(
+            "n_saturated"
+        ),
+        err,
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_semantic_keep",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_QDOT.format(a='embedding', b='embedding')} AS selfq
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, selfq AS cselfq
+      FROM e WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.cid,
+         e.selfq + c.cselfq - 2 * {_SQL_QDOT.format(a='e.embedding', b='c.cv')}
+           AS d
+  FROM e CROSS JOIN c
+),
+a AS (SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM p),
+asg AS (SELECT vec_id, cid AS cluster, d FROM a WHERE rn = 1),
+k AS (SELECT cluster, vec_id, d,
+             row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) AS krn
+      FROM asg)
+SELECT cluster,
+       min(CASE WHEN krn = 1 THEN vec_id END) AS kept_vec_id,
+       min(CASE WHEN krn = 1 THEN d END) AS kept_dist2_q,
+       count(*) AS cluster_size
+FROM k
+GROUP BY cluster
+ORDER BY cluster
+""",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style): cluster embeddings around
+    K=8 deterministic centroids (same assignment as sim_kmeans_assign),
+    then keep ONE representative per cluster — the vector closest to its
+    centroid (vec_id tie-break) — reporting how many near-semantic
+    duplicates each kept item stands for.
+
+    Composition: reuses the broadcast-centroid exact-integer argmin from
+    the k-means assign step, then a per-cluster lexicographic min(struct)
+    — K output rows, so the second aggregation is trivially small. At
+    100 TB the cluster count scales with corpus diversity (K ~ N/dup_rate)
+    and the keep-step remains one partial-agg shuffle keyed by cluster;
+    an anti-join of the corpus against kept_vec_id materializes the
+    deduplicated corpus without re-scoring.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", _dot7("embedding", "embedding").alias("selfq")
+    )
+    c = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("selfq").alias("cselfq"),
+    )
+    d = (
+        F.col("selfq") + F.col("cselfq") - F.lit(2) * _dot7("embedding", "cv")
+    ).alias("d")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", F.struct(d, F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster"),
+            F.col("m.d").alias("d"),
+        )
+    )
+    return (
+        assigned.select(
+            "cluster",
+            F.struct(F.col("d"), F.col("vec_id")).alias("dv"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.min("dv").alias("best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "cluster",
+            F.col("best.vec_id").alias("kept_vec_id"),
+            F.col("best.d").alias("kept_dist2_q"),
+            "cluster_size",
+        )
+        .orderBy("cluster")
+    )

@@ -630,3 +630,73 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_pii_redact",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' end') AS raw
+  FROM documents WHERE doc_id < 250
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+       len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+',
+                            '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+       len(regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+',
+                            '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+FROM aug
+ORDER BY doc_id
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) — the scrub step of
+    a training-data pipeline, run here over documents augmented with
+    deterministic synthetic PII (the corpus itself is a clean word soup, so
+    the PII is injected from doc_id to make the redaction observable and
+    oracle-checkable).
+
+    Map-only: regexp_replace/regexp_count are JVM-side codegen expressions;
+    the redacted text is fingerprinted (md5 + length) rather than returned,
+    which is also the scale posture — verify redaction happened without
+    shipping full documents back. Patterns stay in the RE2-compatible
+    subset so Spark (Java regex) and DuckDB (RE2) agree.
+    """
+    t = Tables(spark, sf_dir)
+    email_re = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+    phone_re = r"555-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    ).alias("raw")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return (
+        t.documents.where(F.col("doc_id") < 250)
+        .select("doc_id", raw)
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("raw"), F.lit(email_re)).alias("n_emails"),
+            F.regexp_count(F.col("raw"), F.lit(phone_re)).alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )

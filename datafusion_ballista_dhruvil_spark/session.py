@@ -125,16 +125,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType regardless of how the driver
+    wrote it: int64 nanos (older testdata, read via nanosAsLong),
+    TIMESTAMP_NTZ (timestamp[us] without the UTC flag), or already
+    TimestampType. Session tz is pinned to UTC so the NTZ→LTZ cast is
+    value-identical and the DuckDB oracle (naive TIMESTAMP) sees the same
+    instants. Works on batch and streaming DataFrames alike.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as int64 nanos (nanosAsLong); surface as TimestampType.
-        # DuckDB oracles read the same column as TIMESTAMP_NS and cast to
-        # µs TIMESTAMP — identical values (the data is µs-aligned).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from datafusion_ballista_dhruvil_spark.functions.compat import dsum
 from datafusion_ballista_dhruvil_spark.operators.registry import query
-from datafusion_ballista_dhruvil_spark.session import Tables
+from datafusion_ballista_dhruvil_spark.session import Tables, normalize_events_ts
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -56,7 +56,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     # same ns->us conversion as session.load_table
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw)
     return build_tumbling_counts(events.withWatermark("ts", "2 hours"))
 
 
@@ -80,7 +80,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw)
     doubled = events.union(events)
     return doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -126,7 +126,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw)
     return build_click_purchase_join(events.withWatermark("ts", "2 hours"))
 
 

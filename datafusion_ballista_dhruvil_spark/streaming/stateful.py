@@ -127,7 +127,10 @@ def stream_sessionize(
     per-key Python group count (each user is one Arrow batch round-trip; at
     local test scale that overhead, not data volume, dominates).
     """
-    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+    from datafusion_ballista_dhruvil_spark.session import (
+        ensure_session_confs,
+        normalize_events_ts,
+    )
 
     ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -138,5 +141,5 @@ def stream_sessionize(
     )
     if user_limit is not None:
         raw = raw.where(F.col("user_id") < user_limit)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw)
     return sessionize_stateful(events)
