@@ -1339,3 +1339,42 @@ def ops_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.part.select("p_partkey", F.explode_outer(rare).alias("rare_word"))
         .orderBy("p_partkey", "rare_word")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_lateral_join",
+    oracle="""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+""",
+)
+def ops_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (top-2 customers per nation by
+    balance) — the decorrelation shape the reference's optimizer handles by
+    rewriting subqueries to joins before distribution (SURVEY.md §2.2
+    absences note, §4.1); Spark's RewriteLateralSubquery does the same.
+
+    The identical SQL text runs on both engines (dual-dialect). Catalyst
+    decorrelates the per-row LIMIT into a ranked window over a single
+    shuffle keyed by c_nationkey — no nested-loop re-execution per outer
+    row, which is what keeps the shape viable when the outer side is large.
+    Deterministic: full tie-breaking ORDER BY inside and outside.
+    """
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+        """
+    )

@@ -911,3 +911,52 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+def build_segment_value(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Enrichment join (events x user dimension) + per-segment aggregate;
+    runs identically on a batch or streaming events side."""
+    return (
+        events.join(F.broadcast(user_dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+    )
+
+
+def static_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic user dimension derived from the events table (distinct
+    users, hash-bucketed into 5 segments) — stands in for the profile/dim
+    table a production pipeline would join."""
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    return (
+        Tables(spark, sf_dir)
+        .events.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).alias("segment"))
+    )
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the streaming side is enriched against a static
+    (batch) dimension — Spark re-plans the static side per micro-batch and
+    BROADCASTS it, so the stream never shuffles for the join; only the
+    small per-segment aggregate exchanges. This is the standard enrichment
+    shape (events x user/profile dim) of a production feature pipeline;
+    batch parity asserted in tests/test_streaming.py.
+    """
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = normalize_events_ts(raw)
+    return build_segment_value(events, static_user_dim(spark, sf_dir))

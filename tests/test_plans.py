@@ -159,3 +159,55 @@ def test_partition_pruning_skips_partitions(spark, tmp_path):
     assert not pushed or "event_type" not in pushed.group(1)
     # count distinct event types read: exactly the one selected partition
     assert pruned.select("event_type").distinct().count() == 1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # Runtime row-level filtering (the 100 TB join posture): a selective
+    # filter on the build side must inject a bloom-filter semi-filter on the
+    # probe side scan, so most probe rows die before the shuffle. Thresholds
+    # are shrunk to testdata scale — at production scan sizes the defaults
+    # fire on their own.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = Tables(spark, SF_DIR)
+        j = (
+            t.lineitem.join(
+                t.orders.where(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_lateral_join_decorrelates(spark):
+    # The correlated LATERAL LIMIT-2 subquery must decorrelate to a ranked
+    # window join — never a per-outer-row nested-loop re-execution.
+    plan = formatted_plan(QUERIES["ops_lateral_join"](spark, SF_DIR))
+    assert "Window" in plan
+
+
+def test_profile_stats_single_scan(spark):
+    # Profiling N columns must still scan the fact table ONCE (multi-distinct
+    # goes through a single Expand), not once per column.
+    import re
+
+    plan = formatted_plan(QUERIES["ops_profile_stats"](spark, SF_DIR))
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1, scan_nodes

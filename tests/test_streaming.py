@@ -143,3 +143,36 @@ def test_stream_stream_interval_join_matches_batch(spark):
     )
     assert len(stream_rows) == len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join: streaming events enriched against a
+    static user dimension must equal the batch join bit-for-bit."""
+    from datafusion_ballista_dhruvil_spark.streaming.events import (
+        build_segment_value,
+        static_user_dim,
+        stream_static_enrichment,
+    )
+
+    sink = f"enrich_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_static_enrichment(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(map(tuple, spark.table(sink).collect()))
+
+    batch_rows = sorted(
+        map(
+            tuple,
+            build_segment_value(
+                Tables(spark, SF_DIR).events, static_user_dim(spark, SF_DIR)
+            ).collect(),
+        )
+    )
+    assert len(stream_rows) == len(batch_rows) > 0
+    assert stream_rows == batch_rows
