@@ -155,3 +155,62 @@ def ops_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_h"),
         )
     )
+
+
+@query(
+    "ops_histogram",
+    oracle="""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20) ) AS BIGINT),
+               19) AS bin,
+         lo, hi
+  FROM orders, b
+)
+SELECT bin,
+       min(lo + bin * ((hi - lo) / 20)) AS bin_lo,
+       min(lo + (bin + 1) * ((hi - lo) / 20)) AS bin_hi,
+       count(*) AS n
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def ops_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of o_totalprice — the distribution half
+    of data profiling (the reference's statistics surface carries min/max
+    per column; a histogram is the same two-pass shape taken one step
+    further).
+
+    Two passes, both cheap: a 1-row min/max aggregate is broadcast back
+    (crossJoin of one row), then binning is a map-side floor() and the
+    final aggregate groups 20 keys — no skew, no wide shuffle. The bin
+    edges derive from (lo, hi, bin) inside the aggregation, so the result
+    is self-describing. IEEE determinism: lo/hi are exact column values,
+    the width and edges are single-rounded double ops, identical in both
+    engines; LEAST(..., 19) pins x = max into the last bin.
+    """
+    t = Tables(spark, sf_dir)
+    b = t.orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(20)
+    binned = t.orders.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("long"),
+            F.lit(19),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.min(F.col("lo") + F.col("bin") * w).alias("bin_lo"),
+            F.min(F.col("lo") + (F.col("bin") + 1) * w).alias("bin_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bin")
+    )

@@ -318,3 +318,72 @@ def mix_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_negative_pairs",
+    oracle="""
+WITH anchors AS (
+  SELECT doc_id AS anchor_id, lang AS anchor_lang
+  FROM documents WHERE doc_id < 100
+),
+cand AS (
+  SELECT anchor_id, anchor_lang, k,
+         (anchor_id * 2654435761 + k * 40503) % 500 AS neg_id
+  FROM anchors CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+),
+pairs AS (SELECT * FROM cand WHERE neg_id <> anchor_id)
+SELECT p.anchor_id, p.k, p.neg_id, p.anchor_lang,
+       d.lang AS neg_lang, d.source AS neg_source,
+       CAST(p.anchor_lang = d.lang AS BOOLEAN) AS same_lang
+FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+ORDER BY p.anchor_id, p.k
+""",
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each anchor
+    document gets 3 pseudo-random negatives drawn by Knuth multiplicative
+    hashing of (anchor_id, k) — reproducible across engines, partitions and
+    re-runs (no rand()), which is what makes eval sets stable.
+
+    Scale posture: the pair-generation is a map-side explode (3 rows per
+    anchor, no shuffle); the lookup joins negatives to the corpus on its
+    key. At 100 TB the anchor side is the small one — broadcast it the
+    other way or co-partition both sides on doc_id; either way no
+    all-pairs blowup, candidates are O(anchors x k).
+    """
+    t = Tables(spark, sf_dir)
+    anchors = t.documents.where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    )
+    cand = (
+        anchors.select(
+            "anchor_id", "anchor_lang", F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k")
+        )
+        .select(
+            "anchor_id",
+            "anchor_lang",
+            "k",
+            ((F.col("anchor_id") * F.lit(2654435761) + F.col("k") * F.lit(40503)) % 500).alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    docs = t.documents.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("lang").alias("neg_lang"),
+        F.col("source").alias("neg_source"),
+    )
+    return (
+        cand.join(docs, "neg_id")
+        .select(
+            "anchor_id",
+            "k",
+            "neg_id",
+            "anchor_lang",
+            "neg_lang",
+            "neg_source",
+            (F.col("anchor_lang") == F.col("neg_lang")).alias("same_lang"),
+        )
+        .orderBy("anchor_id", "k")
+    )

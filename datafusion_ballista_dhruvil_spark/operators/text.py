@@ -700,3 +700,68 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_chunk_windows",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE doc_id < 150
+),
+chunks AS (
+  SELECT doc_id, L, s.start AS chunk_start,
+         substr(text, s.start + 1, 200) AS chunk
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, GREATEST(L - 1, 0), 150)) AS start
+  ) s
+)
+SELECT doc_id, L AS doc_len,
+       CAST(chunk_start / 150 AS BIGINT) AS chunk_idx,
+       chunk_start,
+       length(chunk) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_start
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (stride 150, window 200 — 50-char
+    overlap): the context-window packing prelude that turns long documents
+    into model-sized pieces while keeping boundary context.
+
+    Map-side generate-and-explode: chunk starts come from ``sequence()``
+    computed per row (no join, no shuffle); each chunk carries its offset
+    and an md5 fingerprint instead of shipping the text twice. Output size
+    is corpus_size x (1 + overlap/stride) — the explode never amplifies
+    beyond that bound, and at 100 TB it pipelines with the scan.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.documents.where(F.col("doc_id") < 150).select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    chunks = base.select(
+        "doc_id",
+        "L",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("L") - 1, F.lit(0)), F.lit(150))
+        ).alias("chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        "L",
+        "chunk_start",
+        F.substring(F.col("text"), F.col("chunk_start") + 1, 200).alias("chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("L").alias("doc_len"),
+            (F.col("chunk_start") / 150).cast("long").alias("chunk_idx"),
+            "chunk_start",
+            F.length("chunk").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
