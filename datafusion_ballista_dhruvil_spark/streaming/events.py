@@ -960,3 +960,68 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events = normalize_events_ts(raw)
     return build_segment_value(events, static_user_dim(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_watermark_audit",
+    oracle="""
+WITH arr AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(CAST(ts AS TIMESTAMP)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+  FROM events
+),
+flagged AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CASE WHEN ts < high_water - INTERVAL 2 HOUR THEN 1 ELSE 0 END AS is_late
+  FROM arr
+)
+SELECT window_start,
+       count(*) AS n_events,
+       CAST(sum(is_late) AS BIGINT) AS n_would_drop,
+       CAST(sum(is_late) AS DOUBLE) / count(*) AS drop_rate
+FROM flagged
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def ev_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: replay the stream in arrival order
+    (event_id) tracking the running max event-time (the high-watermark a
+    streaming job would hold), and count per hourly window how many events
+    arrive more than 2 hours behind it — exactly the rows
+    ``withWatermark("ts", "2 hours")`` would drop. This is how you SIZE a
+    watermark before deploying the streaming job: pick the delay where
+    drop_rate meets the SLA.
+
+    The running max is a cumulative window over arrival order; on a real
+    log the order key is the ingest offset per partition, making the
+    window per-partition and shuffle-free. The audit aggregate itself is
+    a low-cardinality groupBy (one row per hour).
+    """
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    arr = t.events.select(
+        "event_id",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    flagged = arr.select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        F.when(
+            F.col("ts") < F.col("high_water") - F.expr("INTERVAL 2 HOURS"), 1
+        ).otherwise(0).alias("is_late"),
+    )
+    return (
+        flagged.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_late").cast("long").alias("n_would_drop"),
+            (F.sum("is_late").cast("double") / F.count(F.lit(1))).alias("drop_rate"),
+        )
+        .orderBy("window_start")
+    )

@@ -55,3 +55,29 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert joined.count() > 0
     spark.sql("DROP TABLE b_orders")
     spark.sql("DROP TABLE b_lineitem")
+
+
+def test_results_partition_invariant(spark):
+    """Determinism under re-partitioning: the engine's hash-based operators
+    (splits, packing, dedup signatures) must produce IDENTICAL results when
+    the shuffle partition count changes — the property that makes results
+    reproducible across cluster sizes (4 partitions here stands in for a
+    different executor count than 8/32)."""
+    from datafusion_ballista_dhruvil_spark.operators import load_all
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+
+    load_all()
+    names = ["split_hash_assign", "pack_token_bins", "dedup_exact", "ops_table_checksum"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("4", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in names:
+                rows = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+                assert rows, f"{name} empty at {n} partitions"
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across partition counts"
