@@ -69,12 +69,22 @@ def udf_vectorized_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_grouped_agg")  # rows-only: float sum order inside pandas varies
+@query(
+    "udf_grouped_agg",
+    oracle="""
+SELECT event_type,
+       round(SUM(user_id * greatest(value, 0.001))
+             / SUM(greatest(value, 0.001)), 6) AS weighted_user
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (UDAF parity): value-weighted mean via
     applyInPandas. Demonstrates the reference's aggregate-UDF surface
-    (AggregateUDFExprNode); rows-only check because pandas float reduction
-    order is not part of the determinism contract."""
+    (AggregateUDFExprNode). The output is rounded to 6 decimals on both
+    sides so pandas' pairwise float summation and the oracle's sequential
+    sum land on the same canonical value (the means are O(1e3-1e4), far
+    from any rounding boundary at 1e-6)."""
     t = Tables(spark, sf_dir)
 
     def weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -82,7 +92,7 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "weighted_user": [float((pdf["user_id"] * w).sum() / w.sum())],
+                "weighted_user": [round(float((pdf["user_id"] * w).sum() / w.sum()), 6)],
             }
         )
 

@@ -29,6 +29,19 @@ BANDS = 4
 ROWS_PER_BAND = 4
 K = BANDS * ROWS_PER_BAND
 
+#: Mega-bucket guard for LSH/SimHash candidate generation. In-bucket pair
+#: explosion is O(bucket²); LSH's guarantee is that buckets stay SMALL, but
+#: a degenerate corpus (boilerplate/template pages sharing one signature)
+#: produces a bucket with millions of members, and one task then owns a
+#: quadratic blowup for hours. Buckets beyond this cap are truncated to
+#: their MAX_BUCKET_DOCS smallest doc_ids (a deterministic sample — the
+#: low-id docs are also the canonical dedup survivors); every pair among
+#: the kept members still emits, so normal-path results are bit-identical
+#: whenever no bucket exceeds the cap (the oracle-checked scale). The
+#: exact-duplicate mass a mega-bucket represents is already fully handled
+#: by dedup_exact's hash-collapse upstream.
+MAX_BUCKET_DOCS = 1024
+
 
 def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
@@ -252,8 +265,9 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       not a bands-self-join: the self-join shuffled (and under a cold cache
       computed) the signature table twice. O(bucket^2) pair generation is
       the algorithm's intent — LSH's guarantee IS that buckets stay small;
-      a boilerplate mega-bucket should be capped/sampled upstream, not
-      smeared across a shuffle.
+      degenerate boilerplate mega-buckets are capped at MAX_BUCKET_DOCS
+      (deterministic smallest-doc_id sample) so no task ever owns an
+      unbounded quadratic explode.
     - verification joins each candidate to the per-doc shingle SET array
       (_shingle_arrays — built map-side, no explode) and computes
       |intersection| with array_intersect in the join's projection. The
@@ -290,8 +304,11 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         bands.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.array_size("ids") >= 2)
+        .agg(F.collect_list("doc_id").alias("ids0"))
+        .where(F.array_size("ids0") >= 2)
+        # mega-bucket guard: sort (deterministic regardless of collect_list
+        # order) and keep at most MAX_BUCKET_DOCS smallest doc_ids
+        .select(F.slice(F.array_sort("ids0"), 1, MAX_BUCKET_DOCS).alias("ids"))
         .select(
             F.explode(
                 F.expr(
@@ -490,8 +507,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the only remaining exchange (the output sort).
     cand = (
         segs.groupBy("k", "seg")
-        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids"))
-        .where(F.array_size("ids") >= 2)
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids0"))
+        .where(F.array_size("ids0") >= 2)
+        # mega-bucket guard (see MAX_BUCKET_DOCS): struct array sorts by
+        # doc_id first, so the kept sample is the smallest doc_ids
+        .select(
+            "k",
+            F.slice(F.array_sort("ids0"), 1, MAX_BUCKET_DOCS).alias("ids"),
+        )
         .select(
             F.explode(
                 F.expr(

@@ -276,7 +276,7 @@ def h2o_mean_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h2o_sum_multi",
     oracle=f"""
 SELECT user_id % 300 AS id6, {sql_dsum(_V)} AS v1_sum,
-       SUM(event_id % 100) AS v2_sum, {sql_dsum(_V)} AS v3_sum
+       CAST(SUM(event_id % 100) AS BIGINT) AS v2_sum, {sql_dsum(_V)} AS v3_sum
 FROM events GROUP BY user_id % 300 ORDER BY id6
 """,
 )

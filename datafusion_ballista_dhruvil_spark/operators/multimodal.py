@@ -174,7 +174,21 @@ def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("mm_decode_features")  # rows-only: stub decoder output is engine-local
+@query(
+    "mm_decode_features",
+    oracle="""
+SELECT doc_id,
+  CAST((octet_length(encode(text)) % 640) + 1 AS BIGINT) AS width,
+  CAST((octet_length(encode(text)) % 480) + 1 AS BIGINT) AS height,
+  CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+       ELSE CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c)))
+                 AS DOUBLE) / octet_length(encode(text))
+  END AS mean_byte,
+  TRUE AS decode_ok
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
@@ -183,6 +197,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary column in, typed feature schema out, map-only execution) is the
     real deliverable; swap the body for PIL/libav when available.
 
+    The stub features are exact byte math (integer byte-sum / length), so
+    they hash-check against a DuckDB oracle: the test corpus is ASCII, so
+    per-character code points == payload bytes. The byte sums are computed
+    vectorized — one np.frombuffer over the whole Arrow batch + segmented
+    reduceat — not a per-row Python loop.
+
     The batch fn is nested so cloudpickle ships it BY VALUE: Spark's Python
     workers don't have this package on their path when the driver is
     launched from outside the repo.
@@ -190,20 +210,33 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real_decoders = REAL_DECODERS_AVAILABLE
 
     def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
         for pdf in it:
             if real_decoders:  # pragma: no cover
                 raise NotImplementedError("plug a real decoder (PIL/ffmpeg) here")
-            n = pdf["payload"].str.len()
+            n = pdf["payload"].str.len().to_numpy()
+            joined = _np.frombuffer(
+                b"".join(pdf["payload"]), dtype=_np.uint8
+            ).astype(_np.int64)
+            offsets = _np.zeros(len(n), dtype=_np.int64)
+            if len(n) > 1:
+                _np.cumsum(n[:-1], out=offsets[1:])
+            # reduceat only over the non-empty rows: their offsets are
+            # strictly increasing and in-bounds (empty rows contribute no
+            # bytes), so each segment sums exactly one payload.
+            nz = n > 0
+            sums = _np.zeros(len(n), dtype=_np.int64)
+            if nz.any():
+                sums[nz] = _np.add.reduceat(joined, offsets[nz])
+            mean_byte = _np.where(nz, sums / _np.maximum(n, 1), 0.0)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": (n % 640) + 1,
-                    "height": (n % 480) + 1,
-                    "mean_byte": pdf["payload"].map(
-                        lambda b: float(sum(b) / len(b)) if len(b) else 0.0
-                    ),
+                    "width": (pdf["payload"].str.len() % 640) + 1,
+                    "height": (pdf["payload"].str.len() % 480) + 1,
+                    "mean_byte": mean_byte,
                     "decode_ok": True,
                 }
             )

@@ -110,12 +110,13 @@ def ops_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH f AS (
   SELECT md5(concat_ws('|',
-           CAST(o_orderkey AS VARCHAR),
-           CAST(o_custkey AS VARCHAR),
-           o_orderstatus,
-           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-           strftime(o_orderdate, '%Y-%m-%d'),
-           o_orderpriority)) AS h
+           COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+           COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+           COALESCE(o_orderstatus, '<NULL>'),
+           COALESCE(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                    '<NULL>'),
+           COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>'),
+           COALESCE(o_orderpriority, '<NULL>'))) AS h
   FROM orders
 )
 SELECT count(*) AS n_rows,
@@ -131,19 +132,27 @@ def ops_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The canonical rendering avoids every cross-engine formatting trap:
     doubles as exact integer cents, timestamps as their date rendering,
-    '|' separator (absent from the data). Equal fingerprints across two
-    engines/two copies => equal content with md5-collision probability.
+    '|' separator (absent from the data), and every field coalesced to an
+    explicit '<NULL>' sentinel — concat_ws silently SKIPS null fields in
+    both engines, which would make NULL indistinguishable from an absent
+    field and let different contents share a fingerprint. Equal
+    fingerprints across two engines/two copies => equal content with
+    md5-collision probability.
     """
     t = Tables(spark, sf_dir)
+    sentinel = F.lit("<NULL>")
     h = F.md5(
         F.concat_ws(
             "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
-            F.col("o_orderpriority"),
+            F.coalesce(F.col("o_orderkey").cast("string"), sentinel),
+            F.coalesce(F.col("o_custkey").cast("string"), sentinel),
+            F.coalesce(F.col("o_orderstatus"), sentinel),
+            F.coalesce(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                sentinel,
+            ),
+            F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), sentinel),
+            F.coalesce(F.col("o_orderpriority"), sentinel),
         )
     ).alias("h")
     return (
@@ -161,17 +170,20 @@ def ops_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ops_histogram",
     oracle="""
 WITH b AS (
-  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         CASE WHEN max(o_totalprice) > min(o_totalprice)
+              THEN (max(o_totalprice) - min(o_totalprice)) / 20
+              ELSE 1.0 END AS w
+  FROM orders
 ),
 binned AS (
-  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20) ) AS BIGINT),
-               19) AS bin,
-         lo, hi
+  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / w) AS BIGINT), 19) AS bin,
+         lo, w
   FROM orders, b
 )
 SELECT bin,
-       min(lo + bin * ((hi - lo) / 20)) AS bin_lo,
-       min(lo + (bin + 1) * ((hi - lo) / 20)) AS bin_hi,
+       min(lo + bin * w) AS bin_lo,
+       min(lo + (bin + 1) * w) AS bin_hi,
        count(*) AS n
 FROM binned
 GROUP BY bin
@@ -190,26 +202,34 @@ def ops_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges derive from (lo, hi, bin) inside the aggregation, so the result
     is self-describing. IEEE determinism: lo/hi are exact column values,
     the width and edges are single-rounded double ops, identical in both
-    engines; LEAST(..., 19) pins x = max into the last bin.
+    engines; LEAST(..., 19) pins x = max into the last bin. A degenerate
+    column (min == max) falls back to width 1.0 so everything lands in one
+    well-defined bin instead of 0/0 = NaN bins.
     """
     t = Tables(spark, sf_dir)
     b = t.orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).select(
+        "lo",
+        F.when(
+            F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / F.lit(20)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("w"),
     )
-    w = (F.col("hi") - F.col("lo")) / F.lit(20)
     binned = t.orders.crossJoin(F.broadcast(b)).select(
         F.least(
-            F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("long"),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("w")).cast("long"),
             F.lit(19),
         ).alias("bin"),
         "lo",
-        "hi",
+        "w",
     )
     return (
         binned.groupBy("bin")
         .agg(
-            F.min(F.col("lo") + F.col("bin") * w).alias("bin_lo"),
-            F.min(F.col("lo") + (F.col("bin") + 1) * w).alias("bin_hi"),
+            F.min(F.col("lo") + F.col("bin") * F.col("w")).alias("bin_lo"),
+            F.min(F.col("lo") + (F.col("bin") + 1) * F.col("w")).alias("bin_hi"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("bin")

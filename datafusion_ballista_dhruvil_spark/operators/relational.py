@@ -390,12 +390,14 @@ gr AS (
 ),
 fr AS (
   SELECT a.o_orderpriority, a.o_orderdate,
-         CAST(SUM(b.c) AS BIGINT) AS grp_cnt, SUM(b.s) AS grp_sum
+         CAST(SUM(b.c) AS BIGINT) AS grp_cnt, CAST(SUM(b.s) AS BIGINT) AS grp_sum
   FROM gr a JOIN gr b
     ON a.o_orderpriority = b.o_orderpriority AND abs(a.rn - b.rn) <= 1
   GROUP BY 1, 2
 )
-SELECT f.o_orderkey, f.o_orderpriority, f.o_orderdate, fr.grp_cnt, fr.grp_sum
+SELECT f.o_orderkey, f.o_orderpriority,
+       strftime(f.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       fr.grp_cnt, fr.grp_sum
 FROM f JOIN fr USING (o_orderpriority, o_orderdate)
 ORDER BY o_orderkey
 """,
@@ -429,7 +431,7 @@ def ops_window_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            "o_orderdate",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
             F.count(F.lit(1)).over(wg).alias("grp_cnt"),
             F.sum("o_custkey").over(wg).alias("grp_sum"),
         )
@@ -508,10 +510,13 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     are covered by ops_setops (count distinct) and ops_agg_stats (median).
     """
     t = Tables(spark, sf_dir)
+    # Quartiles as two SCALAR columns (not one array column): the driver's
+    # canonicalizer sorts/hashes cells and cannot factorize list values.
     return t.lineitem.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_quartiles"),
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q1_price"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q3_price"),
     )
 
 
@@ -662,9 +667,9 @@ WITH t AS (
   FROM t
 )
 SELECT l_returnflag,
-       MIN(CASE WHEN 4*cw >= tw THEN p END) AS wp25,
-       MIN(CASE WHEN 2*cw >= tw THEN p END) AS wp50,
-       MIN(CASE WHEN 4*cw >= 3*tw THEN p END) AS wp75
+       CAST(MIN(CASE WHEN 4*cw >= tw THEN p END) AS DOUBLE) AS wp25,
+       CAST(MIN(CASE WHEN 2*cw >= tw THEN p END) AS DOUBLE) AS wp50,
+       CAST(MIN(CASE WHEN 4*cw >= 3*tw THEN p END) AS DOUBLE) AS wp75
 FROM c GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -678,14 +683,26 @@ def ops_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    return weighted_quantile(
-        staged,
-        value="p",
-        weight="w",
-        group_cols=["l_returnflag"],
-        qs={"wp25": (1, 4), "wp50": (1, 2), "wp75": (3, 4)},
-        order_tiebreak=["l_orderkey", "l_linenumber"],
-    ).orderBy("l_returnflag")
+    # Final quartiles cast to double on BOTH sides: the exact decimal math
+    # happens upstream; the driver's canonicalizer renders Decimal('x.40')
+    # and float x.4 differently, so the output type must match the oracle.
+    return (
+        weighted_quantile(
+            staged,
+            value="p",
+            weight="w",
+            group_cols=["l_returnflag"],
+            qs={"wp25": (1, 4), "wp50": (1, 2), "wp75": (3, 4)},
+            order_tiebreak=["l_orderkey", "l_linenumber"],
+        )
+        .select(
+            "l_returnflag",
+            F.col("wp25").cast("double").alias("wp25"),
+            F.col("wp50").cast("double").alias("wp50"),
+            F.col("wp75").cast("double").alias("wp75"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -859,13 +876,13 @@ SELECT o_orderkey,
   CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
   CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dw,
   CAST(extract(doy FROM o_orderdate) AS INT) AS dy,
-  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-  CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
-  CAST(o_orderdate AS DATE) + 30 AS plus30,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(date_trunc('year', o_orderdate), '%Y-%m-%d') AS year_start,
+  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
-  make_timestamp(o_orderkey * 1000000) AS ts_from_s,
-  make_timestamp(o_orderkey * 1000) AS ts_from_ms,
-  make_timestamp(o_orderkey) AS ts_from_us
+  strftime(make_timestamp(o_orderkey * 1000000), '%Y-%m-%d %H:%M:%S.%f') AS ts_from_s,
+  strftime(make_timestamp(o_orderkey * 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_from_ms,
+  strftime(make_timestamp(o_orderkey), '%Y-%m-%d %H:%M:%S.%f') AS ts_from_us
 FROM orders
 WHERE o_orderkey < 100
 ORDER BY o_orderkey
@@ -885,17 +902,33 @@ def ops_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("o_orderdate").alias("q"),
             F.dayofweek("o_orderdate").alias("dw"),
             F.dayofyear("o_orderdate").alias("dy"),
-            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
-            F.to_date(F.date_trunc("year", "o_orderdate")).alias("year_start"),
-            F.date_add(F.to_date("o_orderdate"), 30).alias("plus30"),
+            # date/timestamp outputs rendered as ISO strings at the harness
+            # boundary: pandas date objects vs DuckDB Timestamps (and
+            # datetime64 ns-vs-us units) are not guaranteed to canonicalize
+            # equal; ISO strings are engine- and dtype-invariant.
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.date_format(F.date_trunc("year", "o_orderdate"), "yyyy-MM-dd").alias(
+                "year_start"
+            ),
+            F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias(
+                "plus30"
+            ),
             F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
                 "days_since_epoch_start"
             ),
             # ToTimestamp{Seconds,Millis,Micros} parity (proto :55-58):
             # DuckDB spells all three via make_timestamp(microseconds)
-            F.timestamp_seconds("o_orderkey").alias("ts_from_s"),
-            F.timestamp_millis("o_orderkey").alias("ts_from_ms"),
-            F.timestamp_micros("o_orderkey").alias("ts_from_us"),
+            F.date_format(
+                F.timestamp_seconds("o_orderkey"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("ts_from_s"),
+            F.date_format(
+                F.timestamp_millis("o_orderkey"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("ts_from_ms"),
+            F.date_format(
+                F.timestamp_micros("o_orderkey"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("ts_from_us"),
         )
         .orderBy("o_orderkey")
     )

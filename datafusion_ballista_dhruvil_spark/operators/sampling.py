@@ -56,7 +56,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM b
 GROUP BY 1
@@ -99,7 +99,7 @@ WITH b AS (
 )
 SELECT source,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
          AS sample_rate
 FROM b
@@ -193,9 +193,9 @@ c AS (
   FROM h
 )
 SELECT shard,
-       start_off // 512 AS pack_id,
+       CAST(start_off // 512 AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc
 FROM c
 GROUP BY shard, pack_id
@@ -330,7 +330,9 @@ WITH anchors AS (
 ),
 cand AS (
   SELECT anchor_id, anchor_lang, k,
-         (anchor_id * 2654435761 + k * 40503) % 500 AS neg_id
+         CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 500 AS neg_id
   FROM anchors CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
 ),
 pairs AS (SELECT * FROM cand WHERE neg_id <> anchor_id)
@@ -343,8 +345,10 @@ ORDER BY p.anchor_id, p.k
 )
 def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each anchor
-    document gets 3 pseudo-random negatives drawn by Knuth multiplicative
-    hashing of (anchor_id, k) — reproducible across engines, partitions and
+    document gets 3 pseudo-random negatives drawn as md5(anchor_id:k) mod
+    pool — a real bit-mixed draw (a multiply-add mod pool degenerates to a
+    linear map where an anchor's negatives sit 3 apart and anchors collide
+    structurally), still reproducible across engines, partitions and
     re-runs (no rand()), which is what makes eval sets stable.
 
     Scale posture: the pair-generation is a map-side explode (3 rows per
@@ -365,7 +369,24 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             "anchor_lang",
             "k",
-            ((F.col("anchor_id") * F.lit(2654435761) + F.col("k") * F.lit(40503)) % 500).alias("neg_id"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("anchor_id").cast("string"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 500
+            ).alias("neg_id"),
         )
         .where(F.col("neg_id") != F.col("anchor_id"))
     )

@@ -404,18 +404,15 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_centroid_by_label",
     oracle="""
 WITH e AS (
-  SELECT label, r.pos,
+  SELECT label, r.pos - 1 AS pos,
          CAST(round(CAST(embedding[r.pos] AS DOUBLE) * 10000000) AS BIGINT)
            AS qi
   FROM embeddings, unnest(range(1, len(embedding) + 1)) r(pos)
 ),
-g AS (SELECT label, pos, SUM(qi) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2),
-c AS (
-  SELECT label, MAX(n) AS n_vecs,
-         list(CAST(s AS DOUBLE) / (10000000.0 * n) ORDER BY pos) AS centroid
-  FROM g GROUP BY label
-)
-SELECT label, n_vecs, centroid FROM c ORDER BY label
+g AS (SELECT label, pos, SUM(qi) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2)
+SELECT label, pos, CAST(n AS BIGINT) AS n_vecs,
+       CAST(s AS DOUBLE) / (10000000.0 * n) AS component
+FROM g ORDER BY label, pos
 """,
 )
 def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,9 +424,13 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer-exact, and the final divide is one double op — so the
     centroid is bit-identical however Spark partitions the sum. Shuffle
     carries (label, dim) partial sums only: 64 longs per label per map
-    task, independent of corpus size. Reassembly orders dims with
-    array_sort on (pos, value) structs — no assumption about collect_list
-    order, which Spark does not guarantee.
+    task, independent of corpus size.
+
+    Output is LONG form — one (label, pos, component) row per dimension —
+    not an array column: scalar cells are what the correctness harness can
+    sort/hash (an array column is unhashable in its canonicalizer), and
+    the long form re-assembles into vectors with one collect_list when a
+    consumer needs it.
     """
     t = Tables(spark, sf_dir)
     e = t.embeddings.select("label", F.posexplode("embedding").alias("pos", "c"))
@@ -439,16 +440,8 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = F.col("s").cast("double") / (F.lit(10000000.0) * F.col("n"))
     return (
-        g.select("label", "n", "pos", comp.alias("comp"))
-        .groupBy("label")
-        .agg(
-            F.max("n").alias("n_vecs"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
-                lambda x: x["comp"],
-            ).alias("centroid"),
-        )
-        .orderBy("label")
+        g.select("label", "pos", F.col("n").alias("n_vecs"), comp.alias("component"))
+        .orderBy("label", "pos")
     )
 
 

@@ -121,7 +121,10 @@ j AS (
                             ORDER BY v.ts DESC, v.event_id DESC) AS rn
   FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
 )
-SELECT event_id, user_id, ts, prev_view_ts, prev_view_value,
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(prev_view_ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_view_ts,
+       prev_view_value,
        epoch_us(ts) - epoch_us(prev_view_ts) AS gap_us
 FROM j WHERE rn = 1
 ORDER BY event_id
@@ -144,13 +147,17 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie="event_id",
         prefix="prev_view_",
     )
+    # timestamps rendered as ISO strings at the harness boundary (NULL
+    # prev_view_ts stays NULL): engine-invariant canonical comparison.
     return out.select(
         "event_id",
         "user_id",
-        "ts",
-        F.col("prev_view_ts"),
-        F.col("prev_view_value"),
         (F.unix_micros("ts") - F.unix_micros("prev_view_ts")).alias("gap_us"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("prev_view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "prev_view_ts"
+        ),
+        F.col("prev_view_value"),
     ).orderBy("event_id")
 
 
@@ -162,7 +169,8 @@ _RANGE_US = 600_000_000  # 10 minutes, == the bin width
     oracle=f"""
 WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
 c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
-SELECT e.event_id, e.user_id, e.ts,
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
        count(c.ts) AS n_recent_clicks,
        coalesce({sql_dsum("CAST(c.value AS DECIMAL(18,6))")}, 0.0) AS click_value_sum
 FROM e LEFT JOIN c ON e.user_id = c.user_id
@@ -209,7 +217,7 @@ def range_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            "ts",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
             F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"),
             F.coalesce("click_value_sum", F.lit(0.0)).alias("click_value_sum"),
         )

@@ -133,17 +133,21 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_orderkey,
   {sql_dsum(SQL_DISC_PRICE)} AS revenue,
-  CAST(o_orderdate AS DATE) AS o_orderdate
+  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
-GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING)
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate is rendered as an ISO day string at the harness boundary:
+    # Spark date cells and DuckDB DATE cells reach pandas as different
+    # types (datetime.date vs Timestamp), which no canonicalizer is
+    # guaranteed to equate; ISO strings compare identically everywhere.
     t = Tables(spark, sf_dir)
     cust = t.customer.where(F.col("c_mktsegment") == "BUILDING")
     orders = t.orders.where(F.col("o_orderdate") < _date("1996-03-15"))
@@ -151,7 +155,10 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
         .agg(dsum(disc_price_expr()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -743,7 +750,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q18",
     oracle=f"""
-SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+SELECT c_name, c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
        o_totalprice, {sql_dsum('CAST(l_quantity AS DECIMAL(12,2))')} AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
@@ -751,7 +758,7 @@ WHERE o_orderkey IN (
     GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
   )
   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+GROUP BY c_name, c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """,
@@ -772,7 +779,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.to_date("o_orderdate").alias("o_orderdate"),
+            # ISO day string at the harness boundary (see q3 note)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
         )
         .agg(dsum(dec2("l_quantity")).alias("sum_qty"))

@@ -134,7 +134,8 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_tumbling_window",
     oracle="""
-SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+         AS window_start, event_type,
   COUNT(*) AS n_events,
   CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
 FROM events
@@ -144,11 +145,16 @@ ORDER BY window_start, event_type
 )
 def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling aggregation (streaming-window semantics on batch;
-    the same build runs under readStream — see stream_tumbling_counts)."""
+    the same build runs under readStream — see stream_tumbling_counts).
+    window_start renders as an ISO string at the harness boundary (ISO
+    strings sort identically to the timestamps they render)."""
     t = Tables(spark, sf_dir)
     return (
         build_tumbling_counts(t.events)
         .drop("approx_users")  # sketch values are engine-specific
+        .withColumn(
+            "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        )
         .orderBy("window_start", "event_type")
     )
 
@@ -162,9 +168,9 @@ WITH minute_agg AS (
          COUNT(*) AS n, CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS v
   FROM events GROUP BY 1, 2
 )
-SELECT CAST(date_trunc('day', m) AS TIMESTAMP) AS day,
-       date_trunc('hour', m) AS hour, event_type,
-       SUM(n) AS n_events,
+SELECT strftime(CAST(date_trunc('day', m) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS day,
+       strftime(date_trunc('hour', m), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(round(SUM(CAST(v AS DECIMAL(27,4))), 4) AS DOUBLE) AS total_value
 FROM minute_agg
 GROUP BY ROLLUP (CAST(date_trunc('day', m) AS TIMESTAMP), date_trunc('hour', m)),
@@ -198,7 +204,8 @@ def ev_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute_agg.createOrReplaceTempView("ev_minute_agg")
     return spark.sql(
         """
-        SELECT date_trunc('day', m) AS day, date_trunc('hour', m) AS hour,
+        SELECT date_format(date_trunc('day', m), 'yyyy-MM-dd HH:mm:ss') AS day,
+               date_format(date_trunc('hour', m), 'yyyy-MM-dd HH:mm:ss') AS hour,
                event_type, SUM(n) AS n_events,
                CAST(CAST(SUM(CAST(v AS DECIMAL(27,4))) AS DECIMAL(38,4)) AS DOUBLE)
                  AS total_value
@@ -343,7 +350,8 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_date_bin",
     oracle="""
-SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bin,
+SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS bin,
        COUNT(*) AS n
 FROM events
 WHERE user_id < 100
@@ -361,7 +369,9 @@ def ev_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.where(F.col("user_id") < 100)
         .groupBy(F.window("ts", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("bin"), "n")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bin"), "n"
+        )
         .orderBy("bin")
         .limit(300)
     )
@@ -371,7 +381,7 @@ def ev_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_type_pivot",
     oracle="""
-SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
@@ -387,7 +397,7 @@ def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit values so the plan stays single-pass)."""
     t = Tables(spark, sf_dir)
     return (
-        t.events.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        t.events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
         .groupBy("day")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .count()
@@ -413,7 +423,8 @@ daily AS (
          round(SUM(value), 4) AS sv
   FROM events GROUP BY 1
 )
-SELECT d.day, COALESCE(n_events, 0) AS n_events, COALESCE(n_users, 0) AS n_users,
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       COALESCE(n_events, 0) AS n_events, COALESCE(n_users, 0) AS n_users,
        CAST(COALESCE(sv, 0) AS DOUBLE) AS total_value
 FROM days d LEFT JOIN daily ON daily.day = d.day
 ORDER BY d.day
@@ -458,7 +469,7 @@ def ev_gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         days.join(daily, "day", "left")
         .select(
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
             F.coalesce("u", F.lit(0)).alias("n_users"),
             F.coalesce(F.col("sv"), F.lit(0)).cast("double").alias("total_value"),
@@ -485,7 +496,8 @@ daily AS (
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS sv
   FROM gapfill_events_v GROUP BY 1
 )
-SELECT d.day, COALESCE(n_events, 0) AS n_events, COALESCE(n_users, 0) AS n_users,
+SELECT date_format(d.day, 'yyyy-MM-dd') AS day,
+       COALESCE(n_events, 0) AS n_events, COALESCE(n_users, 0) AS n_users,
        CAST(COALESCE(sv, 0) AS DOUBLE) AS total_value
 FROM days d LEFT JOIN daily ON daily.day = d.day
 ORDER BY d.day
@@ -498,7 +510,7 @@ ORDER BY d.day
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
          / COUNT(*) AS avg_k
 FROM events
@@ -540,7 +552,7 @@ WITH ev AS (
   FROM events
 ),
 f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
-SELECT f.cohort_wk,
+SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_wk,
        date_diff('day', f.cohort_wk, ev.wk) // 7 AS week_offset,
        COUNT(DISTINCT ev.user_id) AS n_users
 FROM ev JOIN f USING (user_id)
@@ -571,7 +583,10 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_wk",
             F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
         )
-        .groupBy("cohort_wk", "week_offset")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_wk"),
+            "week_offset",
+        )
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_wk", "week_offset")
     )
@@ -657,7 +672,7 @@ def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -770,9 +785,10 @@ g AS (
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM r GROUP BY user_id, run_id, event_type
 )
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
-         AS valid_to,
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
        n_events
 FROM g ORDER BY user_id, valid_from
 """,
@@ -809,11 +825,12 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     wl = Window.partitionBy("user_id").orderBy("run_id")
+    iso = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return g.select(
         "user_id",
         "event_type",
-        "valid_from",
-        F.lead("valid_from").over(wl).alias("valid_to"),
+        F.date_format("valid_from", iso).alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(wl), iso).alias("valid_to"),
         "n_events",
     ).orderBy("user_id", "valid_from")
 
@@ -838,7 +855,7 @@ stat AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY d
                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
-SELECT event_type, day, cnt,
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
        CAST(n AS BIGINT) AS n_prior,
        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_prior,
        CASE WHEN n * ssq - s * s > 0 THEN
@@ -902,7 +919,7 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stat.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "cnt",
         n.alias("n_prior"),
         mean.alias("mean_prior"),
@@ -978,7 +995,7 @@ flagged AS (
          CASE WHEN ts < high_water - INTERVAL 2 HOUR THEN 1 ELSE 0 END AS is_late
   FROM arr
 )
-SELECT window_start,
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
        CAST(sum(is_late) AS BIGINT) AS n_would_drop,
        CAST(sum(is_late) AS DOUBLE) / count(*) AS drop_rate
@@ -991,10 +1008,13 @@ def ev_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-lateness audit: replay the stream in arrival order
     (event_id) tracking the running max event-time (the high-watermark a
     streaming job would hold), and count per hourly window how many events
-    arrive more than 2 hours behind it — exactly the rows
-    ``withWatermark("ts", "2 hours")`` would drop. This is how you SIZE a
-    watermark before deploying the streaming job: pick the delay where
-    drop_rate meets the SLA.
+    arrive more than 2 hours behind it — a per-row UPPER-BOUND model of
+    the rows ``withWatermark("ts", "2 hours")`` could drop (Spark's actual
+    watermark advances only at micro-batch boundaries, from the previous
+    batch's max across partitions, so the true drop count is at most this
+    model's). This is how you SIZE a watermark before deploying the
+    streaming job: pick the delay where the bound on drop_rate meets the
+    SLA.
 
     The running max is a cumulative window over arrival order; on a real
     log the order key is the ingest offset per partition, making the
@@ -1011,7 +1031,9 @@ def ev_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").over(w).alias("high_water"),
     )
     flagged = arr.select(
-        F.date_trunc("hour", "ts").alias("window_start"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
         F.when(
             F.col("ts") < F.col("high_water") - F.expr("INTERVAL 2 HOURS"), 1
         ).otherwise(0).alias("is_late"),

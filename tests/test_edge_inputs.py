@@ -152,3 +152,68 @@ def test_kmeans_assign_fewer_vectors_than_k(spark, monkeypatch):
     # every vector is its own centroid: self-assignment at distance 0
     assert set(rows) == {0, 1, 2}
     assert all(r.cluster == vid and r.dist2_q == 0 for vid, r in rows.items())
+
+
+def test_lsh_mega_bucket_capped(spark, monkeypatch):
+    """All-identical docs put every doc in ONE (band, sig) bucket; the
+    MAX_BUCKET_DOCS guard must bound the pair explosion to cap^2 instead of
+    n^2 (VERDICT r1 scale-killer #1)."""
+    import datafusion_ballista_dhruvil_spark.operators.dedup as dedup
+
+    n, cap = 60, 8
+    docs = _docs(spark, ["the same boilerplate text body here ok"] * n)
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(dedup, "Tables", FakeTables)
+    monkeypatch.setattr(dedup, "MAX_BUCKET_DOCS", cap)
+    pairs = dedup._verified_pairs(spark, "unused").collect()
+    # kept members are the cap smallest doc_ids; all pairs among them emit
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r.d1 for r in pairs} | {r.d2 for r in pairs}
+    assert ids == set(range(cap))
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_simhash_mega_bucket_capped(spark, monkeypatch):
+    import datafusion_ballista_dhruvil_spark.operators.dedup as dedup
+
+    n, cap = 60, 8
+    docs = _docs(spark, ["the same boilerplate text body here ok"] * n)
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(dedup, "Tables", FakeTables)
+    monkeypatch.setattr(dedup, "MAX_BUCKET_DOCS", cap)
+    rows = dedup.dedup_simhash_pairs(spark, "unused").collect()
+    # identical sigs -> hamming 0 pairs, only among the cap kept members
+    assert len(rows) == cap * (cap - 1) // 2
+    ids = {r.d1 for r in rows} | {r.d2 for r in rows}
+    assert ids == set(range(cap))
+
+
+def test_lsh_normal_path_unchanged_by_cap(spark, monkeypatch):
+    """With the default (large) cap, results are identical to an uncapped
+    run on a normal corpus — the guard only bites on degenerate buckets."""
+    import datafusion_ballista_dhruvil_spark.operators.dedup as dedup
+
+    texts = [f"alpha beta gamma delta {i} epsilon zeta" for i in range(20)]
+    texts += [texts[0], texts[5]]  # two exact dups -> J=1.0 pairs
+    docs = _docs(spark, texts)
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(dedup, "Tables", FakeTables)
+    capped = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup._verified_pairs(spark, "unused").collect()
+    )
+    monkeypatch.setattr(dedup, "MAX_BUCKET_DOCS", 10**9)
+    uncapped = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup._verified_pairs(spark, "unused").collect()
+    )
+    assert capped == uncapped and len(capped) >= 2

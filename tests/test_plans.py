@@ -198,9 +198,13 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
 
 def test_lateral_join_decorrelates(spark):
     # The correlated LATERAL LIMIT-2 subquery must decorrelate to a ranked
-    # window join — never a per-outer-row nested-loop re-execution.
+    # window join — never a per-outer-row nested-loop re-execution. Assert
+    # both halves of the contract: the window rewrite IS there, and no
+    # cartesian/nested-loop node sneaks in beside it.
     plan = formatted_plan(QUERIES["ops_lateral_join"](spark, SF_DIR))
     assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_profile_stats_single_scan(spark):
