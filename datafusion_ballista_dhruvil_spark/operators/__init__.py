@@ -11,6 +11,7 @@ from __future__ import annotations
 def load_all() -> None:
     from datafusion_ballista_dhruvil_spark.functions import udf  # noqa: F401
     from datafusion_ballista_dhruvil_spark.operators import (  # noqa: F401
+        connectors,
         dedup,
         h2o,
         multimodal,

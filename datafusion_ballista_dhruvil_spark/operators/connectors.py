@@ -1,0 +1,132 @@
+"""Source/sink connector round-trip queries (SURVEY.md §2.7) with DuckDB
+oracles, so the driver's correctness gate exercises the actual read paths —
+not just unit tests.
+
+Each query materializes a bounded slice of the testdata through a format's
+write+read path (CSV / NDJSON via Spark's native connectors, Avro via
+sources/avro_py's jar-less container codec — reference read_avro/
+register_avro, ballista/client/src/context.rs:217-341) and aggregates the
+re-read rows. The oracle computes the same aggregate straight from parquet:
+hash-equality proves the round-trip is lossless, byte-exact, and
+schema-faithful.
+
+The staging directory lives under /tmp, keyed by sf_dir, overwritten each
+run — the queries stay deterministic and re-runnable (bench runs them 3x).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+from datafusion_ballista_dhruvil_spark.sources import readers
+from datafusion_ballista_dhruvil_spark.sources.avro_py import write_avro_py
+
+
+def _stage(sf_dir: str, name: str) -> str:
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return f"/tmp/spark_graft_connectors/{tag}/{name}"
+
+
+@query(
+    "avro_roundtrip_agg",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id < 500
+GROUP BY source ORDER BY source
+""",
+)
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> Avro container files (per-partition, deflate) -> read
+    back through read_avro (spark-avro jar when present, pure-Python codec
+    fallback otherwise) -> aggregate. Hash-matching the parquet oracle
+    proves the Avro path end-to-end."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.where(F.col("doc_id") < 500).select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _stage(sf_dir, "avro_docs")
+    write_avro_py(src, path, mode="overwrite")
+    back = readers.read_avro(spark, path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "csv_roundtrip_agg",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id < 400
+GROUP BY source, lang ORDER BY source, lang
+""",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> CSV (header, explicit schema on re-read: inference is
+    not part of the determinism contract) -> aggregate."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.where(F.col("doc_id") < 400).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = _stage(sf_dir, "csv_docs")
+    readers.write_csv(src, path, mode="overwrite")
+    back = readers.read_csv(
+        spark,
+        path,
+        schema="doc_id long, source string, lang string, n_chars long",
+    )
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@query(
+    "json_roundtrip_agg",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> NDJSON (DataFusion's JSON format is newline-delimited,
+    Spark's default) -> re-read with explicit schema -> aggregate."""
+    t = Tables(spark, sf_dir)
+    src = t.events.where(F.col("event_id") < 2000).select(
+        "event_id", "event_type", "user_id"
+    )
+    path = _stage(sf_dir, "json_events")
+    readers.write_json(src, path, mode="overwrite")
+    back = readers.read_json(
+        spark, path, schema="event_id long, event_type string, user_id long"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )

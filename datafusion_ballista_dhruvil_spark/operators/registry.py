@@ -58,6 +58,10 @@ EXPORT_PRIORITY: list[str] = [
     "ops_regexp_hash",
     "ops_map_functions",
     "ops_bool_predicates",
+    # §2.7 connector round-trips (new in r2 — no driver rows yet)
+    "avro_roundtrip_agg",
+    "csv_roundtrip_agg",
+    "json_roundtrip_agg",
     # similarity / ANN family
     "sim_cosine_topk",
     "sim_ann_bucketed",

@@ -75,9 +75,13 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
 
 
 def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
-    """Avro reader (parity: read_avro, context.rs:228-234). Requires the
-    spark-avro module; raises AvroUnavailableError with remediation if the
-    classpath lacks it (this container ships only avro-core jars)."""
+    """Avro reader (parity: read_avro, context.rs:228-234). Prefers the
+    spark-avro DataSource when it is on the classpath (block-split reads,
+    full type coverage); when the jar is absent — as in this container,
+    which ships only avro-core — falls back to the pure-Python container
+    codec in sources/avro_py.py (distributed per-file decode via
+    binaryFile + mapInPandas, JVM-interop-tested in tests/test_avro.py).
+    """
     try:
         reader = spark.read.format("avro")
         for k, v in options.items():
@@ -86,13 +90,11 @@ def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
         df.schema  # force resolution
         return df
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
-            raise AvroUnavailableError(
-                "spark-avro is not on the classpath; add "
-                "org.apache.spark:spark-avro_2.13:<spark-version> via "
-                "spark.jars.packages"
-            ) from e
-        raise
+        if "avro" not in str(e).lower():
+            raise
+        from datafusion_ballista_dhruvil_spark.sources.avro_py import read_avro_py
+
+        return read_avro_py(spark, path)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "error",

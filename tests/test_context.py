@@ -129,9 +129,18 @@ def test_compat_function_names(ctx):
     assert row.dg.startswith("ca978112")
 
 
-def test_avro_unavailable_error(ctx):
-    with pytest.raises(AvroUnavailableError, match="spark.jars.packages"):
-        ctx.read_avro("/tmp/nonexistent.avro")
+def test_avro_jarless_fallback_missing_path(ctx):
+    # With no spark-avro jar, read_avro routes to the pure-Python codec
+    # (tests/test_avro.py covers the working path); a missing path must
+    # surface a clean path error (PATH_NOT_FOUND from the binaryFile
+    # listing, or FileNotFoundError for an empty dir), not a jar-gate
+    # error.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(
+        (FileNotFoundError, AnalysisException), match="PATH_NOT_FOUND|no .avro"
+    ):
+        ctx.read_avro("/tmp/nonexistent_avro_dir_xyz")
 
 
 def test_read_table_and_register_table(ctx):
