@@ -94,6 +94,8 @@ EXPORT_PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_pii_redact",
     "text_chunk_windows",
+    "text_bigram_lm_score",
+    "text_chunk_crossdup",
     # event analytics
     "ev_tumbling_window",
     "ev_rollup_multires",

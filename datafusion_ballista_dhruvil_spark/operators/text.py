@@ -765,3 +765,165 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) s
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM toks)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(log2((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT)
+           AS qlog
+  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(qlog) AS BIGINT) AS sum_microbits,
+       CAST(SUM(qlog) AS DOUBLE) / (1000000.0 * COUNT(*)) AS avg_log2p
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the classic
+    KenLM-style perplexity filter of LLM data pipelines (docs whose mean
+    log-probability under a corpus LM is an outlier are boilerplate or
+    garbage), self-trained here: counts come from the same corpus being
+    scored.
+
+    Model: add-one-smoothed conditional p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V);
+    per-doc score = mean log2 p over its bigrams.
+
+    Determinism contract: the probability ratio is one IEEE divide of
+    integer-valued doubles (correctly rounded, bit-identical in any
+    engine); the only libm-dependent step (log2) is immediately quantized
+    to round(x*1e6) int64, per-bigram sums are then EXACT integers, and
+    the final mean is a single double divide — so the score is
+    partition-order- and engine-independent.
+
+    Scale: both count tables are vocab-bounded (vocab², vocab) however
+    large the corpus, so the scoring joins broadcast; bigram generation is
+    a map-side zip_with+explode; the only data-sized shuffle is the final
+    per-doc aggregate. One pass over raw text.
+    """
+    t = Tables(spark, sf_dir)
+    tk = F.col("__tk")
+    n_b = F.greatest(F.array_size(tk) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(tk, 1, n_b),
+        F.slice(tk, 2, n_b),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        t.documents.select("doc_id", _toks().alias("__tk"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        t.documents.select(F.explode(_toks()).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    qlog = F.round(
+        F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))) * 1_000_000
+    ).cast("long")
+    scored = (
+        big.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", qlog.alias("qlog"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("qlog").cast("bigint").alias("sum_microbits"),
+            (
+                F.sum("qlog").cast("double")
+                / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+            ).alias("avg_log2p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_chunk_crossdup",
+    oracle="""
+WITH base AS (SELECT doc_id, text, length(text) AS L FROM documents),
+chunks AS (
+  SELECT doc_id, md5(substr(text, s.start + 1, 200)) AS h
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, GREATEST(L - 1, 0), 200)) AS start
+  ) s
+),
+g AS (
+  SELECT h, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(doc_id) AS keep_doc
+  FROM chunks GROUP BY h
+)
+SELECT h AS chunk_md5, n_occurrences, n_docs, keep_doc
+FROM g WHERE n_docs >= 2
+ORDER BY n_docs DESC, chunk_md5
+LIMIT 200
+""",
+)
+def text_chunk_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-chunk detection — paragraph-level dedup's
+    candidate stage: chunk every document into non-overlapping 200-char
+    windows, fingerprint each, and surface chunks that appear in 2+
+    DISTINCT documents (shared boilerplate/template passages that
+    doc-level dedup misses because the surrounding text differs).
+
+    Downstream, a pipeline either strips these chunks or routes the doc
+    pairs into the near-dup verifier (dedup_* family); keep_doc = min
+    doc_id is the canonical survivor, consistent with dedup_exact.
+
+    Scale: chunking is the map-side generate-and-explode of
+    text_chunk_windows; only 32-byte digests shuffle (one groupBy(hash)
+    with map-side partial counts + a distinct-doc count). No pair
+    explosion anywhere — cardinality is bounded by chunk count, and the
+    hottest possible key (a universal boilerplate chunk) is one counter,
+    not a bucket of pairs.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text", F.length("text").alias("L"))
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("L") - 1, F.lit(0)), F.lit(200))
+        ).alias("s"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("s") + 1, 200)).alias("h"),
+    )
+    return (
+        chunks.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.col("h").alias("chunk_md5"), "n_occurrences", "n_docs", "keep_doc"
+        )
+        .orderBy(F.desc("n_docs"), "chunk_md5")
+        .limit(200)
+    )
