@@ -176,3 +176,49 @@ def test_stream_static_enrichment_matches_batch(spark):
     )
     assert len(stream_rows) == len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_foreachbatch_exactly_once_sink(spark, tmp_path):
+    """foreachBatch + epoch-keyed idempotent overwrite = exactly-once
+    landing: a restart from the same checkpoint with no new data must add
+    NOTHING, and the landed rows must equal the batch read of the input."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.session import normalize_events_ts
+    from datafusion_ballista_dhruvil_spark.streaming.sinks import (
+        start_exactly_once_parquet_sink,
+    )
+
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    out, ck = str(tmp_path / "landed"), str(tmp_path / "ck")
+
+    def start():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+        )
+        ev = normalize_events_ts(stream).select("event_id", "event_type")
+        return start_exactly_once_parquet_sink(ev, out, ck)
+
+    q = start()
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    epochs_first = {r.epoch for r in first.select("epoch").distinct().collect()}
+
+    # restart from the same checkpoint: no new input -> nothing lands
+    q2 = start()
+    q2.awaitTermination(120)
+    second = spark.read.parquet(out)
+    assert second.count() == n_first
+    assert {r.epoch for r in second.select("epoch").distinct().collect()} == epochs_first
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    assert second.count() == batch.count()
+    assert (
+        second.select(F.sum("event_id")).collect()[0][0]
+        == batch.select(F.sum("event_id")).collect()[0][0]
+    )
