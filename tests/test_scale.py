@@ -67,7 +67,14 @@ def test_results_partition_invariant(spark):
     from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
 
     load_all()
-    names = ["split_hash_assign", "pack_token_bins", "dedup_exact", "ops_table_checksum"]
+    names = [
+        "split_hash_assign",
+        "pack_token_bins",
+        "dedup_exact",
+        "ops_table_checksum",
+        "text_bigram_lm_score",
+        "text_chunk_crossdup",
+    ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
