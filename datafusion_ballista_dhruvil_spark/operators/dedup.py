@@ -467,15 +467,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs (the oracle's formulation) never runs on the cluster.
     """
     t = Tables(spark, sf_dir)
-    bit1 = list("89abcdef")  # nibble & 8
-    bit2 = list("4567cdef")  # nibble & 4
-    toks = t.documents.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("t")
-    ).select("doc_id", F.md5("t").alias("h"))
+    # The 60 bit tests run on TWO integer masks converted once per token
+    # (nibbles 1-15 and 16-30 of the digest as 60-bit longs) instead of 60
+    # substring+set-membership ops per row — bit j<30 is (nibble_{j+1} & 8)
+    # != 0, bit j>=30 is (nibble_{j-29} & 4) != 0, the exact predicates the
+    # hex form tested, so signatures (and the oracle hash) are unchanged.
+    # Measured 3.9s -> see PERF.md #11.
+    toks = (
+        t.documents.select(
+            "doc_id", F.explode(F.array_distinct(_tokens())).alias("t")
+        )
+        .select("doc_id", F.md5("t").alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("m1"),
+            F.conv(F.substring("h", 16, 15), 16, 10).cast("long").alias("m2"),
+        )
+    )
+
+    def _nibble(i: int):  # 1-based nibble index within the first 30
+        if i <= 15:
+            return F.shiftright(F.col("m1"), 4 * (15 - i))
+        return F.shiftright(F.col("m2"), 4 * (30 - i))
+
     aggs = []
     for j in range(60):
-        nib = F.substring("h", (j + 1) if j < 30 else (j - 29), 1)
-        on = nib.isin(bit1 if j < 30 else bit2)
+        i = (j + 1) if j < 30 else (j - 29)
+        mask = 8 if j < 30 else 4
+        on = _nibble(i).bitwiseAND(F.lit(mask)) != 0
         aggs.append(F.sum(F.when(on, 1).otherwise(-1)).alias(f"v{j}"))
     bits = toks.groupBy("doc_id").agg(*aggs)
     sig_col = None
