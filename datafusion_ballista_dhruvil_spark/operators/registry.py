@@ -70,6 +70,7 @@ EXPORT_PRIORITY: list[str] = [
     "sim_centroid_by_label",
     "sim_kmeans_assign",
     "sim_embedding_quantize",
+    "sim_random_projection",
     "dedup_semantic_keep",
     # temporal joins
     "asof_click_attribution",
@@ -112,6 +113,7 @@ EXPORT_PRIORITY: list[str] = [
     "ev_scd2_intervals",
     "ev_anomaly_zscore",
     "ev_watermark_audit",
+    "ev_dau_wau_mau",
     # relational leftovers (untested r1)
     "ops_empty_relation",
     "ops_unpivot",

@@ -715,3 +715,96 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_random_projection",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, r.pos - 1 AS d,
+         CAST(round(CAST(embedding[r.pos] AS DOUBLE) * 10000000) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(pos)
+  WHERE vec_id < 200
+),
+signs AS (
+  SELECT k, d,
+         CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(range(16)) AS k), (SELECT unnest(range(64)) AS d)
+),
+proj AS (
+  SELECT e.vec_id, s.k, CAST(SUM(e.q * s.sgn) AS BIGINT) AS comp_q
+  FROM e JOIN signs s ON s.d = e.d
+  GROUP BY e.vec_id, s.k
+)
+SELECT vec_id, k, comp_q,
+       CAST(comp_q AS DOUBLE) / (10000000.0 * 4.0) AS comp
+FROM proj
+ORDER BY vec_id, k
+""",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    Rademacher (+/-1) matrix — the dimensionality-reduction stage in front
+    of ANN indexing (project, then bucket/index the short vectors; JL
+    bounds the distance distortion).
+
+    The projection matrix is never materialized outside a 16x64 sign table
+    derived from md5(k:d) (deterministic in any engine, any partitioning);
+    components quantize to scale-7 int64 first (the module's quantization
+    contract), so each projected component is an EXACT integer sum —
+    hash-stable however Spark schedules it. Normalization is the standard
+    1/sqrt(K) (= /4 for K=16), one IEEE divide.
+
+    Scale: the sign table is 1,024 rows however big the corpus — broadcast
+    join; the per-(vec, k) aggregate is map-side partial over the exploded
+    components. Output stays long-form (vec_id, k, comp) — same contract
+    as sim_centroid_by_label.
+    """
+    t = Tables(spark, sf_dir)
+    e = (
+        t.embeddings.where(F.col("vec_id") < 200)
+        .select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .select(
+            "vec_id",
+            "d",
+            F.round(F.col("x").cast("double") * 10000000).cast("long").alias("q"),
+        )
+    )
+    top_hex = list("89abcdef")
+    signs = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "k",
+            "d",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("k").cast("string"), F.col("d").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(top_hex),
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    proj = (
+        e.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("q") * F.col("sgn")).cast("bigint").alias("comp_q"))
+    )
+    return proj.select(
+        "vec_id",
+        "k",
+        "comp_q",
+        (F.col("comp_q").cast("double") / F.lit(10000000.0 * 4.0)).alias("comp"),
+    ).orderBy("vec_id", "k")

@@ -1047,3 +1047,71 @@ def ev_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_dau_wau_mau",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM daily),
+rolling AS (
+  SELECT d.day,
+         COUNT(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END) AS dau,
+         COUNT(DISTINCT CASE WHEN a.day > d.day - 7 THEN a.user_id END) AS wau,
+         COUNT(DISTINCT a.user_id) AS mau
+  FROM days d
+  JOIN daily a ON a.day <= d.day AND a.day > d.day - 28
+  GROUP BY d.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau, mau,
+       CAST(dau AS DOUBLE) / mau AS stickiness
+FROM rolling ORDER BY day
+""",
+)
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user actives: DAU / WAU(7d) / MAU(28d) per day,
+    plus the DAU/MAU stickiness ratio — the standard engagement panel.
+
+    Rolling COUNT(DISTINCT) does not fit a window frame (distinct state
+    is not mergeable across frame slides), so the scalable shape is:
+    dedupe to (day, user) once — the only pass over raw events — then
+    range-join that compact activity table to the day axis and count
+    distincts per day. The day axis is calendar-bounded (broadcast); the
+    activity table is |users| x |active days|, tiny vs the event log; the
+    28x fan-out is bounded by the window length, not the data.
+    """
+    t = Tables(spark, sf_dir)
+    daily = t.events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    j = days.alias("d").join(
+        daily.alias("a"),
+        (F.col("a.day") <= F.col("d.day"))
+        & (F.col("a.day") > F.date_sub(F.col("d.day"), 28)),
+    )
+    out = (
+        j.groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("a.day") == F.col("d.day"), F.col("a.user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("a.day") > F.date_sub(F.col("d.day"), 7),
+                    F.col("a.user_id"),
+                )
+            ).alias("wau"),
+            F.countDistinct("a.user_id").alias("mau"),
+        )
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    ).orderBy("day")
