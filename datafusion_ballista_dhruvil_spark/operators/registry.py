@@ -71,6 +71,7 @@ EXPORT_PRIORITY: list[str] = [
     "sim_kmeans_assign",
     "sim_embedding_quantize",
     "sim_random_projection",
+    "hybrid_search_rrf",
     "dedup_semantic_keep",
     # temporal joins
     "asof_click_attribution",

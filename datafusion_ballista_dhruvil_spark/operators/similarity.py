@@ -808,3 +808,126 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp_q",
         (F.col("comp_q").cast("double") / F.lit(10000000.0 * 4.0)).alias("comp"),
     ).orderBy("vec_id", "k")
+
+
+# --------------------------------------------------------------------------
+def _sql_bm25_rank_cte() -> str:
+    """BM25 ranking CTEs for the 2-term query {spark, stream} (shared spec
+    with text_bm25_topk — see text._bm25_score for the determinism
+    argument)."""
+    from datafusion_ballista_dhruvil_spark.operators.text import _bm25_score
+
+    return f"""
+s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+              AS BIGINT) AS tf_spark,
+         CAST(len(list_filter(string_split(text, ' '), x -> x = 'stream'))
+              AS BIGINT) AS tf_stream
+  FROM documents
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (tf_spark > 0) AS BIGINT) AS df_spark,
+         CAST(COUNT(*) FILTER (tf_stream > 0) AS BIGINT) AS df_stream
+  FROM s
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY ({_bm25_score('tf_spark', 'df_spark')}
+                     + {_bm25_score('tf_stream', 'df_stream')}) DESC, doc_id
+         ) AS lex_rank
+  FROM s, g
+)"""
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH {_sql_bm25_rank_cte()},
+c AS (SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings),
+q AS (SELECT embedding, nrm FROM c WHERE vec_id = 0),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY ({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm))
+             DESC, c.vec_id
+         ) AS sem_rank
+  FROM c, q
+)
+SELECT l.doc_id, lex_rank, sem_rank,
+       1.0 / (60.0 + lex_rank) + 1.0 / (60.0 + sem_rank) AS rrf
+FROM lex l JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    semantic ranking by Reciprocal Rank Fusion — the standard two-tower
+    retrieval pattern (score = sum over systems of 1/(60 + rank)).
+
+    Documents and embeddings join on doc_id = vec_id (the corpus's
+    1:1 text/vector pairing). Determinism: both ranks are integers from
+    fully tie-broken sorts, and the RRF score is two exact-argument IEEE
+    divisions + one add — identical in any engine, no tolerance needed.
+
+    Scale: the lexical side is the text_bm25_topk shape (narrow scan +
+    1-row broadcast stats); the semantic side scores the corpus against a
+    broadcast single query vector; the fusion is a co-partitioned
+    equi-join of two (id, rank) tables. Ranks beyond a cutoff contribute
+    < 1/60 of a top hit — production caps each side's list (top-1000) so
+    the rank windows are per-shard TakeOrdered, not global sorts.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.text import _bm25_score, _toks
+
+    t = Tables(spark, sf_dir)
+    toks = _toks()
+    s = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "spark")).cast("long").alias("tf_spark"),
+        F.size(F.filter(toks, lambda x: x == "stream")).cast("long").alias("tf_stream"),
+    )
+    g = s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.count(F.when(F.col("tf_spark") > 0, 1)).alias("df_spark"),
+        F.count(F.when(F.col("tf_stream") > 0, 1)).alias("df_stream"),
+    )
+    score = (
+        f"{_bm25_score('tf_spark', 'df_spark')}"
+        f" + {_bm25_score('tf_stream', 'df_stream')}"
+    )
+    wl = Window.orderBy(F.expr(score).desc(), F.col("doc_id"))
+    lex = (
+        s.crossJoin(F.broadcast(g))
+        .select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    )
+    c = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = c.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    ws = Window.orderBy(
+        (dot(F.col("embedding"), F.col("qe")) / (F.col("qn") * F.col("nrm"))).desc(),
+        F.col("vec_id"),
+    )
+    sem = (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), F.row_number().over(ws).alias("sem_rank"))
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank"))
+        + F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank"))
+    )
+    return (
+        lex.join(sem, "doc_id")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
