@@ -111,14 +111,45 @@ _REQUIRED_SQL_CONFS = {
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply correctness-critical runtime SQL confs to an externally-created
-    session (idempotent)."""
+    session (idempotent), and ship this package to the Python workers.
+
+    The driver/harness may hand us a session whose Python workers don't
+    have this package on their path; closures that reference module-level
+    helpers (e.g. the Avro codec inside write_avro_py's partition writer)
+    pickle those BY REFERENCE, so the workers must be able to import the
+    package. ``addPyFile`` of a zip of the package fixes that at runtime
+    for any session — guarded per-SparkContext so it runs once.
+    """
     for k, v in _REQUIRED_SQL_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             spark.conf.set(k, v)
+    _ensure_package_on_workers(spark)
     return spark
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_dbds_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dbds_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
+    )
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered under this name in this context
+    sc._dbds_pkg_shipped = True
 
 
 def table_path(sf_dir: str, name: str) -> str:
