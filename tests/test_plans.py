@@ -215,3 +215,18 @@ def test_profile_stats_single_scan(spark):
     plan = formatted_plan(QUERIES["ops_profile_stats"](spark, SF_DIR))
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_nodes) == 1, scan_nodes
+
+
+def test_bigram_lm_joins_broadcast(spark):
+    # The LM count tables are vocab-bounded regardless of corpus size; the
+    # scoring joins must broadcast them, never sort-merge the corpus.
+    plan = formatted_plan(QUERIES["text_bigram_lm_score"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_sign_table_broadcasts(spark):
+    # The 16x64 Rademacher sign table is constant-size — broadcast join.
+    plan = formatted_plan(QUERIES["sim_random_projection"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
