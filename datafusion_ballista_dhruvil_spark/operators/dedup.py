@@ -645,3 +645,130 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "doc_id", "n_docs")
         .orderBy("cluster_id", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+def _sql_pr_iter(prev: str, out: str) -> str:
+    """One PageRank iteration CTE (integer fixed-point, see below)."""
+    return f"""
+{out} AS (
+  SELECT p.d2 AS doc,
+         CAST(150000 + SUM((850000 * ({prev}.s // deg.deg)) // 1000000)
+              AS BIGINT) AS s
+  FROM prpairs p
+  JOIN {prev} ON {prev}.doc = p.d1
+  JOIN deg ON deg.u = p.d1
+  GROUP BY p.d2
+)"""
+
+
+@query(
+    "dedup_chunk_pagerank",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text, length(text) AS L FROM documents),
+chunks AS (
+  SELECT doc_id, md5(substr(text, s.start + 1, 200)) AS h
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, GREATEST(L - 1, 0), 200)) AS start
+  ) s
+),
+grp AS (
+  SELECT h, list_sort(list(DISTINCT doc_id)) AS ids
+  FROM chunks GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+),
+prpairs AS (
+  SELECT DISTINCT a.d1, b.d2
+  FROM grp, unnest(ids) a(d1), unnest(ids) b(d2)
+  WHERE a.d1 <> b.d2
+),
+deg AS (SELECT d1 AS u, CAST(COUNT(DISTINCT d2) AS BIGINT) AS deg
+        FROM prpairs GROUP BY 1),
+pr0 AS (SELECT u AS doc, CAST(1000000 AS BIGINT) AS s FROM deg),
+{_sql_pr_iter('pr0', 'pr1')},
+{_sql_pr_iter('pr1', 'pr2')},
+{_sql_pr_iter('pr2', 'pr3')},
+{_sql_pr_iter('pr3', 'pr4')},
+{_sql_pr_iter('pr4', 'pr5')}
+SELECT pr5.doc AS doc_id, pr5.s AS pr_micro, deg.deg AS degree
+FROM pr5 JOIN deg ON deg.u = pr5.doc
+ORDER BY pr_micro DESC, doc_id
+LIMIT 100
+""",
+)
+def dedup_chunk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the shared-boilerplate graph: docs are linked when
+    they share a 200-char chunk (the text_chunk_crossdup candidate
+    relation); 5 damped iterations rank the template/boilerplate HUBS —
+    the docs whose content is most structurally entangled with the rest
+    of the corpus, which a dedup pipeline reviews (or strips) first.
+    Second iterative-graph operator beside dedup_cluster_cc
+    (min-label components); the reference has no iterative operators at
+    all (SURVEY.md §2.2).
+
+    Determinism — integer fixed-point PageRank: scores live in micro-units
+    (init 1,000,000 per node, unnormalized; PR is scale-invariant), and
+    one iteration is s'(v) = 150000 + SUM over in-neighbors u of
+    (850000 * (s(u) div deg(u))) div 1000000 — every op is int64 floor
+    arithmetic, so all engines/partitionings produce identical scores
+    (no float accumulation anywhere). Per-term rescaling keeps each
+    addend < 2^20, so the sum stays in int64 up to ~1e13 edges.
+
+    Scale: chunk-group pair generation is capped at 64 docs/group (the
+    MAX_BUCKET_DOCS rationale: a universal-boilerplate chunk must not
+    explode); each iteration is one equi-join on the edge key + one
+    aggregate — both partition on doc ids, AQE reuses the layout. Five
+    fixed iterations = five stages, no driver-side convergence loop.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text", F.length("text").alias("L"))
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("L") - 1, F.lit(0)), F.lit(200))
+        ).alias("s"),
+        "text",
+    ).select(
+        "doc_id", F.md5(F.substring(F.col("text"), F.col("s") + 1, 200)).alias("h")
+    )
+    grp = (
+        chunks.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.array_size("ids").between(2, 64))
+    )
+    pairs = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(x AS d1, y AS d2)))), p -> p.d1 != p.d2)"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+    deg = pairs.groupBy(F.col("d1").alias("u")).agg(
+        F.countDistinct("d2").cast("long").alias("deg")
+    )
+    pr = deg.select(F.col("u").alias("doc"), F.lit(1_000_000).cast("long").alias("s"))
+    contrib_src = pairs.join(deg, pairs["d1"] == deg["u"]).select(
+        "d1", "d2", "deg"
+    )
+    for _ in range(5):
+        pr = (
+            contrib_src.join(pr, contrib_src["d1"] == pr["doc"])
+            .select(
+                F.col("d2").alias("doc"),
+                F.expr("(850000 * (s div deg)) div 1000000").alias("c"),
+            )
+            .groupBy("doc")
+            .agg((F.lit(150_000) + F.sum("c")).cast("long").alias("s"))
+        )
+    return (
+        pr.join(deg, pr["doc"] == deg["u"])
+        .select(F.col("doc").alias("doc_id"), F.col("s").alias("pr_micro"),
+                F.col("deg").alias("degree"))
+        .orderBy(F.desc("pr_micro"), "doc_id")
+        .limit(100)
+    )

@@ -98,6 +98,7 @@ EXPORT_PRIORITY: list[str] = [
     "text_chunk_windows",
     "text_bigram_lm_score",
     "text_chunk_crossdup",
+    "dedup_chunk_pagerank",
     # event analytics
     "ev_tumbling_window",
     "ev_rollup_multires",
