@@ -73,26 +73,43 @@ def udf_vectorized_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle="""
 SELECT event_type,
-       round(SUM(user_id * greatest(value, 0.001))
-             / SUM(greatest(value, 0.001)), 6) AS weighted_user
+       CAST(SUM(user_id * CAST(round(greatest(value, 0.001) * 1000000)
+                               AS BIGINT)) AS DOUBLE)
+       / CAST(SUM(CAST(round(greatest(value, 0.001) * 1000000) AS BIGINT))
+              AS DOUBLE) AS weighted_user
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (UDAF parity): value-weighted mean via
     applyInPandas. Demonstrates the reference's aggregate-UDF surface
-    (AggregateUDFExprNode). The output is rounded to 6 decimals on both
-    sides so pandas' pairwise float summation and the oracle's sequential
-    sum land on the same canonical value (the means are O(1e3-1e4), far
-    from any rounding boundary at 1e-6)."""
+    (AggregateUDFExprNode).
+
+    Exactness (no float-accumulation tolerance): weights quantize to
+    round(w * 1e6) int64 (away-from-zero, matching DuckDB round()), the
+    numerator/denominator are EXACT integer sums, and both engines then
+    perform the identical two-step int->double cast + one division — so
+    the mean is bit-equal regardless of pandas' pairwise vs DuckDB's
+    sequential summation order. Magnitudes stay far inside int64
+    (uid*weight ~ 1e12 x group rows).
+    """
+    import numpy as np
+
     t = Tables(spark, sf_dir)
 
     def weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = pdf["value"].clip(lower=0.001)
+        v = pdf["value"].to_numpy(dtype="float64")
+        # away-from-zero ties like DuckDB round(); all weights positive
+        w = np.trunc(np.maximum(v, 0.001) * 1e6 + 0.5).astype(np.int64)
+        uid = pdf["user_id"].to_numpy().astype(np.int64)
+        num, den = int((uid * w).sum()), int(w.sum())
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "weighted_user": [round(float((pdf["user_id"] * w).sum() / w.sum()), 6)],
+                # float(num)/float(den), NOT num/den: Python divides the
+                # exact rationals, DuckDB casts each side to double first —
+                # match DuckDB's two-step rounding
+                "weighted_user": [float(num) / float(den)],
             }
         )
 

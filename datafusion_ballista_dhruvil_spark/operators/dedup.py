@@ -648,6 +648,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# one chunking contract with text_chunk_crossdup — the pair graph here IS
+# that query's candidate relation (see text.py::chunk_hashes/SQL_CHUNK_CTES)
+from datafusion_ballista_dhruvil_spark.operators.text import (  # noqa: E402
+    SQL_CHUNK_CTES as _SQL_CHUNK_CTES,
+)
+
+
 def _sql_pr_iter(prev: str, out: str) -> str:
     """One PageRank iteration CTE (integer fixed-point, see below)."""
     return f"""
@@ -665,13 +672,7 @@ def _sql_pr_iter(prev: str, out: str) -> str:
 @query(
     "dedup_chunk_pagerank",
     oracle=f"""
-WITH base AS (SELECT doc_id, text, length(text) AS L FROM documents),
-chunks AS (
-  SELECT doc_id, md5(substr(text, s.start + 1, 200)) AS h
-  FROM base, LATERAL (
-    SELECT unnest(generate_series(0, GREATEST(L - 1, 0), 200)) AS start
-  ) s
-),
+WITH {_SQL_CHUNK_CTES},
 grp AS (
   SELECT h, list_sort(list(DISTINCT doc_id)) AS ids
   FROM chunks GROUP BY h
@@ -720,17 +721,10 @@ def dedup_chunk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — both partition on doc ids, AQE reuses the layout. Five
     fixed iterations = five stages, no driver-side convergence loop.
     """
+    from datafusion_ballista_dhruvil_spark.operators.text import chunk_hashes
+
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id", "text", F.length("text").alias("L"))
-    chunks = base.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("L") - 1, F.lit(0)), F.lit(200))
-        ).alias("s"),
-        "text",
-    ).select(
-        "doc_id", F.md5(F.substring(F.col("text"), F.col("s") + 1, 200)).alias("h")
-    )
+    chunks = chunk_hashes(t.documents)
     grp = (
         chunks.groupBy("h")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))

@@ -862,16 +862,41 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query(
-    "text_chunk_crossdup",
-    oracle="""
-WITH base AS (SELECT doc_id, text, length(text) AS L FROM documents),
+#: one chunking contract shared by text_chunk_crossdup and
+#: dedup_chunk_pagerank (Spark expression + DuckDB CTE pair): docs split
+#: into non-overlapping 200-char windows, each fingerprinted with md5.
+CHUNK_WIDTH = 200
+
+SQL_CHUNK_CTES = """base AS (SELECT doc_id, text, length(text) AS L FROM documents),
 chunks AS (
   SELECT doc_id, md5(substr(text, s.start + 1, 200)) AS h
   FROM base, LATERAL (
     SELECT unnest(generate_series(0, GREATEST(L - 1, 0), 200)) AS start
   ) s
-),
+)"""
+
+
+def chunk_hashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, h): md5 per non-overlapping CHUNK_WIDTH-char window."""
+    base = documents.select("doc_id", "text", F.length("text").alias("L"))
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("L") - 1, F.lit(0)), F.lit(CHUNK_WIDTH)
+            )
+        ).alias("s"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("s") + 1, CHUNK_WIDTH)).alias("h"),
+    )
+
+
+@query(
+    "text_chunk_crossdup",
+    oracle=f"""
+WITH {SQL_CHUNK_CTES},
 g AS (
   SELECT h, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
          MIN(doc_id) AS keep_doc
@@ -902,17 +927,7 @@ def text_chunk_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a bucket of pairs.
     """
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id", "text", F.length("text").alias("L"))
-    chunks = base.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("L") - 1, F.lit(0)), F.lit(200))
-        ).alias("s"),
-        "text",
-    ).select(
-        "doc_id",
-        F.md5(F.substring(F.col("text"), F.col("s") + 1, 200)).alias("h"),
-    )
+    chunks = chunk_hashes(t.documents)
     return (
         chunks.groupBy("h")
         .agg(

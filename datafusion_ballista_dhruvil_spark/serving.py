@@ -37,6 +37,20 @@ def start_sql_endpoint(spark: SparkSession, port: int = 10000, timeout_s: float 
     spark.sparkContext._jsc.hadoopConfiguration().set(
         "hive.server2.thrift.port", str(port)
     )
+    # refuse a port something else already owns: the JVM server start is
+    # async, and a readiness probe against a foreign listener would hand
+    # back a dead handle that silently queries the wrong server
+    occupied = False
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=0.5):
+            occupied = True
+    except OSError:
+        pass
+    if occupied:
+        raise OSError(
+            f"port {port} is already in use — pick another port or stop "
+            "the existing listener"
+        )
     server = jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
         spark._jsparkSession.sqlContext()
     )
@@ -44,10 +58,21 @@ def start_sql_endpoint(spark: SparkSession, port: int = 10000, timeout_s: float 
     while time.time() < deadline:
         try:
             with socket.create_connection(("127.0.0.1", port), timeout=1):
-                return server
+                break
         except OSError:
             time.sleep(0.3)
-    raise TimeoutError(f"thrift endpoint did not open port {port} in {timeout_s}s")
+    else:
+        raise TimeoutError(f"thrift endpoint did not open port {port} in {timeout_s}s")
+    # end-to-end readiness: the wire protocol must answer a real query
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            if jdbc_query(spark, "SELECT 1", port=port) == [("1",)]:
+                return server
+        except Exception:
+            if time.time() >= deadline:
+                raise
+            time.sleep(0.5)
 
 
 def jdbc_query(

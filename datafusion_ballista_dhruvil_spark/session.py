@@ -147,8 +147,13 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     )
     try:
         sc.addPyFile(zip_path)
-    except Exception:
-        pass  # already registered under this name in this context
+    except Exception as e:
+        # only "already registered" is benign; anything else (stopped
+        # context, unreadable zip, content conflict) must not set the
+        # shipped flag — otherwise the first distributed closure dies later
+        # with an opaque ModuleNotFoundError on the executors
+        if "already" not in str(e).lower():
+            raise
     sc._dbds_pkg_shipped = True
 
 

@@ -286,8 +286,10 @@ def encode_container(
     return out.getvalue()
 
 
-def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
-    """Parse one Avro container file -> (schema, rows as tuples)."""
+def decode_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse a container file header -> (schema, codec, sync, pos-after-
+    header). Needs only the first few KB of the file; raises IndexError if
+    ``data`` is truncated mid-header (callers may retry with more bytes)."""
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
@@ -308,8 +310,16 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
             pos += vl
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
+    if len(data) < pos + 16:
+        raise IndexError("truncated header")
     sync = data[pos : pos + 16]
     pos += 16
+    return schema, codec, sync, pos
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Parse one Avro container file -> (schema, rows as tuples)."""
+    schema, codec, sync, pos = decode_header(data)
     ftypes = [f["type"] for f in schema["fields"]]
     rows: list[tuple] = []
     while pos < len(data):
@@ -339,16 +349,48 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
 # ---------------------------------------------------------------------------
 
 
+def _read_schema_from_header(spark: SparkSession, files: DataFrame) -> dict:
+    """Fetch one file's SCHEMA without collecting its content: read the
+    header bytes (a few hundred bytes) straight from the file when the
+    path is local, falling back to a full-content collect for remote
+    schemes. Avoids pulling a multi-GB container file to the driver just
+    to learn its field list."""
+    first = files.select("path").limit(1).collect()
+    if not first:
+        raise FileNotFoundError("no .avro files found")
+    uri = first[0][0]
+    local = uri[5:] if uri.startswith("file:") else (uri if uri.startswith("/") else None)
+    if local and os.path.exists(local):
+        size, buf = 4096, b""
+        while True:
+            with open(local, "rb") as fh:
+                buf = fh.read(size)
+            try:
+                schema, _, _, _ = decode_header(buf)
+                return schema
+            except IndexError:
+                if len(buf) < size:  # whole file read, still truncated
+                    raise ValueError(f"corrupt avro header: {uri}") from None
+                size *= 4
+    blob = files.select("content").limit(1).collect()[0][0]
+    schema, _, _, _ = decode_header(bytes(blob))
+    return schema
+
+
 def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro read without the spark-avro jar: ``binaryFile``
     lists/assigns files to tasks, this codec decodes inside mapInPandas
     (one pass per file, Arrow batches out). The schema comes from one
-    file's header read on the driver; all files must share it."""
+    file's HEADER read on the driver; all files must share it.
+
+    Timestamps decode to naive-UTC datetimes, and the session timezone is
+    pinned to UTC (ensure_session_confs) so Arrow interprets them as the
+    written instants on any host/session."""
+    from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
-    first = files.select("content").limit(1).collect()
-    if not first:
-        raise FileNotFoundError(f"no .avro files under {path}")
-    schema, _ = decode_container(bytes(first[0][0]))
+    schema = _read_schema_from_header(spark, files)
     ddl = spark_ddl_for(schema)
     cols = [f["name"] for f in schema["fields"]]
 
@@ -369,16 +411,41 @@ def write_avro_py(
     """Distributed Avro write: each partition serializes itself with this
     codec and writes ``part-NNNNN.avro`` into ``path``. POSIX-path targets
     only (local/NFS — executors and driver share the FS in this
-    deployment); object-store writes belong to the spark-avro jar."""
+    deployment); object-store writes belong to the spark-avro jar.
+
+    Timestamp/date columns are converted to their Avro logical-type
+    integers (epoch micros / epoch days) IN SPARK, where timezone
+    semantics are well-defined — Python-side datetime objects from
+    ``df.rdd`` carry OS-local wall time, and encoding those as UTC would
+    shift every instant by the host's UTC offset on a non-UTC machine.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}: use 'error' or 'overwrite'")
     if os.path.exists(path):
         if mode == "overwrite":
             for f in os.listdir(path):
                 if f.endswith(".avro"):
                     os.unlink(os.path.join(path, f))
-        elif mode == "error":
+        else:
             raise FileExistsError(path)
     os.makedirs(path, exist_ok=True)
-    schema = avro_schema_for(df)
+    schema = avro_schema_for(df)  # logical types come from the ORIGINAL df
+    conv = []
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, T.TimestampType):
+            conv.append(F.unix_micros(F.col(fld.name)).alias(fld.name))
+        elif isinstance(fld.dataType, T.DateType):
+            conv.append(
+                F.datediff(F.col(fld.name), F.lit("1970-01-01").cast("date")).alias(
+                    fld.name
+                )
+            )
+        else:
+            conv.append(F.col(fld.name))
+    staged = df.select(*conv)
 
     def write_partition(idx: int, it):
         rows = [tuple(r) for r in it]
@@ -388,4 +455,4 @@ def write_avro_py(
                 fh.write(blob)
         yield idx
 
-    df.rdd.mapPartitionsWithIndex(write_partition).count()
+    staged.rdd.mapPartitionsWithIndex(write_partition).count()

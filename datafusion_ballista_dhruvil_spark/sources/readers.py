@@ -24,10 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
-class AvroUnavailableError(RuntimeError):
-    """The spark-avro external module is not on the classpath."""
-
-
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -92,6 +88,16 @@ def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
     except Exception as e:  # AnalysisException: failed to find data source
         if "avro" not in str(e).lower():
             raise
+        if options:
+            # the fallback codec reads the file's embedded schema and the
+            # whole directory — silently ignoring reader options would
+            # return different data than asked for
+            raise ValueError(
+                "spark-avro jar absent and the pure-Python fallback does not "
+                f"support reader options {sorted(options)}; add "
+                "org.apache.spark:spark-avro_2.13 via spark.jars.packages "
+                "or drop the options"
+            ) from e
         from datafusion_ballista_dhruvil_spark.sources.avro_py import read_avro_py
 
         return read_avro_py(spark, path)

@@ -167,3 +167,14 @@ def test_timestamp_date_logical_types(spark, tmp_path):
     back = read_avro_py(spark, path)
     assert back.schema.simpleString() == src.schema.simpleString()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # the FILE must carry the true epoch micros (tz-independent): timestamps
+    # are converted to integers in Spark, never through OS-local datetime
+    # objects, so a non-UTC host cannot shift the written instants
+    part = next(f for f in sorted(os.listdir(path)) if f.endswith(".avro"))
+    with open(os.path.join(path, part), "rb") as fh:
+        _, rows = decode_container(fh.read())
+    import datetime as dt
+
+    for _id, ts, _d in (tuple(r) for r in rows):
+        micros = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+        assert micros == _id * 1000001

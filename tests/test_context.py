@@ -11,7 +11,6 @@ import tempfile
 import pytest
 
 from datafusion_ballista_dhruvil_spark.context import BallistaSparkContext
-from datafusion_ballista_dhruvil_spark.sources.readers import AvroUnavailableError
 from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
 
 from tests.conftest import SF_DIR
