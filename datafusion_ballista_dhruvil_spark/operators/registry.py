@@ -72,6 +72,7 @@ EXPORT_PRIORITY: list[str] = [
     "sim_embedding_quantize",
     "sim_random_projection",
     "hybrid_search_rrf",
+    "sim_kmeans_iterate",
     "dedup_semantic_keep",
     # temporal joins
     "asof_click_attribution",

@@ -931,3 +931,138 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+def _sql_kmeans_iter(cent_in: str, assign_out: str, cent_out: str) -> str:
+    """One unrolled Lloyd iteration over quantized components:
+    assignment by exact integer squared-L2 argmin (ties to smaller cid),
+    then re-centroid as round(mean) per (cluster, dim)."""
+    return f"""
+{assign_out} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid,
+           e.selfq + c.selfq - 2 * dotq.s AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY e.selfq + c.selfq - 2 * dotq.s, c.cid
+           ) AS rn
+    FROM eself e
+    JOIN (
+      SELECT ec.vec_id, cc.cid, CAST(SUM(ec.qi * cc.cq) AS BIGINT) AS s
+      FROM ecomp ec JOIN {cent_in} cc ON cc.pos = ec.pos
+      GROUP BY ec.vec_id, cc.cid
+    ) dotq ON dotq.vec_id = e.vec_id
+    JOIN (
+      SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS selfq
+      FROM {cent_in} GROUP BY cid
+    ) c ON c.cid = dotq.cid
+  ) r WHERE rn = 1
+),
+{cent_out} AS (
+  SELECT a.cid, ec.pos,
+         CAST(round(CAST(SUM(ec.qi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM {assign_out} a JOIN ecomp ec ON ec.vec_id = a.vec_id
+  GROUP BY a.cid, ec.pos
+)"""
+
+
+@query(
+    "sim_kmeans_iterate",
+    oracle=f"""
+WITH ecomp AS (
+  SELECT vec_id, r.pos - 1 AS pos,
+         CAST(round(CAST(embedding[r.pos] AS DOUBLE) * 10000000) AS BIGINT) AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(pos)
+),
+eself AS (
+  SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS selfq
+  FROM ecomp GROUP BY vec_id
+),
+cent0 AS (
+  SELECT vec_id AS cid, pos, qi AS cq FROM ecomp WHERE vec_id < 8
+),
+{_sql_kmeans_iter('cent0', 'a1', 'cent1')},
+{_sql_kmeans_iter('cent1', 'a2', 'cent2')},
+{_sql_kmeans_iter('cent2', 'a3', 'cent3')}
+SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS inertia_q,
+       MIN(vec_id) AS min_vec
+FROM a3 GROUP BY cid ORDER BY cid
+""",
+)
+def sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means: THREE unrolled Lloyd iterations
+    (assign -> re-centroid -> repeat), K=8, deterministic init (vectors
+    0..7) — composing the two halves shipped separately as
+    sim_kmeans_assign and sim_centroid_by_label into the actual training
+    loop (also how IVF coarse quantizers train). Output: per-cluster
+    size, exact quantized inertia, min member id.
+
+    Exactness: components quantize once to scale-7 int64; distances are
+    exact integer <a,a>+<c,c>-2<a,c>; argmin ties break to the smaller
+    centroid id; the re-centroid rounds the exact integer sum with ONE
+    double divide + round (identical in both engines — integer `div`
+    would differ between Spark's truncation and DuckDB's floor on
+    NEGATIVE sums, so the rounding goes through IEEE, not integer
+    division). Every iteration is therefore bit-stable across engines
+    and partitionings.
+
+    Scale: per-iteration work is one (vec x K) distance aggregate over
+    the exploded components — the K=8 centroid table joins map-side
+    (broadcast) — and one (cluster, dim) re-centroid aggregate with
+    map-side partials. Iterations are data-independent stages; nothing
+    ever pairs vectors with each other.
+    """
+    t = Tables(spark, sf_dir)
+    ecomp = (
+        t.embeddings.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("x").cast("double") * 10000000).cast("long").alias("qi"),
+        )
+    )
+    eself = ecomp.groupBy("vec_id").agg(
+        F.sum(F.col("qi") * F.col("qi")).cast("long").alias("selfq")
+    )
+    cent = ecomp.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("qi").alias("cq")
+    )
+    assign = None
+    for _ in range(3):
+        cself = cent.groupBy("cid").agg(
+            F.sum(F.col("cq") * F.col("cq")).cast("long").alias("cselfq")
+        )
+        dotq = (
+            ecomp.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.col("qi") * F.col("cq")).cast("long").alias("s"))
+        )
+        d = F.col("selfq") + F.col("cselfq") - 2 * F.col("s")
+        w = Window.partitionBy("vec_id").orderBy(d.asc(), F.col("cid").asc())
+        assign = (
+            dotq.join(eself, "vec_id")
+            .join(F.broadcast(cself), "cid")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", d.alias("d"))
+        )
+        cent = (
+            assign.join(ecomp, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(F.sum("qi").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        )
+    return (
+        assign.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("d").cast("long").alias("inertia_q"),
+            F.min("vec_id").alias("min_vec"),
+        )
+        .orderBy("cluster")
+    )
