@@ -77,7 +77,9 @@ SELECT event_type,
                                AS BIGINT)) AS DOUBLE)
        / CAST(SUM(CAST(round(greatest(value, 0.001) * 1000000) AS BIGINT))
               AS DOUBLE) AS weighted_user
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events
+WHERE value IS NOT NULL AND user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,11 +100,31 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
 
     def weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].to_numpy(dtype="float64")
-        # away-from-zero ties like DuckDB round(); all weights positive
-        w = np.trunc(np.maximum(v, 0.001) * 1e6 + 0.5).astype(np.int64)
-        uid = pdf["user_id"].to_numpy().astype(np.int64)
-        num, den = int((uid * w).sum()), int(w.sum())
+        # SQL NULL-skip semantics: rows with NULL value/user_id drop out of
+        # the sums exactly as they do in the oracle's SUM (NaN would
+        # otherwise poison the int64 cast)
+        keep = pdf["value"].notna() & pdf["user_id"].notna()
+        if not keep.any():
+            # all-NULL group: the oracle's WHERE drops it entirely
+            return pd.DataFrame({"event_type": [], "weighted_user": []})
+        v = pdf.loc[keep, "value"].to_numpy(dtype="float64")
+        x = np.maximum(v, 0.001) * 1e6
+        # half-away-from-zero EXACTLY like DuckDB/Spark round(): compare
+        # the (exactly representable) fraction against 0.5 — trunc(x+0.5)
+        # differs when x sits within half an ulp below k+0.5, because the
+        # +0.5 addition itself rounds up across the boundary
+        fx = np.floor(x)
+        w = (fx + (x - fx >= 0.5)).astype(np.int64)
+        uid = pdf.loc[keep, "user_id"].to_numpy().astype(np.int64)
+        prod = uid * w
+        num, den = int(prod.sum()), int(w.sum())
+        # numpy int64 sums wrap silently on overflow; the oracle's HUGEINT
+        # does not — fail loudly instead of silently diverging
+        if len(prod) and len(prod) * int(np.abs(prod).max()) >= 2**62:
+            raise OverflowError(
+                "udf_grouped_agg: group magnitude exceeds the int64 "
+                "accumulation bound; shard the group or widen the kernel"
+            )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

@@ -48,15 +48,26 @@ _SCALE_SQ = 1e14
 
 # return type as a DataType object: a DDL string would be parsed at import
 # time, which requires an active SparkSession this module must not assume
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """round() with half-away-from-zero ties, bit-matching DuckDB/Spark:
+    np.round is half-to-even, and trunc(x + copysign(0.5, x)) over-rounds
+    when |x| sits within half an ulp below k+0.5 (the +0.5 addition itself
+    rounds across the boundary) — compare the exactly-representable
+    fraction against 0.5 instead."""
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    mag = fl + (ax - fl >= 0.5)
+    return (np.sign(x) * mag).astype(np.int64)
+
+
 @pandas_udf(LongType())
 def _dot7(a: pd.Series, b: pd.Series) -> pd.Series:
     if len(a) == 0:
         return pd.Series([], dtype="int64")
     am = np.stack(a.to_numpy()).astype(np.float64) * _SCALE
     bm = np.stack(b.to_numpy()).astype(np.float64) * _SCALE
-    # away-from-zero ties (np.round is half-to-even and would diverge)
-    ai = np.trunc(am + np.copysign(0.5, am)).astype(np.int64)
-    bi = np.trunc(bm + np.copysign(0.5, bm)).astype(np.int64)
+    ai = _round_half_away(am)
+    bi = _round_half_away(bm)
     return pd.Series(np.einsum("ij,ij->i", ai, bi))
 
 

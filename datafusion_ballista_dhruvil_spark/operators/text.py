@@ -867,11 +867,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: into non-overlapping 200-char windows, each fingerprinted with md5.
 CHUNK_WIDTH = 200
 
-SQL_CHUNK_CTES = """base AS (SELECT doc_id, text, length(text) AS L FROM documents),
+SQL_CHUNK_CTES = f"""base AS (SELECT doc_id, text, length(text) AS L FROM documents),
 chunks AS (
-  SELECT doc_id, md5(substr(text, s.start + 1, 200)) AS h
+  SELECT doc_id, md5(substr(text, s.start + 1, {CHUNK_WIDTH})) AS h
   FROM base, LATERAL (
-    SELECT unnest(generate_series(0, GREATEST(L - 1, 0), 200)) AS start
+    SELECT unnest(generate_series(0, GREATEST(L - 1, 0), {CHUNK_WIDTH})) AS start
   ) s
 )"""
 

@@ -65,14 +65,19 @@ def start_sql_endpoint(spark: SparkSession, port: int = 10000, timeout_s: float 
         raise TimeoutError(f"thrift endpoint did not open port {port} in {timeout_s}s")
     # end-to-end readiness: the wire protocol must answer a real query
     deadline = time.time() + timeout_s
-    while True:
+    last: object = None
+    while time.time() < deadline:
         try:
-            if jdbc_query(spark, "SELECT 1", port=port) == [("1",)]:
+            last = jdbc_query(spark, "SELECT 1", port=port)
+            if last == [("1",)]:
                 return server
-        except Exception:
-            if time.time() >= deadline:
-                raise
-            time.sleep(0.5)
+        except Exception as e:  # noqa: BLE001 — retried until deadline
+            last = e
+        time.sleep(0.5)
+    raise TimeoutError(
+        f"thrift endpoint on port {port} not serving after {timeout_s}s "
+        f"(last probe result: {last!r})"
+    )
 
 
 def jdbc_query(

@@ -134,24 +134,40 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_dbds_pkg_shipped", False):
         return
+    import hashlib
     import shutil
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    # content-address the zip name: "already registered" under the SAME
+    # name then genuinely means same contents (Spark rejects re-adding a
+    # name with DIFFERENT contents, and a pid-based name could collide
+    # across driver restarts and mask exactly that conflict)
+    digest = hashlib.md5()
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                fp = os.path.join(dirpath, fn)
+                digest.update(os.path.relpath(fp, root).encode())
+                with open(fp, "rb") as fh:
+                    digest.update(fh.read())
     base = os.path.join(
-        tempfile.gettempdir(), f"dbds_spark_pkg_{os.getpid()}"
+        tempfile.gettempdir(), f"dbds_spark_pkg_{digest.hexdigest()[:16]}"
     )
-    zip_path = shutil.make_archive(
-        base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
-    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
+        )
     try:
         sc.addPyFile(zip_path)
     except Exception as e:
-        # only "already registered" is benign; anything else (stopped
-        # context, unreadable zip, content conflict) must not set the
-        # shipped flag — otherwise the first distributed closure dies later
-        # with an opaque ModuleNotFoundError on the executors
+        # with the content-addressed name, "already" is benign; anything
+        # else (stopped context, unreadable zip) must not set the shipped
+        # flag — otherwise the first distributed closure dies later with an
+        # opaque ModuleNotFoundError on the executors
         if "already" not in str(e).lower():
             raise
     sc._dbds_pkg_shipped = True
