@@ -766,3 +766,62 @@ def dedup_chunk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_micro"), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_editdist_verify",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES},
+docs AS (SELECT doc_id, text FROM documents)
+SELECT p.d1, p.d2, p.jaccard,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / GREATEST(length(a.text), length(b.text), 1) AS edit_sim
+FROM pairs p
+JOIN docs a ON a.doc_id = p.d1
+JOIN docs b ON b.doc_id = p.d2
+ORDER BY p.jaccard DESC, p.d1, p.d2
+LIMIT 100
+""",
+)
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance verification of the LSH candidate
+    pairs: Levenshtein distance + normalized similarity per near-dup pair.
+    Shingle Jaccard measures TOKEN-set overlap; edit distance catches the
+    complementary failure modes (reordered passages score high on Jaccard
+    but far on edit distance; dense small in-place edits the reverse), so
+    production pipelines gate on both before dropping a document.
+
+    Levenshtein is exact integer dynamic programming, built into both
+    engines (Spark `levenshtein`, DuckDB `levenshtein`) — identical
+    values, so the operator is hash-checked, not tolerance-checked.
+
+    Scale: edit distance is O(len_a * len_b) per pair — the expensive
+    verifier — which is exactly why it runs on the LSH candidate set
+    (bounded, bucketed upstream) and never all-pairs. The join fetches
+    each side's text by doc_id equi-join; only candidate-pair texts are
+    ever paired.
+    """
+    t = Tables(spark, sf_dir)
+    pairs = _verified_pairs(spark, sf_dir)
+    a = t.documents.select(F.col("doc_id").alias("d1"), F.col("text").alias("ta"))
+    b = t.documents.select(F.col("doc_id").alias("d2"), F.col("text").alias("tb"))
+    ed = F.levenshtein("ta", "tb")
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            ed.cast("bigint").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - ed.cast("double")
+                / F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+            ).alias("edit_sim"),
+        )
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(100)
+    )

@@ -100,6 +100,7 @@ EXPORT_PRIORITY: list[str] = [
     "text_bigram_lm_score",
     "text_chunk_crossdup",
     "dedup_chunk_pagerank",
+    "dedup_editdist_verify",
     # event analytics
     "ev_tumbling_window",
     "ev_rollup_multires",
