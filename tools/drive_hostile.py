@@ -60,6 +60,7 @@ subset = [
             "text_chunk_crossdup",
             "dedup_chunk_pagerank",
             "sim_kmeans_iterate",
+            "dedup_editdist_verify",
             "udf_grouped_agg",
             "udf_vectorized_score",
         )
