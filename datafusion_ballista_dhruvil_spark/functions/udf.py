@@ -116,15 +116,19 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx = np.floor(x)
         w = (fx + (x - fx >= 0.5)).astype(np.int64)
         uid = pdf.loc[keep, "user_id"].to_numpy().astype(np.int64)
-        prod = uid * w
-        num, den = int(prod.sum()), int(w.sum())
-        # numpy int64 sums wrap silently on overflow; the oracle's HUGEINT
-        # does not — fail loudly instead of silently diverging
-        if len(prod) and len(prod) * int(np.abs(prod).max()) >= 2**62:
+        # numpy int64 ops wrap silently on overflow; the oracle's HUGEINT
+        # does not — bound-check with EXACT Python ints BEFORE the int64
+        # multiply (a post-multiply check would read post-wrap values and
+        # defeat itself)
+        if len(uid) and len(uid) * int(np.abs(uid).max()) * int(
+            np.abs(w).max()
+        ) >= 2**62:
             raise OverflowError(
                 "udf_grouped_agg: group magnitude exceeds the int64 "
                 "accumulation bound; shard the group or widen the kernel"
             )
+        prod = uid * w
+        num, den = int(prod.sum()), int(w.sum())
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

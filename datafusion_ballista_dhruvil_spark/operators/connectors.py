@@ -27,9 +27,14 @@ from datafusion_ballista_dhruvil_spark.sources import readers
 from datafusion_ballista_dhruvil_spark.sources.avro_py import write_avro_py
 
 
-def _stage(sf_dir: str, name: str) -> str:
+def _stage(spark: SparkSession, sf_dir: str, name: str) -> str:
+    # Keyed by applicationId as well as sf_dir: this machine runs concurrent
+    # driver/test sessions, and a shared path + mode='overwrite' lets one
+    # session delete part files while another's lazy read is still listing
+    # them. One staging tree per Spark application cannot collide.
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    return f"/tmp/spark_graft_connectors/{tag}/{name}"
+    app = spark.sparkContext.applicationId
+    return f"/tmp/spark_graft_connectors/{app}/{tag}/{name}"
 
 
 @query(
@@ -51,7 +56,7 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t.documents.where(F.col("doc_id") < 500).select(
         "doc_id", "source", "n_chars"
     )
-    path = _stage(sf_dir, "avro_docs")
+    path = _stage(spark, sf_dir, "avro_docs")
     write_avro_py(src, path, mode="overwrite")
     back = readers.read_avro(spark, path)
     return (
@@ -82,7 +87,7 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t.documents.where(F.col("doc_id") < 400).select(
         "doc_id", "source", "lang", "n_chars"
     )
-    path = _stage(sf_dir, "csv_docs")
+    path = _stage(spark, sf_dir, "csv_docs")
     readers.write_csv(src, path, mode="overwrite")
     back = readers.read_csv(
         spark,
@@ -116,7 +121,7 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t.events.where(F.col("event_id") < 2000).select(
         "event_id", "event_type", "user_id"
     )
-    path = _stage(sf_dir, "json_events")
+    path = _stage(spark, sf_dir, "json_events")
     readers.write_json(src, path, mode="overwrite")
     back = readers.read_json(
         spark, path, schema="event_id long, event_type string, user_id long"

@@ -43,6 +43,51 @@ K = BANDS * ROWS_PER_BAND
 MAX_BUCKET_DOCS = 1024
 
 
+def observe_bucket_cap(df: DataFrame, ids_col: str, tag: str, cap: int = None):
+    """Make MAX_BUCKET_DOCS truncation detectable instead of silent.
+
+    Attaches a row-transparent ``observe`` node counting buckets whose
+    member array exceeds ``cap`` (plus the max bucket size seen), and a
+    daemon thread that logs a WARNING once the first action on the plan
+    completes. Truncation drops every pair involving a doc outside a
+    degenerate bucket's ``cap`` smallest ids — recall loss that must be
+    visible at runtime, not discovered downstream. Returns
+    ``(df, observation)``; callers that want programmatic access (tests,
+    pipeline health checks) read ``observation.get`` after an action.
+    """
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+
+    cap = MAX_BUCKET_DOCS if cap is None else cap
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.sum(
+            F.when(F.array_size(F.col(ids_col)) > cap, 1).otherwise(0)
+        ).alias("n_truncated"),
+        F.max(F.array_size(F.col(ids_col))).alias("max_bucket"),
+    )
+
+    def _wait() -> None:
+        try:
+            m = obs.get  # blocks until the first action completes
+            if (m.get("n_truncated") or 0) > 0:
+                logging.getLogger(__name__).warning(
+                    "%s: %d bucket(s) exceeded MAX_BUCKET_DOCS=%d "
+                    "(largest=%d); pairs beyond the %d smallest doc_ids per "
+                    "bucket were dropped — degenerate corpus, run exact "
+                    "dedup first or raise the cap",
+                    tag, m["n_truncated"], cap, m["max_bucket"], cap,
+                )
+        except Exception:
+            pass  # observation thread must never take down the driver
+
+    threading.Thread(target=_wait, daemon=True).start()
+    return out, obs
+
+
 def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
@@ -302,10 +347,14 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", *band_sigs).select(
         "doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)")
     )
-    cand = (
+    buckets = (
         bands.groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ids0"))
         .where(F.array_size("ids0") >= 2)
+    )
+    buckets, _ = observe_bucket_cap(buckets, "ids0", "minhash_lsh")
+    cand = (
+        buckets
         # mega-bucket guard: sort (deterministic regardless of collect_list
         # order) and keep at most MAX_BUCKET_DOCS smallest doc_ids
         .select(F.slice(F.array_sort("ids0"), 1, MAX_BUCKET_DOCS).alias("ids"))
@@ -524,10 +573,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so no distinct — that was a second full shuffle of the candidate set
     # (324k structs at sf0.1; 5.5s -> see PERF.md). Hamming filters inline
     # before the only remaining exchange (the output sort).
-    cand = (
+    buckets = (
         segs.groupBy("k", "seg")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids0"))
         .where(F.array_size("ids0") >= 2)
+    )
+    buckets, _ = observe_bucket_cap(buckets, "ids0", "simhash_bands")
+    cand = (
+        buckets
         # mega-bucket guard (see MAX_BUCKET_DOCS): struct array sorts by
         # doc_id first, so the kept sample is the smallest doc_ids
         .select(

@@ -28,8 +28,95 @@ from pyspark.sql import functions as F
 from datafusion_ballista_dhruvil_spark.operators.registry import query
 from datafusion_ballista_dhruvil_spark.session import Tables
 
-#: set True only when a real decoder (PIL/ffmpeg/...) is installed.
+#: set True only when a codec-format decoder (PIL/ffmpeg/...) is installed.
+#: Uncompressed containers (BMP BI_RGB 24-bit, binary PPM P6) are decoded
+#: natively below with numpy — no external library needed.
 REAL_DECODERS_AVAILABLE = False
+
+
+# --------------------------------------------------------------------------
+# Pure-numpy image container codec (BMP 24-bit BI_RGB + PPM P6).
+#
+# This is a REAL decoder for uncompressed containers: it parses the file
+# header byte-for-byte (magic, pixel-data offset, dimensions, bpp,
+# compression tag) and materializes the pixel array with row padding
+# stripped. Compressed/codec formats (PNG/JPEG/...) still raise the loud
+# NotImplementedError gate — those genuinely need libjpeg/libpng, absent in
+# this container. Reference analogue: opaque binary column handling
+# (SURVEY.md §7 step 6); format spec: Windows BITMAPINFOHEADER (public).
+
+
+def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Encode ``width*height*3`` RGB bytes as an uncompressed 24-bit BMP.
+
+    Rows are padded to 4-byte multiples per the BMP spec; pixel rows are
+    written top-down (negative height in the header, spec-legal and
+    simpler than bottom-up flipping).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(pixel_bytes) != width * height * 3:
+        raise ValueError("pixel_bytes must be width*height*3 bytes")
+    rowsize = (3 * width + 3) // 4 * 4
+    img = np.zeros((height, rowsize), dtype=np.uint8)
+    img[:, : 3 * width] = np.frombuffer(pixel_bytes, dtype=np.uint8).reshape(
+        height, 3 * width
+    )
+    data = img.tobytes()
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    # negative height = top-down row order
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_image(payload: bytes):
+    """Decode an uncompressed image container to ``(width, height, pixels)``
+    where ``pixels`` is a ``(height, width*3)`` uint8 array.
+
+    Supports BMP (24-bit BI_RGB, top-down or bottom-up) and binary PPM
+    (``P6``, maxval 255). Any other magic — PNG, JPEG, GIF, ... — raises
+    NotImplementedError: decoding those requires a codec library that is
+    not installed here; the gate is deliberate and loud.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        (offset,) = struct.unpack_from("<I", payload, 10)
+        width, height = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression}: only 24-bit BI_RGB"
+            )
+        h = abs(height)
+        rowsize = (3 * width + 3) // 4 * 4
+        rows = np.frombuffer(payload, np.uint8, rowsize * h, offset).reshape(
+            h, rowsize
+        )[:, : 3 * width]
+        if height > 0:  # bottom-up storage: flip to top-down
+            rows = rows[::-1]
+        return width, h, rows
+    if payload[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval <single-ws> data
+        parts = payload[2:].split(maxsplit=3)
+        width, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255")
+        data = parts[3] if len(parts) > 3 else b""
+        rows = np.frombuffer(data, np.uint8, width * h * 3).reshape(h, 3 * width)
+        return width, h, rows
+    raise NotImplementedError(
+        f"magic {payload[:4]!r}: codec formats (PNG/JPEG/...) need a real "
+        "decoder library (PIL/ffmpeg), not installed in this container"
+    )
 
 
 def with_payload(documents: DataFrame) -> DataFrame:
@@ -177,73 +264,96 @@ def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_decode_features",
     oracle="""
-SELECT doc_id,
-  CAST((octet_length(encode(text)) % 640) + 1 AS BIGINT) AS width,
-  CAST((octet_length(encode(text)) % 480) + 1 AS BIGINT) AS height,
-  CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
-       ELSE CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c)))
-                 AS DOUBLE) / octet_length(encode(text))
-  END AS mean_byte,
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) % 64) + 1 AS w,
+         (octet_length(encode(text)) % 48) + 1 AS h
+  FROM documents WHERE doc_id < 200
+), sized AS (
+  SELECT doc_id, text, n, w, h, w*h*3 AS npix,
+         CASE WHEN n > 0 THEN (w*h*3) % n ELSE 0 END AS rem
+  FROM base
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CASE WHEN n = 0 THEN 127.0
+       ELSE CAST((npix // n) * list_sum(list_transform(string_split(text, ''), c -> ord(c)))
+                 + CASE WHEN rem > 0 THEN list_sum(list_transform(
+                         string_split(substring(text, 1, rem), ''), c -> ord(c)))
+                   ELSE 0 END AS DOUBLE) / npix
+  END AS mean_pixel,
   TRUE AS decode_ok
-FROM documents WHERE doc_id < 200
+FROM sized
 ORDER BY doc_id
 """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batches).
+    """REAL image decode + feature-extract via two mapInPandas stages.
 
-    STUBBED decode (deterministic fake features: dimensions from payload
-    length, a brightness proxy from byte values) — the Spark plumbing
-    (binary column in, typed feature schema out, map-only execution) is the
-    real deliverable; swap the body for PIL/libav when available.
+    Stage 1 materializes an actual 24-bit uncompressed BMP per document
+    (pixels = the document's utf-8 bytes tiled over width*height*3, sizes
+    derived from the byte length; all-127 gray for empty docs) — standing
+    in for ingested image bytes. Stage 2 DECODES the container for real
+    with :func:`decode_image`: magic check, header field parse, row-padding
+    strip — then emits header dimensions and the mean pixel value of the
+    decoded array. Codec formats (PNG/JPEG magic) hit decode_image's loud
+    NotImplementedError gate.
 
-    The stub features are exact byte math (integer byte-sum / length), so
-    they hash-check against a DuckDB oracle: the test corpus is ASCII, so
-    per-character code points == payload bytes. The byte sums are computed
-    vectorized — one np.frombuffer over the whole Arrow batch + segmented
-    reduceat — not a per-row Python loop.
+    The encoding is deterministic byte math, so the DuckDB oracle
+    recomputes the decoded features arithmetically (tiled-sum = full-cycle
+    total + prefix remainder); a decoder bug — wrong offset, padding
+    mishandled, flipped rows dropped — breaks the hash. Map-only: the
+    payload bytes never shuffle; output rows carry features, not pixels.
 
-    The batch fn is nested so cloudpickle ships it BY VALUE: Spark's Python
-    workers don't have this package on their path when the driver is
-    launched from outside the repo.
+    Batch fns are nested so cloudpickle ships them BY VALUE (Python workers
+    lack this package on their path when launched from outside the repo).
     """
-    real_decoders = REAL_DECODERS_AVAILABLE
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+        encode_bmp as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                w, h = (n % 64) + 1, (n % 48) + 1
+                npix = w * h * 3
+                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                images.append(_enc(w, h, px.tobytes()))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
     def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
 
         for pdf in it:
-            if real_decoders:  # pragma: no cover
-                raise NotImplementedError("plug a real decoder (PIL/ffmpeg) here")
-            n = pdf["payload"].str.len().to_numpy()
-            joined = _np.frombuffer(
-                b"".join(pdf["payload"]), dtype=_np.uint8
-            ).astype(_np.int64)
-            offsets = _np.zeros(len(n), dtype=_np.int64)
-            if len(n) > 1:
-                _np.cumsum(n[:-1], out=offsets[1:])
-            # reduceat only over the non-empty rows: their offsets are
-            # strictly increasing and in-bounds (empty rows contribute no
-            # bytes), so each segment sums exactly one payload.
-            nz = n > 0
-            sums = _np.zeros(len(n), dtype=_np.int64)
-            if nz.any():
-                sums[nz] = _np.add.reduceat(joined, offsets[nz])
-            mean_byte = _np.where(nz, sums / _np.maximum(n, 1), 0.0)
+            widths, heights, means = [], [], []
+            for b in pdf["image"]:
+                w, h, px = _dec(bytes(b))
+                widths.append(w)
+                heights.append(h)
+                means.append(float(px.astype(_np.int64).sum()) / px.size)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": (pdf["payload"].str.len() % 640) + 1,
-                    "height": (pdf["payload"].str.len() % 480) + 1,
-                    "mean_byte": mean_byte,
+                    "width": _pd.Series(widths, dtype="int64"),
+                    "height": _pd.Series(heights, dtype="int64"),
+                    "mean_pixel": means,
                     "decode_ok": True,
                 }
             )
 
     t = Tables(spark, sf_dir)
     assets = with_payload(t.documents).where(F.col("doc_id") < 200)
-    return assets.select("doc_id", "payload").mapInPandas(
+    images = assets.select("doc_id", "payload").mapInPandas(
+        encode_batch, schema="doc_id long, image binary"
+    )
+    return images.mapInPandas(
         decode_batch,
-        schema="doc_id long, width long, height long, mean_byte double, decode_ok boolean",
+        schema="doc_id long, width long, height long, mean_pixel double, decode_ok boolean",
     )

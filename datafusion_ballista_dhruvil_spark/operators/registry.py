@@ -34,57 +34,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 2). The r1 correctness gate consumed
-#: only the FIRST 50 registered queries, so export order IS coverage.
-#: This round: TPC-H q1-q22 first (zero driver rows in r1), then the six
-#: r1-red rows just fixed, then families with no driver verdict yet
-#: (scalar-fn families, similarity, temporal, sampling, text, events,
-#: relational leftovers), and the 44 r1-green rows last. Rotate next round
-#: based on which slice CORRECTNESS_r02 actually covered.
+#: Driver-facing export order (round 3). The driver's correctness gate
+#: consumes only the FIRST 50 registered queries, so export order IS
+#: coverage. r1 checked 50, r2 a different 50 (union 94 of 141); the 47
+#: below have NEVER received a driver verdict — they fill the first 47
+#: slots so CORRECTNESS_r03 reaches 141/141 driver-verified. The last 3
+#: slots re-verify queries materially changed this round (bounded
+#: ops_agg_approx oracle, real mm_decode_features decoder, sim_cosine_topk
+#: after the perf re-measure).
 EXPORT_PRIORITY: list[str] = [
-    *[f"q{i}" for i in range(1, 23)],
-    # r1 red rows, fixed this round — need fresh driver verdicts
-    "h2o_sum_multi",
-    "ops_window_groups",
-    "ops_agg_weighted_percentile",
-    "ops_agg_approx",
-    "udf_grouped_agg",
-    "mm_decode_features",
-    # SURVEY §2.4 scalar-function families (all untested r1)
-    "ops_scalar_string",
-    "ops_scalar_math",
-    "ops_scalar_datetime",
-    "ops_case_cast",
-    "ops_regexp_hash",
-    "ops_map_functions",
-    "ops_bool_predicates",
-    # §2.7 connector round-trips (new in r2 — no driver rows yet)
-    "avro_roundtrip_agg",
-    "csv_roundtrip_agg",
-    "json_roundtrip_agg",
-    # similarity / ANN family
-    "sim_cosine_topk",
-    "sim_ann_bucketed",
-    "sim_ivf_topk",
-    "sim_embedding_neardup",
-    "sim_centroid_by_label",
-    "sim_kmeans_assign",
-    "sim_embedding_quantize",
-    "sim_random_projection",
-    "hybrid_search_rrf",
-    "sim_kmeans_iterate",
-    "dedup_semantic_keep",
-    # temporal joins
-    "asof_click_attribution",
+    # temporal / sampling / splits (7)
     "range_recent_clicks",
-    # splits / sampling / packing
     "split_hash_assign",
     "sample_stratified_hash",
     "sample_topk_per_group",
     "pack_token_bins",
     "mix_resample_sources",
     "sample_negative_pairs",
-    # text analysis
+    # text analysis (16)
     "text_tokens_quality",
     "text_regex_tokens",
     "text_langid",
@@ -101,7 +68,7 @@ EXPORT_PRIORITY: list[str] = [
     "text_chunk_crossdup",
     "dedup_chunk_pagerank",
     "dedup_editdist_verify",
-    # event analytics
+    # event analytics (16)
     "ev_tumbling_window",
     "ev_rollup_multires",
     "ev_session_window",
@@ -118,7 +85,7 @@ EXPORT_PRIORITY: list[str] = [
     "ev_anomaly_zscore",
     "ev_watermark_audit",
     "ev_dau_wau_mau",
-    # relational leftovers (untested r1)
+    # relational leftovers (8)
     "ops_empty_relation",
     "ops_unpivot",
     "yoy_sales_growth",
@@ -127,6 +94,10 @@ EXPORT_PRIORITY: list[str] = [
     "ops_lateral_explode",
     "ops_explode_outer",
     "ops_lateral_join",
+    # changed this round — need fresh verdicts (3)
+    "ops_agg_approx",
+    "mm_decode_features",
+    "sim_cosine_topk",
 ]
 
 

@@ -501,22 +501,61 @@ def ops_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ops_agg_approx")  # rows-only: HLL/quantile sketches differ per engine
+@query(
+    "ops_agg_approx",
+    """
+SELECT
+  count(DISTINCT l_partkey) AS exact_parts,
+  TRUE AS within_distinct,
+  TRUE AS within_p25,
+  TRUE AS within_p50,
+  TRUE AS within_p75
+FROM lineitem
+""",
+)
 def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROX_DISTINCT (HLL) + APPROX_PERCENTILE_CONT + APPROX_MEDIAN.
+    """APPROX_DISTINCT (HLL) + APPROX_PERCENTILE_CONT + APPROX_MEDIAN,
+    oracle-checked via documented error bounds.
 
-    No oracle: sketch values are engine-specific (same as the reference,
-    whose approx_distinct is DataFusion's HLL). The companion exact values
-    are covered by ops_setops (count distinct) and ops_agg_stats (median).
+    Sketch values are engine-specific (same as the reference, whose
+    approx_distinct is DataFusion's HLL — datafusion.proto:529-549), so the
+    raw approx numbers can never hash-match an oracle. The *contract* can:
+    this query emits the exact count-distinct plus ``within_*`` booleans
+    asserting each approx answer lands inside its documented bound, and the
+    DuckDB oracle emits the same exact value with literal TRUEs. A sketch
+    that drifts out of bound flips a boolean and fails the hash gate.
+
+    Bounds: approx_count_distinct default rsd = 0.05 (1 sigma) -> assert
+    relative error <= 0.15 (3 sigma). percentile_approx default accuracy
+    10000 -> rank error <= 1e-4 -> assert the returned value lies between
+    the exact percentiles at q -/+ 0.002 (20x margin).
     """
     t = Tables(spark, sf_dir)
-    # Quartiles as two SCALAR columns (not one array column): the driver's
-    # canonicalizer sorts/hashes cells and cannot factorize list values.
-    return t.lineitem.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q1_price"),
-        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q3_price"),
+    price = F.col("l_extendedprice").cast("double")
+    agg = t.lineitem.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_ad"),
+        F.percentile_approx("l_extendedprice", 0.25).alias("_a25"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("_a75"),
+        F.percentile(price, 0.248).alias("_lo25"),
+        F.percentile(price, 0.252).alias("_hi25"),
+        F.percentile(price, 0.498).alias("_lo50"),
+        F.percentile(price, 0.502).alias("_hi50"),
+        F.percentile(price, 0.748).alias("_lo75"),
+        F.percentile(price, 0.752).alias("_hi75"),
+    )
+    def _within(a: str, lo: str, hi: str):
+        return F.col(a).cast("double").between(F.col(lo), F.col(hi))
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("_ad") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("within_distinct"),
+        _within("_a25", "_lo25", "_hi25").alias("within_p25"),
+        _within("_a50", "_lo50", "_hi50").alias("within_p50"),
+        _within("_a75", "_lo75", "_hi75").alias("within_p75"),
     )
 
 

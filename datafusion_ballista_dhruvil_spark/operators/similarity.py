@@ -123,36 +123,73 @@ ORDER BY query_id, cosine DESC, neighbor_id
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for a query set (ANN baseline).
 
-    Norms precomputed per row; queries broadcast against the corpus (at
-    scale: corpus stays partitioned, queries ship to every executor — no
-    corpus shuffle).
+    Single-kernel design (r3, after the r2 bench regression): the query
+    matrix (10 rows) is collected once and shipped in the closure; one
+    mapInPandas pass over the corpus quantizes each row ONCE, scores all
+    queries with one int64 matmul per Arrow batch, and emits only a
+    map-side partial top-5 per query per batch. The old per-pair pandas_udf
+    re-quantized every corpus row |Q| times and shuffled N*|Q| scored rows
+    into the window; now the final exact top-5 window sees <= 50 rows per
+    batch. At scale: corpus stays partitioned, queries ship to every
+    executor — no corpus shuffle, and the candidate set entering the global
+    top-k is O(partitions * |Q| * k).
+
+    Arithmetic is bit-identical to the oracle: exact int64 dot, ->double
+    /1e14, then /(qn*cn), the same op order as the SQL.
     """
+    import numpy as _np
+
     t = Tables(spark, sf_dir)
-    corpus = t.embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        norm(F.col("embedding")).alias("cn"),
-    )
-    q = (
+    qrows = sorted(
         t.embeddings.where(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            norm(F.col("embedding")).alias("qn"),
-        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+    q_ids = _np.array([r.vec_id for r in qrows], dtype=_np.int64)
+    q_int = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in qrows])
+        * _SCALE
+    )
+    q_norm = _np.sqrt(_np.einsum("ij,ij->i", q_int, q_int) / _SCALE_SQ)
+
+    def topk_part(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ai = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64) * _SCALE
+            )
+            cn = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+            # exact int64 dot for every (corpus row, query); bound: 64*(1e8)^2
+            cos = (ai @ q_int.T) / _SCALE_SQ / (q_norm[None, :] * cn[:, None])
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                mids, mcos = ids[mask], cos[mask, j]
+                # partial top-5 by (cosine desc, neighbor_id asc): any global
+                # top-5 row is in its batch's top-5 under the same total order
+                pick = _np.lexsort((mids, -mcos))[:5]
+                out_q.extend([qid] * len(pick))
+                out_n.extend(mids[pick])
+                out_c.extend(mcos[pick])
+            yield _pd.DataFrame(
+                {
+                    "query_id": _pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": _pd.Series(out_n, dtype="int64"),
+                    "cosine": _pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    partial = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        topk_part, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine")
         .orderBy("query_id", F.desc("cosine"), "neighbor_id")

@@ -86,7 +86,23 @@ def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
         df.schema  # force resolution
         return df
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" not in str(e).lower():
+        # Fall back ONLY when the avro DataSource itself is missing from the
+        # classpath. Any other failure (bad path, corrupt file, unsupported
+        # avro type) mentioning 'avro' must surface, not silently reroute to
+        # a codec with different semantics.
+        try:  # Spark 4: getCondition; <=3.x: getErrorClass (deprecated alias)
+            cls = e.getCondition() if hasattr(e, "getCondition") else (
+                e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            )
+        except Exception:
+            cls = None
+        msg = str(e)
+        jar_missing = (
+            cls == "DATA_SOURCE_NOT_FOUND"
+            or "Failed to find data source: avro" in msg
+            or "Failed to find the data source: avro" in msg
+        )
+        if not jar_missing:
             raise
         if options:
             # the fallback codec reads the file's embedded schema and the

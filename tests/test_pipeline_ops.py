@@ -35,13 +35,83 @@ def test_pipeline_matches_oracle(spark, oracle, name):
     assert_query_matches(spark, oracle, QUERIES[name], ORACLES[name], min_rows=min_rows)
 
 
-def test_decode_stub_features_deterministic(spark):
-    """mapInPandas stub decoder: Arrow plumbing yields stable, repeatable rows."""
+def test_decode_features_deterministic(spark):
+    """mapInPandas real BMP decode: Arrow plumbing yields stable rows."""
     df1 = QUERIES["mm_decode_features"](spark, SF_DIR).collect()
     df2 = QUERIES["mm_decode_features"](spark, SF_DIR).collect()
     assert sorted(map(tuple, df1)) == sorted(map(tuple, df2))
     assert all(r.decode_ok for r in df1)
     assert len(df1) == 200
+
+
+def test_bucket_cap_truncation_is_observable(spark):
+    """Mega-bucket truncation must emit a detectable signal (ADVICE r2):
+    the observation counts over-cap buckets and the largest size seen."""
+    from datafusion_ballista_dhruvil_spark.operators.dedup import observe_bucket_cap
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [1, 2])], "k int, ids0 array<int>"
+    )
+    out, obs = observe_bucket_cap(df, "ids0", "test", cap=2)
+    out.collect()
+    m = obs.get
+    assert m["n_truncated"] == 1
+    assert m["max_bucket"] == 3
+
+
+def test_bmp_codec_roundtrip():
+    """encode_bmp -> decode_image recovers exact dims + pixel bytes,
+    including widths whose 3*w is not a multiple of 4 (row padding)."""
+    import numpy as np
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (5, 7), (64, 48)]:
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        blob = encode_bmp(w, h, px.tobytes())
+        w2, h2, arr = decode_image(blob)
+        assert (w2, h2) == (w, h)
+        assert arr.tobytes() == px.tobytes()
+
+
+def test_bmp_bottom_up_and_ppm_decode():
+    """Decoder handles spec-default bottom-up BMP row order and PPM P6."""
+    import struct
+
+    import numpy as np
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import decode_image
+
+    w, h = 2, 2
+    top_down = np.arange(12, dtype=np.uint8).reshape(2, 6)
+    rowsize = (3 * w + 3) // 4 * 4
+    img = np.zeros((h, rowsize), np.uint8)
+    img[:, :6] = top_down[::-1]  # stored bottom-up (positive height)
+    data = img.tobytes()
+    fh = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    _, _, arr = decode_image(fh + ih + data)
+    assert arr.tobytes() == top_down.tobytes()
+
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    w3, h3, a3 = decode_image(ppm)
+    assert (w3, h3) == (2, 2) and a3.tobytes() == bytes(range(12))
+
+
+def test_codec_gate_raises_on_compressed_formats():
+    """PNG/JPEG magic must hit the loud NotImplementedError gate."""
+    import pytest as _pytest
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
 
 def test_cluster_cc_is_transitive_closure(spark):

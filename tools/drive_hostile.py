@@ -63,6 +63,13 @@ subset = [
             "dedup_editdist_verify",
             "udf_grouped_agg",
             "udf_vectorized_score",
+            # pandas_udf/mapInPandas kernels pickled by reference — the
+            # foreign-worker import failure class this drive exists to catch
+            "sim_cosine_topk",
+            "sim_ivf_topk",
+            "sim_ann_bucketed",
+            "mm_decode_features",
+            "mm_resize_thumbnail",
         )
     )
 ]
