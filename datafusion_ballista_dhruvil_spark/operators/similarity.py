@@ -950,6 +950,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_bm25_score('tf_spark', 'df_spark')}"
         f" + {_bm25_score('tf_stream', 'df_stream')}"
     )
+    # unpartitioned windows (wl/ws below): a GLOBAL exact rank is the RRF
+    # operator's semantics; input is one pre-aggregated row per doc/vector
+    # (tens of k at sf0.1). At larger corpora swap row_number for a
+    # two-phase top-k (per-partition rank + merge) before fusion.
     wl = Window.orderBy(F.expr(score).desc(), F.col("doc_id"))
     lex = (
         s.crossJoin(F.broadcast(g))
@@ -1113,4 +1117,130 @@ def sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec"),
         )
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product Quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public paper): split each 64-dim vector
+# into M=8 subvectors of 8 dims; quantize each subvector to the nearest of
+# K=16 per-subspace centroids (here: the subvectors of the 16 seed rows
+# vec_id < 16, a deterministic codebook); a vector compresses to 8 codes.
+# Query scan is ADC (asymmetric distance): one 8x16 lookup table of
+# query-subvector-to-centroid distances, then each database vector's
+# distance is 8 table lookups + adds — no float math per vector at scan
+# time. THE standard memory-compression scale path for 100 TB vector
+# corpora (beyond-reference north star, BASELINE.json).
+
+_SQL_PQ_SUBDIST = (
+    "list_sum(list_transform(list_zip("
+    "{a}[CAST(m.m*8+1 AS INT):CAST(m.m*8+8 AS INT)], "
+    "{b}[CAST(m.m*8+1 AS INT):CAST(m.m*8+8 AS INT)]), p -> "
+    "(CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT)"
+    " - CAST(round(CAST(p[2] AS DOUBLE) * 10000000) AS BIGINT))"
+    " * (CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT)"
+    " - CAST(round(CAST(p[2] AS DOUBLE) * 10000000) AS BIGINT))))"
+)
+
+
+@query(
+    "sim_pq_adc",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS k, embedding AS se FROM embeddings WHERE vec_id < 16
+),
+dists AS (
+  SELECT e.vec_id, m.m, s.k,
+         {_SQL_PQ_SUBDIST.format(a='e.embedding', b='s.se')} AS d
+  FROM embeddings e
+  CROSS JOIN range(0, 8) m(m)
+  CROSS JOIN seeds s
+),
+coded AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (SELECT m, k, d AS dq FROM dists WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id,
+         string_agg(CAST(c.code AS VARCHAR), '-' ORDER BY c.m) AS codes,
+         SUM(l.dq) AS di
+  FROM coded c JOIN lut l ON c.m = l.m AND c.code = l.k
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+)
+SELECT vec_id AS neighbor_id, codes, CAST(di AS DOUBLE) / 1e14 AS pq_dist
+FROM adc
+ORDER BY pq_dist, neighbor_id
+LIMIT 20
+""",
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-20 scan for query vec_id=0.
+
+    Scale posture: the 16-row codebook and the 8x16 ADC lookup table ship
+    in the closure (broadcast); encode + table-lookup scan is one map-only
+    mapInPandas pass over the partitioned corpus — integer math throughout,
+    no per-pair float work, no corpus shuffle. Each batch emits only its
+    partial top-20 (total order: pq_dist asc, neighbor_id asc), so the
+    global exact top-20 sorts O(batches * 20) rows. Codes are emitted so
+    the oracle verifies the ENCODING, not just the distances.
+
+    Determinism: subspace distances are exact int64 (scale-7 quantization,
+    diff^2 <= 8*(2e8)^2 ~ 3.2e17 < 2^63); argmin tie-breaks on smallest
+    centroid id in both engines; the ADC sum converts int->double
+    identically everywhere.
+    """
+    import numpy as _np
+
+    t = Tables(spark, sf_dir)
+    srows = sorted(
+        t.embeddings.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    S = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in srows])
+        * _SCALE
+    ).reshape(16, 8, 8)  # [centroid k, subspace m, dim d]
+    Q = S[0]  # query vec_id=0 is seed 0: its quantized subvectors
+    # ADC lookup table: lut[m, k] = ||Q_m - S_k,m||^2 (exact int64)
+    diffq = Q[None, :, :] - S  # (16, 8, 8)
+    lut = _np.einsum("kmd,kmd->km", diffq, diffq).T.copy()  # (8, 16)
+
+    def pq_scan(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64) * _SCALE
+            ).reshape(len(pdf), 8, 8)
+            codes = _np.empty((len(pdf), 8), dtype=_np.int64)
+            for m in range(8):
+                dm = X[:, None, m, :] - S[None, :, m, :]  # (B, 16, 8)
+                # argmin returns the FIRST minimum = smallest centroid id
+                codes[:, m] = _np.einsum("bkd,bkd->bk", dm, dm).argmin(axis=1)
+            adc = lut[_np.arange(8)[None, :], codes].sum(axis=1)  # int64
+            keep = ids != 0
+            ids, codes, adc = ids[keep], codes[keep], adc[keep]
+            pick = _np.lexsort((ids, adc))[:20]  # partial top-20 per batch
+            yield _pd.DataFrame(
+                {
+                    "neighbor_id": _pd.Series(ids[pick], dtype="int64"),
+                    "codes": ["-".join(map(str, codes[i])) for i in pick],
+                    "pq_dist": _pd.Series(adc[pick] / _SCALE_SQ, dtype="float64"),
+                }
+            )
+
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInPandas(pq_scan, schema="neighbor_id long, codes string, pq_dist double")
+        .orderBy("pq_dist", "neighbor_id")
+        .limit(20)
     )

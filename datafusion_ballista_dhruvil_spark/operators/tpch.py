@@ -668,6 +668,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the post-agg relation, orders of magnitude smaller than lineitem.
     from pyspark.sql.window import Window
 
+    # unpartitioned window is safe here: `rev` is the post-aggregation
+    # per-supplier relation (|suppliers| rows, ~100 at sf0.1), not lineitem
     w = Window.partitionBy()
     return (
         rev.withColumn("max_revenue", F.max("total_revenue").over(w))

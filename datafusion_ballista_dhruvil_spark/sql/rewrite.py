@@ -30,8 +30,14 @@ _PG_CAST = re.compile(
     re.VERBOSE,
 )
 
+# Runs AFTER literal masking: the pattern operand is a \x00N\x00
+# placeholder, so a string literal that merely CONTAINS the text
+# "SIMILAR TO" can never trigger the rewrite. The left operand accepts a
+# parenthesized expression (one nesting level, e.g. ``(a || b)``) or a
+# single non-space token; it is re-emitted verbatim either way.
 _SIMILAR_TO = re.compile(
-    r"(?P<operand>\S+)\s+(?P<neg>NOT\s+)?SIMILAR\s+TO\s+(?P<pat>'[^']*')",
+    r"(?P<operand>\((?:[^()]|\([^()]*\))*\)|\S+)\s+"
+    r"(?P<neg>NOT\s+)?SIMILAR\s+TO\s+(?P<pat>\x00\d+\x00)",
     re.IGNORECASE,
 )
 
@@ -42,7 +48,7 @@ _EXTERNAL_TABLE = re.compile(
     r"(?P<cols>\((?:[^()]|\([^()]*\))*\))?\s*"
     r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
     r"(?P<opts>WITH\s+ORDER\s+\([^)]*\)\s*)?"
-    r"LOCATION\s+(?P<loc>'[^']*')",
+    r"LOCATION\s+(?P<loc>\x00\d+\x00|'[^']*')",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -63,12 +69,24 @@ _STRING_LIT = re.compile(r"'(?:[^']|'')*'")
 
 
 def rewrite_sql(sql: str) -> str:
-    # rewrites that legitimately consume their quoted operand run first ...
+    # String literals are masked FIRST so no rewrite — token-level or
+    # construct-level — can ever touch text inside quotes (e.g.
+    # SELECT 'a::b', or a literal containing the words 'SIMILAR TO').
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = _STRING_LIT.sub(_mask, sql)
+
     def _sim(m: re.Match) -> str:
         neg = "NOT " if m.group("neg") else ""
-        return f"{m.group('operand')} {neg}RLIKE {_similar_to_regex(m.group('pat'))}"
+        idx = int(m.group("pat").strip("\x00"))
+        literals[idx] = _similar_to_regex(literals[idx])
+        return f"{m.group('operand')} {neg}RLIKE {m.group('pat')}"
 
-    out = _SIMILAR_TO.sub(_sim, sql)
+    out = _SIMILAR_TO.sub(_sim, out)
 
     def _ext(m: re.Match) -> str:
         ifne = m.group("if") or ""
@@ -79,16 +97,6 @@ def rewrite_sql(sql: str) -> str:
         )
 
     out = _EXTERNAL_TABLE.sub(_ext, out)
-
-    # ... then string literals are masked so token-level rewrites can never
-    # touch text inside quotes (e.g. SELECT 'a::b').
-    literals: list[str] = []
-
-    def _mask(m: re.Match) -> str:
-        literals.append(m.group(0))
-        return f"\x00{len(literals) - 1}\x00"
-
-    out = _STRING_LIT.sub(_mask, out)
 
     out = _PG_CAST.sub(lambda m: f"CAST({m.group('operand')} AS {m.group('type')})", out)
     for old, new in SQL_NAME_REWRITES.items():

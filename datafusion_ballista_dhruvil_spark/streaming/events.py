@@ -655,6 +655,8 @@ def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 3, 'signup>click>purchase', s3) AS (stage_ord, stage, n_users)"
         )
     )
+    # unpartitioned window is safe here: input is the stack() of exactly
+    # 3 already-aggregated funnel rows, not per-event data
     w = Window.orderBy("stage_ord")
     return stages.select(
         "stage_ord",

@@ -42,6 +42,67 @@ def test_register_catalog_create_insert_read(spark, tmp_path):
     assert tbl.count() == 3
 
 
+ICEBERG_DRIVER_SRC = '''\
+import os, sys
+
+from pyspark.sql import SparkSession
+
+jar, wh = sys.argv[1], sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("iceberg-integration")
+    .config("spark.jars", jar)
+    .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.ice.type", "hadoop")
+    .config("spark.sql.catalog.ice.warehouse", wh)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sql("CREATE NAMESPACE IF NOT EXISTS ice.db")
+spark.sql("CREATE TABLE ice.db.t (id BIGINT, v STRING) USING iceberg")
+spark.sql("INSERT INTO ice.db.t VALUES (1, 'a'), (2, 'b')")
+spark.sql("INSERT INTO ice.db.t VALUES (3, 'c')")
+rows = spark.sql("SELECT count(*) AS n FROM ice.db.t").collect()
+assert rows[0].n == 3, rows
+snaps = spark.sql("SELECT count(*) AS n FROM ice.db.t.snapshots").collect()
+assert snaps[0].n >= 2, snaps  # metadata table proves Iceberg, not a misroute
+print("ICEBERG_OK")
+spark.stop()
+'''
+
+
+@pytest.mark.skipif(
+    "ICEBERG_JAR" not in __import__("os").environ,
+    reason="set ICEBERG_JAR=/path/to/iceberg-spark-runtime_*.jar to run "
+    "(jar unobtainable in this container: no network, no cache)",
+)
+def test_iceberg_runtime_integration(tmp_path):
+    """Real Iceberg read/write (reference fork feature #1: iceberg-rust dep,
+    Cargo.toml:44-46 + IcebergExtensionCodec, serde/mod.rs:90). Runs only
+    when ICEBERG_JAR points at an iceberg-spark-runtime jar — a cluster
+    user gets instant validation; in-container it skips with the recipe."""
+    import os
+    import subprocess
+    import sys
+
+    driver = tmp_path / "ice_driver.py"
+    driver.write_text(ICEBERG_DRIVER_SRC)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(driver),
+            os.environ["ICEBERG_JAR"],
+            str(tmp_path / "warehouse"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ICEBERG_OK" in proc.stdout
+
+
 def test_iceberg_catalog_gate_is_explicit(spark):
     """With no Iceberg jar on the classpath, using a registered Iceberg
     catalog must fail LOUDLY with the class name in the error (so the

@@ -118,6 +118,27 @@ def test_rewrite_pg_cast_and_similar_to(ctx):
     assert len(row) == 1
 
 
+def test_rewrite_similar_to_adversarial(ctx):
+    # parenthesized operand (r2 VERDICT: \S+ operand grammar) — rewritten,
+    # operand emitted verbatim
+    out = rewrite_sql("SELECT * FROM t WHERE (a || b) SIMILAR TO 'x_y%'")
+    assert "(a || b) RLIKE '^x.y.*$'" in out
+    # NOT SIMILAR TO with parenthesized operand
+    out = rewrite_sql("SELECT (lower(a)) NOT SIMILAR TO 'z%' FROM t")
+    assert "(lower(a)) NOT RLIKE '^z.*$'" in out
+    # a string literal CONTAINING the words must never be touched
+    sql = "SELECT 'name SIMILAR TO pattern' AS doc FROM t"
+    assert rewrite_sql(sql) == sql
+    # literal with escaped quote next to a real SIMILAR TO
+    out = rewrite_sql("SELECT 'it''s' AS s, a SIMILAR TO 'b%' AS m FROM t")
+    assert "'it''s'" in out and "a RLIKE '^b.*$'" in out
+    # end-to-end through the session
+    rows = ctx.sql(
+        "SELECT ('a' || 'bc') SIMILAR TO 'ab%' AS m, 'x SIMILAR TO y' AS lit"
+    ).collect()
+    assert rows[0].m is True and rows[0].lit == "x SIMILAR TO y"
+
+
 def test_compat_function_names(ctx):
     # DataFusion spellings through the session shims (functions/compat.py)
     row = ctx.sql(
