@@ -3,10 +3,12 @@ BASELINE.json).
 
 Media are opaque ``binary`` payloads with a typed metadata struct; the
 Spark-side plumbing — schema, partitioning, Arrow-batched UDF signature,
-batch shape — is real and tested. The actual byte decoding (image decode,
-audio resample, video frame extraction) is STUBBED with a deterministic fake
-because codec libraries are not available in this container; the stub is
-clearly marked and raises/flags when a real decoder is expected.
+batch shape — is real and tested. Image decoding is REAL for uncompressed
+containers (pure-numpy BMP 24-bit BI_RGB + PPM P6 codec below: header
+parse, row-padding strip, bottom-up flip); compressed/codec formats
+(PNG/JPEG, audio resample, video frame extraction) need libraries absent
+in this container and raise a loud NotImplementedError gate in
+``decode_image``.
 
 Scale posture at 100 TB:
 - payloads live in their own column so column pruning keeps metadata-only
@@ -357,3 +359,114 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batch,
         schema="doc_id long, width long, height long, mean_pixel double, decode_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_ahash",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         ((octet_length(encode(text)) % 64) + 1)
+           * ((octet_length(encode(text)) % 48) + 1) * 3 AS npix
+  FROM documents WHERE doc_id < 200
+), sized AS (
+  SELECT doc_id, text, n, npix,
+         CASE WHEN n > 0 THEN npix % n ELSE 0 END AS rem,
+         CASE WHEN n > 0
+              THEN list_transform(string_split(text, ''), c -> ord(c))
+              ELSE NULL END AS bl
+  FROM base
+), summed AS (
+  SELECT doc_id, n, npix, bl,
+         CASE WHEN n = 0 THEN 127 * npix
+              ELSE (npix // n) * list_sum(bl)
+                   + CASE WHEN rem > 0
+                          THEN list_sum(bl[1:CAST(rem AS INT)]) ELSE 0 END
+         END AS s
+  FROM sized
+), hashed AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 64), i ->
+           CASE WHEN (CASE WHEN n = 0 THEN 127
+                      ELSE bl[CAST(((i * npix // 64) % n) + 1 AS INT)] END)
+                     * npix > s
+                THEN '1' ELSE '0' END), '') AS ahash
+  FROM summed
+)
+SELECT doc_id, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
+FROM hashed
+ORDER BY doc_id
+""",
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash fingerprint over DECODED image pixels — the
+    image-dedup analogue of text fingerprinting (public aHash scheme: a bit
+    per sample = pixel > image mean; identical/near-identical images
+    collide, enabling hash-bucket image dedup with no pairwise compare).
+
+    Pipeline: encode the deterministic BMP (as in mm_decode_features),
+    REALLY decode it (header parse + padding strip via decode_image), then
+    64 evenly-spaced pixel samples compare against the exact image mean in
+    pure integer arithmetic (pixel * npix > sum — no float mean, so the
+    bit pattern is engine-exact). Output joins a per-hash collision count
+    (the dedup signal) via a window over the 32-char hash only.
+
+    Scale: decode + hash is map-only over the binary column; the only
+    shuffle carries (doc_id, 64-bit hash) — bytes never move. Collision
+    groups then drive the same keep-min/cluster machinery as text dedup.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+        encode_bmp as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                w, h = (n % 64) + 1, (n % 48) + 1
+                npix = w * h * 3
+                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                images.append(_enc(w, h, px.tobytes()))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
+
+    def ahash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        idx = _np.arange(64, dtype=_np.int64)
+        for pdf in it:
+            hashes = []
+            for b in pdf["image"]:
+                _, _, px = _dec(bytes(b))
+                flat = px.reshape(-1).astype(_np.int64)  # row-major = tile order
+                npix = flat.size
+                s = int(flat.sum())
+                pos = idx * npix // 64
+                bits = flat[pos] * npix > s
+                hashes.append("".join("1" if v else "0" for v in bits))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    hashed = (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, image binary")
+        .mapInPandas(ahash_batch, schema="doc_id long, ahash string")
+    )
+    from pyspark.sql.window import Window as _W
+
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(_W.partitionBy("ahash")).cast("bigint").alias(
+            "n_same_hash"
+        ),
+    ).orderBy("doc_id")

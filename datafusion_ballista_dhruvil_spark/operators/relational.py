@@ -527,27 +527,48 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bounds: approx_count_distinct default rsd = 0.05 (1 sigma) -> assert
     relative error <= 0.15 (3 sigma). percentile_approx default accuracy
-    10000 -> rank error <= 1e-4 -> assert the returned value lies between
-    the exact percentiles at q -/+ 0.002 (20x margin).
+    10000 -> rank error <= 1e-4, and it returns an actual data value -> a
+    valid sandwich is [type-1 quantile at q-0.002, type-1 quantile at
+    q+0.002] (20x rank margin; monotone rank->value). The boundary
+    quantiles come from the two-phase binned weighted_quantile helper with
+    unit weights — exact F.percentile would buffer EVERY value per
+    aggregate (6 copies of the column on one reducer, the few-groups
+    collapse that dies at scale; it benched 19s at sf0.1 vs ~1s for this).
     """
     t = Tables(spark, sf_dir)
-    price = F.col("l_extendedprice").cast("double")
+    staged = t.lineitem.select(
+        F.lit(1).alias("g"),
+        dec2("l_extendedprice").alias("p"),
+        F.lit(1).alias("w"),
+    )
+    bounds = weighted_quantile(
+        staged,
+        value="p",
+        weight="w",
+        group_cols=["g"],
+        qs={
+            "_lo25": (31, 125),
+            "_hi25": (63, 250),
+            "_lo50": (249, 500),
+            "_hi50": (251, 500),
+            "_lo75": (187, 250),
+            "_hi75": (94, 125),
+        },
+    ).drop("g")
     agg = t.lineitem.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("_ad"),
         F.percentile_approx("l_extendedprice", 0.25).alias("_a25"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_a50"),
         F.percentile_approx("l_extendedprice", 0.75).alias("_a75"),
-        F.percentile(price, 0.248).alias("_lo25"),
-        F.percentile(price, 0.252).alias("_hi25"),
-        F.percentile(price, 0.498).alias("_lo50"),
-        F.percentile(price, 0.502).alias("_hi50"),
-        F.percentile(price, 0.748).alias("_lo75"),
-        F.percentile(price, 0.752).alias("_hi75"),
     )
+
     def _within(a: str, lo: str, hi: str):
-        return F.col(a).cast("double").between(F.col(lo), F.col(hi))
-    return agg.select(
+        return F.col(a).cast("double").between(
+            F.col(lo).cast("double"), F.col(hi).cast("double")
+        )
+
+    return agg.crossJoin(F.broadcast(bounds)).select(
         "exact_parts",
         (
             F.abs(F.col("_ad") - F.col("exact_parts"))

@@ -942,3 +942,64 @@ def text_chunk_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "chunk_md5")
         .limit(200)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_quality_classifier",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(string_split(text, ' '), t ->
+    (CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 2001) - 1000))
+    AS BIGINT) AS qsum,
+  (CAST(list_sum(list_transform(string_split(text, ' '), t ->
+    (CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 2001) - 1000))
+    AS BIGINT) * 20 >= -1000 * len(string_split(text, ' '))) AS keep
+FROM documents
+WHERE doc_id < 400
+ORDER BY doc_id
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over hashed token features
+    (Joulin et al. 2016, public): each token maps to a weight via a hash —
+    no vocabulary table at all — and the document score is the weight sum;
+    keep/drop thresholds on the mean weight. This is the quality-filter
+    shape CCNet/LLM-pretrain pipelines run over every crawled document.
+
+    Weights are md5-derived integers in [-1000, 1000] (first 4 md5 hex
+    chars mod 2001, identical bytes in any engine), the score is an exact
+    int64 sum, and the keep decision (mean weight >= -50) is pure integer
+    arithmetic: 20*qsum >= -1000*n_tokens. No transcendental sigmoid — the
+    monotone threshold decision is identical with or without it.
+
+    Scale: map-only expression work (hash + sum per row, no UDF, no
+    shuffle, no weight table to broadcast — the hash IS the weight table);
+    a learned model swaps the md5 expression for a broadcast weight map,
+    same plan shape.
+    """
+    t = Tables(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 400).select(
+        "doc_id", _toks().alias("toks")
+    )
+    weights = F.transform(
+        "toks",
+        lambda x: (
+            F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long") % 2001
+        )
+        - 1000,
+    )
+    docs = docs.select(
+        "doc_id",
+        F.array_size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("qsum"),
+    )
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        "qsum",
+        (F.col("qsum") * 20 >= F.col("n_tokens") * -1000).alias("keep"),
+    ).orderBy("doc_id")
