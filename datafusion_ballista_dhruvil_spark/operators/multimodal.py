@@ -3,12 +3,12 @@ BASELINE.json).
 
 Media are opaque ``binary`` payloads with a typed metadata struct; the
 Spark-side plumbing — schema, partitioning, Arrow-batched UDF signature,
-batch shape — is real and tested. Image decoding is REAL for uncompressed
-containers (pure-numpy BMP 24-bit BI_RGB + PPM P6 codec below: header
-parse, row-padding strip, bottom-up flip); compressed/codec formats
-(PNG/JPEG, audio resample, video frame extraction) need libraries absent
-in this container and raise a loud NotImplementedError gate in
-``decode_image``.
+batch shape — is real and tested. Decoding is REAL for uncompressed
+containers: pure-numpy BMP 24-bit BI_RGB + PPM P6 (header parse,
+row-padding strip, bottom-up flip) and WAV RIFF PCM16 mono (chunk walk,
+word alignment). Compressed/codec formats (PNG/JPEG/MP3/AAC, video frame
+extraction) need libraries absent in this container and raise a loud
+NotImplementedError gate in ``decode_image`` / ``decode_audio``.
 
 Scale posture at 100 TB:
 - payloads live in their own column so column pruning keeps metadata-only
@@ -470,3 +470,159 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_hash"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Pure-numpy audio container codec (WAV RIFF, PCM16 mono). Same posture as
+# the BMP codec: REAL header/chunk parsing for the uncompressed container
+# (RIFF/WAVE + fmt/data chunk walk per the public RIFF spec); compressed
+# formats (MP3/AAC/OGG magic, non-PCM format tags) raise the loud gate.
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Encode an int16 numpy array as a PCM16 mono WAV file."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_audio(payload: bytes):
+    """Decode a PCM16 mono WAV to ``(sample_rate, samples)`` (int16 array).
+
+    Walks RIFF chunks for real (fmt may precede or follow other chunks;
+    odd-sized chunks are word-padded per spec). Non-RIFF magic (MP3 frame
+    sync, OggS, ...) and non-PCM16-mono format tags raise
+    NotImplementedError — compressed audio needs a codec library.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"magic {payload[:4]!r}: compressed audio (MP3/AAC/OGG/...) needs "
+            "a codec library, not installed in this container"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # word-align odd chunks
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_format} channels={channels} bits={bits}: "
+            "only PCM16 mono is decoded natively"
+        )
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_audio_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 200
+), amp AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN NULL
+              ELSE list_transform(string_split(text, ''), c -> abs(ord(c) - 128))
+         END AS a
+  FROM base
+)
+SELECT doc_id,
+  CAST(16000 AS BIGINT) AS sample_rate,
+  CAST(GREATEST(n, 1) AS BIGINT) AS n_samples,
+  CAST(GREATEST(n, 1) * 1000 // 16000 AS BIGINT) AS duration_ms,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE CAST(256 * list_sum(a) AS DOUBLE) / n END AS mean_abs,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE 256 * list_max(a) END AS BIGINT) AS peak
+FROM amp
+ORDER BY doc_id
+""",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature-extract: documents' bytes synthesize a
+    PCM16 mono WAV (sample_i = (byte_i - 128) * 256 at 16 kHz; one zero
+    sample for empty docs), then :func:`decode_audio` genuinely parses the
+    RIFF container — chunk walk, fmt validation — and the features
+    (sample rate, sample count, duration, mean |amplitude|, peak) come
+    from the DECODED samples. Compressed audio magic hits the loud gate.
+
+    The synthesis is deterministic byte math, so the DuckDB oracle
+    recomputes the decoded features arithmetically; a chunk-walk bug
+    (missed word padding, wrong data offset) breaks the hash. Map-only:
+    audio bytes never shuffle; rows carry features.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_audio as _dec,
+        encode_wav as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            wavs = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                if len(tb):
+                    samples = (tb.astype(_np.int64) - 128) * 256
+                else:
+                    samples = _np.zeros(1, dtype=_np.int64)
+                wavs.append(_enc(16000, samples.astype("<i2")))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "audio": wavs})
+
+    def feature_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rates, counts, durs, means, peaks = [], [], [], [], []
+            for b in pdf["audio"]:
+                rate, samples = _dec(bytes(b))
+                a = _np.abs(samples.astype(_np.int64))
+                rates.append(rate)
+                counts.append(len(samples))
+                durs.append(len(samples) * 1000 // rate)
+                means.append(float(int(a.sum())) / len(samples))
+                peaks.append(int(a.max()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": _pd.Series(rates, dtype="int64"),
+                    "n_samples": _pd.Series(counts, dtype="int64"),
+                    "duration_ms": _pd.Series(durs, dtype="int64"),
+                    "mean_abs": _pd.Series(means, dtype="float64"),
+                    "peak": _pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, audio binary")
+        .mapInPandas(
+            feature_batch,
+            schema="doc_id long, sample_rate long, n_samples long, "
+            "duration_ms long, mean_abs double, peak long",
+        )
+        .orderBy("doc_id")
+    )

@@ -555,8 +555,13 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_hi75": (94, 125),
         },
     ).drop("g")
+    # exact count-distinct and the sketches run as SEPARATE aggregates:
+    # mixing a DISTINCT aggregate with percentile_approx in one agg makes
+    # Spark plan the expand-based multi-distinct around the sketch buffers
+    # too — measured 11s vs 1.4s for the split form at sf0.1. Two scans of
+    # a columnar source beat one pathological pass.
+    exact = t.lineitem.agg(F.countDistinct("l_partkey").alias("exact_parts"))
     agg = t.lineitem.agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("_ad"),
         F.percentile_approx("l_extendedprice", 0.25).alias("_a25"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_a50"),
@@ -568,7 +573,7 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(lo).cast("double"), F.col(hi).cast("double")
         )
 
-    return agg.crossJoin(F.broadcast(bounds)).select(
+    return agg.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(bounds)).select(
         "exact_parts",
         (
             F.abs(F.col("_ad") - F.col("exact_parts"))

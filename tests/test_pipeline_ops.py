@@ -102,6 +102,54 @@ def test_bmp_bottom_up_and_ppm_decode():
     assert (w3, h3) == (2, 2) and a3.tobytes() == bytes(range(12))
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode_wav -> decode_audio recovers rate + exact samples; the chunk
+    walker must survive a leading odd-sized chunk (word-padding rule)."""
+    import struct
+
+    import numpy as np
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=137, dtype=np.int16)
+    rate, back = decode_audio(encode_wav(16000, samples))
+    assert rate == 16000 and np.array_equal(back, samples)
+
+    # inject an odd-sized LIST chunk before fmt/data: the walker must
+    # word-align past it, not misparse fmt
+    wav = encode_wav(8000, samples[:5])
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to 4
+    hacked = wav[:12] + odd + wav[12:]
+    hacked = hacked[:4] + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    rate2, back2 = decode_audio(hacked)
+    assert rate2 == 8000 and np.array_equal(back2, samples[:5])
+
+
+def test_audio_gate_raises_on_compressed_formats():
+    import struct
+
+    import pytest as _pytest
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3 frame sync
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"OggS" + b"\x00" * 64)
+    # PCM but stereo -> gate, not silent misdecode
+    wav = encode_wav(16000, [0, 1, 2, 3])
+    stereo = wav[:22] + struct.pack("<H", 2) + wav[24:]
+    with _pytest.raises(NotImplementedError):
+        decode_audio(stereo)
+
+
 def test_codec_gate_raises_on_compressed_formats():
     """PNG/JPEG magic must hit the loud NotImplementedError gate."""
     import pytest as _pytest

@@ -68,8 +68,11 @@ subset = [
             "sim_cosine_topk",
             "sim_ivf_topk",
             "sim_ann_bucketed",
+            "sim_pq_adc",
             "mm_decode_features",
             "mm_resize_thumbnail",
+            "mm_image_ahash",
+            "mm_audio_features",
         )
     )
 ]
