@@ -230,3 +230,44 @@ def test_random_projection_sign_table_broadcasts(spark):
     plan = formatted_plan(QUERIES["sim_random_projection"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_is_map_only_scan(spark):
+    # PQ encode + ADC scan must be one map-only mapInPandas pass over the
+    # partitioned corpus (codebook ships in the closure): no join of any
+    # kind, and the only exchange is the final top-20 global sort.
+    plan = formatted_plan(QUERIES["sim_pq_adc"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert exchange_count(QUERIES["sim_pq_adc"](spark, SF_DIR)) <= 1
+
+
+def test_image_ahash_shuffles_hashes_not_bytes(spark):
+    # Decode + hash are map-side; the only shuffle input is (doc_id, ahash)
+    # — binary image/payload columns must never reach an exchange.
+    import re
+
+    plan = formatted_plan(QUERIES["mm_image_ahash"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    # the window over ahash requires exactly one hash exchange...
+    assert len(parts) == 1, parts
+    # ...and it must carry the 32-char hash, never binary columns
+    assert "ahash" in parts[0]
+    assert "payload" not in parts[0] and "image" not in parts[0]
+
+
+def test_audio_features_map_only(spark):
+    # WAV synth + decode + features: map-only, orderBy is the lone exchange.
+    plan = formatted_plan(QUERIES["mm_audio_features"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert exchange_count(QUERIES["mm_audio_features"](spark, SF_DIR)) <= 1
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    # Hashed-feature scoring is pure expression work: no exchange except
+    # the output sort, no UDF/python nodes at all.
+    plan = formatted_plan(QUERIES["text_quality_classifier"](spark, SF_DIR))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert exchange_count(QUERIES["text_quality_classifier"](spark, SF_DIR)) <= 1
