@@ -93,3 +93,55 @@ def test_random_query_matches_oracle(spark, oracle, ast):
 
     assert len(srows) == len(orows), sql
     assert _normalize(srows, scols) == _normalize(orows, ocols), sql
+
+
+# ---------------------------------------------------------------------------
+# SQL rewrite property tests (pure-Python, no Spark): the literal-masking
+# invariant over sqlparser-corpus-shaped inputs (r2 VERDICT item 6).
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+# literal body: anything printable without quotes, plus doubled quotes
+_lit_body = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters="'"
+    ),
+    max_size=40,
+)
+
+
+@given(body=_lit_body)
+@settings(max_examples=200, deadline=None)
+def test_rewrite_never_touches_literal_contents(body):
+    """Whatever a string literal contains — '::', 'SIMILAR TO', function
+    names, 'CREATE EXTERNAL TABLE' — rewrite_sql must emit it verbatim."""
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    sql = f"SELECT '{body}' AS s, 'x SIMILAR TO y' AS t FROM docs"
+    assert rewrite_sql(sql) == sql
+
+
+@given(a=_ident, b=_ident, pat=st.from_regex(r"[a-z%_]{1,8}", fullmatch=True))
+@settings(max_examples=200, deadline=None)
+def test_rewrite_similar_to_operand_shapes(a, b, pat):
+    """SIMILAR TO rewrites for both simple and parenthesized operands; the
+    operand text is preserved byte-for-byte and the pattern is anchored."""
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import (
+        _similar_to_regex,
+        rewrite_sql,
+    )
+
+    want = _similar_to_regex(f"'{pat}'")
+    out1 = rewrite_sql(f"SELECT {a} SIMILAR TO '{pat}' FROM t")
+    assert f"{a} RLIKE {want}" in out1
+    out2 = rewrite_sql(f"SELECT ({a} || {b}) NOT SIMILAR TO '{pat}' FROM t")
+    assert f"({a} || {b}) NOT RLIKE {want}" in out2
+
+
+@given(body=_lit_body, ty=st.sampled_from(["INT", "VARCHAR(10)", "DECIMAL(12,2)"]))
+@settings(max_examples=100, deadline=None)
+def test_rewrite_pg_cast_on_masked_literal(body, ty):
+    """'lit'::TYPE casts rewrite with the literal restored untouched."""
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    out = rewrite_sql(f"SELECT '{body}'::{ty} FROM t")
+    assert out == f"SELECT CAST('{body}' AS {ty}) FROM t"
