@@ -298,6 +298,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_signatures(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): banded MinHash signatures from the per-doc
+    shingle-set arrays — shared by within-corpus LSH (_verified_pairs) and
+    incremental cross-corpus LSH (dedup_incremental_lsh).
+
+    One md5 per shingle -> K universal-hash derivations
+    ``(a_j*h0 + b_j) mod (2^31-1)`` -> K min-aggregates (map-side partial,
+    one shuffle of K ints per doc) -> BANDS concatenated band signatures.
+    """
+    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
+    P = 2_147_483_647
+    h0 = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % P
+    ).alias("h0")
+    hashed = sh.select("doc_id", h0)
+    mh = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * j + 3) * F.col("h0") + F.lit(104729 * j + 12345)) % P
+            ).alias(f"m{j}")
+            for j in range(K)
+        ]
+    )
+    band_sigs = [
+        F.concat_ws(
+            "|", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"sig{b}")
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(BANDS))
+    return mh.select("doc_id", *band_sigs).select(
+        "doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)")
+    )
+
+
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d1, d2, jaccard): LSH candidate pairs verified at J >= 0.5, d1 < d2.
 
@@ -323,30 +358,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       not shingle-count-sized.
     """
     arrs = _shingle_arrays(spark, sf_dir).cache()
-    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
-    P = 2_147_483_647
-    h0 = (
-        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % P
-    ).alias("h0")
-    hashed = sh.select("doc_id", h0)
-    mh = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(2 * j + 3) * F.col("h0") + F.lit(104729 * j + 12345)) % P
-            ).alias(f"m{j}")
-            for j in range(K)
-        ]
-    )
-    band_sigs = [
-        F.concat_ws(
-            "|", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        ).alias(f"sig{b}")
-        for b in range(BANDS)
-    ]
-    stack_args = ", ".join(f"{b}, sig{b}" for b in range(BANDS))
-    bands = mh.select("doc_id", *band_sigs).select(
-        "doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)")
-    )
+    bands = _band_signatures(arrs)
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ids0"))
@@ -876,5 +888,90 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
         .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES}
+SELECT d1 AS new_doc, d2 AS old_doc, jaccard
+FROM pairs WHERE d1 < 250 AND d2 >= 250
+ORDER BY jaccard DESC, new_doc, old_doc
+LIMIT 100
+""",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: which INCOMING docs
+    (doc_id < 250, the new ingest batch) duplicate an EXISTING doc
+    (doc_id >= 250, the already-deduped corpus)? This is the production
+    incremental-ingest shape: a new crawl batch is checked against the
+    corpus WITHOUT re-pairing the corpus against itself.
+
+    Scale: band signatures are computed for both sides with the shared
+    MinHash pipeline, but pair emission is restricted to NEW x OLD within
+    each (band, signature) bucket — per-bucket work is |new|*|old|, never
+    |bucket|^2, and an all-old bucket (the overwhelming majority at steady
+    state, where the corpus dwarfs each batch) emits NOTHING. Both sides
+    of a bucket are capped at MAX_BUCKET_DOCS with the same observable
+    truncation guard. Candidates are then exact-Jaccard-verified against
+    the per-doc shingle sets, J >= 0.5.
+
+    The oracle computes all within-threshold pairs and filters to the
+    cross split (d1 < d2 makes d1 the incoming side) — same answer, so the
+    restricted emission is machine-checked equivalent.
+    """
+    SPLIT = 250
+    arrs = _shingle_arrays(spark, sf_dir).cache()
+    bands = _band_signatures(arrs)
+    buckets = (
+        bands.withColumn("is_new", F.col("doc_id") < SPLIT)
+        .groupBy("band", "sig")
+        .agg(
+            F.collect_list(F.when(F.col("is_new"), F.col("doc_id"))).alias("new0"),
+            F.collect_list(F.when(~F.col("is_new"), F.col("doc_id"))).alias("old0"),
+        )
+        # all-old (or all-new) buckets emit nothing and drop immediately
+        .where((F.array_size("new0") >= 1) & (F.array_size("old0") >= 1))
+    )
+    buckets, _ = observe_bucket_cap(buckets, "old0", "incremental_lsh")
+    cand = (
+        buckets.select(
+            F.slice(F.array_sort("new0"), 1, MAX_BUCKET_DOCS).alias("nids"),
+            F.slice(F.array_sort("old0"), 1, MAX_BUCKET_DOCS).alias("oids"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(nids, x -> transform(oids, y -> "
+                    "struct(x AS new_doc, y AS old_doc))))"
+                )
+            ).alias("p")
+        )
+        .select("p.new_doc", "p.old_doc")
+        .distinct()
+    )
+    s1 = arrs.select(F.col("doc_id").alias("new_doc"), F.col("ss").alias("ss1"))
+    s2 = arrs.select(F.col("doc_id").alias("old_doc"), F.col("ss").alias("ss2"))
+    common = F.array_size(F.array_intersect(F.col("ss1"), F.col("ss2")))
+    jac = F.col("common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("common")
+    )
+    return (
+        cand.join(s1, "new_doc")
+        .join(s2, "old_doc")
+        .select(
+            "new_doc",
+            "old_doc",
+            common.alias("common"),
+            F.array_size("ss1").alias("n1"),
+            F.array_size("ss2").alias("n2"),
+        )
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("new_doc", "old_doc", "jaccard")
+        .orderBy(F.desc("jaccard"), "new_doc", "old_doc")
         .limit(100)
     )

@@ -44,6 +44,24 @@ def test_decode_features_deterministic(spark):
     assert len(df1) == 200
 
 
+def test_incremental_lsh_equals_filtered_full_pairs(spark):
+    """Restricted NEW x OLD bucket emission must find exactly the cross
+    pairs the full within-corpus pipeline finds (no recall loss from
+    skipping all-old buckets)."""
+    from datafusion_ballista_dhruvil_spark.operators.dedup import _verified_pairs
+
+    inc = {
+        (r.new_doc, r.old_doc)
+        for r in QUERIES["dedup_incremental_lsh"](spark, SF_DIR).collect()
+    }
+    full = {
+        (r.d1, r.d2)
+        for r in _verified_pairs(spark, SF_DIR).collect()
+        if r.d1 < 250 <= r.d2
+    }
+    assert inc == full and inc  # equal, and non-vacuous at sf0.01
+
+
 def test_bucket_cap_truncation_is_observable(spark):
     """Mega-bucket truncation must emit a detectable signal (ADVICE r2):
     the observation counts over-cap buckets and the largest size seen."""
