@@ -42,6 +42,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: slots re-verify queries materially changed this round (bounded
 #: ops_agg_approx oracle, real mm_decode_features decoder, sim_cosine_topk
 #: after the perf re-measure).
+#:
+#: ROUND-4 ROTATION NOTE: put the queries ADDED in r3 first — sim_pq_adc,
+#: text_quality_classifier, mm_image_ahash, mm_audio_features,
+#: dedup_incremental_lsh (all local-green via tests/driver_diff.py but
+#: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [
     # temporal / sampling / splits (7)
     "range_recent_clicks",
