@@ -217,3 +217,38 @@ def test_lsh_normal_path_unchanged_by_cap(spark, monkeypatch):
         for r in dedup._verified_pairs(spark, "unused").collect()
     )
     assert capped == uncapped and len(capped) >= 2
+
+
+def test_image_pipeline_survives_empty_and_tiny_payloads(spark, monkeypatch):
+    """Empty doc -> 1x1 gray BMP (mean 127, all-zero ahash bits); 1-byte
+    doc -> 2x2 image; decode path must not div-by-zero or misparse."""
+    import datafusion_ballista_dhruvil_spark.operators.multimodal as mm
+
+    docs = _docs(spark, ["", "x", "hello world"])
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(mm, "Tables", FakeTables)
+    feats = {r.doc_id: r for r in mm.mm_decode_features(spark, "unused").collect()}
+    assert feats[0].width == 1 and feats[0].height == 1
+    assert feats[0].mean_pixel == 127.0 and feats[0].decode_ok
+    assert feats[1].width == 2 and feats[1].height == 2
+    hashes = {r.doc_id: r for r in mm.mm_image_ahash(spark, "unused").collect()}
+    assert hashes[0].ahash == "0" * 64  # no pixel exceeds the uniform mean
+    assert len(hashes[2].ahash) == 64
+
+
+def test_audio_pipeline_survives_empty_payload(spark, monkeypatch):
+    """Empty doc synthesizes one zero sample: duration 0 ms, silence."""
+    import datafusion_ballista_dhruvil_spark.operators.multimodal as mm
+
+    docs = _docs(spark, ["", "abc"])
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(mm, "Tables", FakeTables)
+    rows = {r.doc_id: r for r in mm.mm_audio_features(spark, "unused").collect()}
+    assert rows[0].n_samples == 1 and rows[0].mean_abs == 0.0 and rows[0].peak == 0
+    assert rows[1].n_samples == 3 and rows[1].sample_rate == 16000
