@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datafusion_ballista_dhruvil_spark.operators.registry import query
 from datafusion_ballista_dhruvil_spark.session import Tables
@@ -974,4 +975,134 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "old_doc", "jaccard")
         .orderBy(F.desc("jaccard"), "new_doc", "old_doc")
         .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+#: rolling-window width (tokens) for exact substring-span dedup
+SPAN_W = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS s,
+         md5(array_to_string(tk[i:i+{SPAN_W - 1}], ' ')) AS h
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(tk) - {SPAN_W - 2})) AS i
+  ) g
+  WHERE len(tk) >= {SPAN_W}
+),
+shared AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins
+  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.s, sh.nd FROM wins w JOIN shared sh USING (h)
+),
+islands AS (
+  SELECT doc_id, s, nd,
+         SUM(CASE WHEN prev_s IS NULL OR s - prev_s > {SPAN_W}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, s, nd,
+           LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev_s
+    FROM hits
+  )
+)
+SELECT doc_id,
+       CAST(MIN(s) AS INTEGER) AS span_start,
+       CAST(MAX(s) + {SPAN_W - 1} AS INTEGER) AS span_end,
+       CAST(MAX(s) - MIN(s) + {SPAN_W} AS INTEGER) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MAX(nd) AS BIGINT) AS max_docs_sharing
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection with span merging — the
+    token-window rolling-hash dedup of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" (remove exact duplicate
+    passages >= W tokens even when the surrounding documents differ),
+    re-expressed as three shuffle-bounded DataFrame stages:
+
+    1. **Window fingerprints** (map-only): per doc, md5 of every
+       overlapping W=8-token window via transform(sequence)+posexplode —
+       O(tokens) windows, no pairs.
+    2. **Shared-window filter**: groupBy(hash) keeps hashes seen in >= 2
+       distinct docs (count aggregate, never pair emission — the hottest
+       boilerplate window is one counter), then an equi-join marks the
+       surviving (doc, position) hits; only 16-byte digests + ints
+       shuffle.
+    3. **Span merge** (gaps-and-islands): per doc, consecutive hit
+       positions <= W apart merge into maximal spans via one lag +
+       running-sum window over the hit sliver (hits only, not all
+       windows), yielding [span_start, span_end] token ranges a cleaning
+       pass would cut.
+
+    Differs from text_chunk_crossdup (fixed non-overlapping 200-char
+    chunks: cheap, alignment-sensitive) by catching duplicated passages
+    at ANY token offset — the rolling-window granularity that chunk
+    alignment misses — at W× the window count, still linear in corpus
+    size.
+
+    Scale: stage-2's per-hash distinct-doc count is the only global
+    aggregate; window df is bounded by real duplication (random text
+    collides nowhere at W=8 over any real vocabulary), so no key grows
+    with corpus size except true boilerplate, which is exactly the
+    signal. The span-merge window partitions by doc_id — millions of
+    independent small partitions, the shape AQE parallelizes freely.
+    """
+    t = Tables(spark, sf_dir)
+    tk = F.col("__tk")
+    nw = F.array_size(tk) - (SPAN_W - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.md5(F.array_join(F.slice(tk, i, SPAN_W), " ")),
+    )
+    wins = (
+        t.documents.select("doc_id", F.split(F.col("text"), " ").alias("__tk"))
+        .where(F.array_size(tk) >= SPAN_W)
+        .select("doc_id", F.posexplode(hashes).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("s"), "h")
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+    )
+    hits = wins.join(shared, "h").select("doc_id", "s", "nd")
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = hits.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(w_doc).isNull()
+            | (F.col("s") - F.lag("s").over(w_doc) > SPAN_W),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(run))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + (SPAN_W - 1)).alias("span_end"),
+            (F.max("s") - F.min("s") + SPAN_W).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("nd").alias("max_docs_sharing"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
     )

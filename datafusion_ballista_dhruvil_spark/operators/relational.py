@@ -1476,3 +1476,173 @@ def ops_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregate family (SURVEY §2.5; reference exposes the
+# REGR_* family via DataFusion's aggregate registry — datafusion.proto
+# AggregateFunction REGR_SLOPE..REGR_SXY)
+# --------------------------------------------------------------------------
+@query(
+    "ops_agg_regr",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(4,0))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS sum_x,
+       CAST(round(sy, 4) AS DOUBLE) AS sum_y,
+       (CAST(n AS DOUBLE) * CAST(round(sxy, 4) AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(round(sy, 4) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(round(sy, 4) AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(round(sxy, 4) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept,
+       ((CAST(n AS DOUBLE) * CAST(round(sxy, 4) AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(round(sy, 4) AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(round(sxy, 4) AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(round(sy, 4) AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(round(syy, 4) AS DOUBLE)
+               - CAST(round(sy, 4) AS DOUBLE) * CAST(round(sy, 4) AS DOUBLE)))
+         AS r2,
+       TRUE AS builtin_slope_ok,
+       TRUE AS builtin_intercept_ok,
+       TRUE AS builtin_r2_ok,
+       TRUE AS builtin_avg_ok,
+       TRUE AS builtin_count_ok
+FROM m ORDER BY l_returnflag
+""",
+)
+def ops_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGR_SLOPE / REGR_INTERCEPT / REGR_R2 / REGR_COUNT / REGR_AVGX/Y —
+    the SQL:2003 linear-regression aggregate family (y = l_extendedprice
+    regressed on x = l_quantity, per returnflag).
+
+    Determinism contract (driver_diff.py rules): the HASHED slope /
+    intercept / r2 are derived from EXACT integer/decimal moments (n, Σx,
+    Σy, Σxy, Σx², Σy² — bigint/decimal sums are order-independent), each
+    moment cast to double ONCE (single correct rounding, identical in
+    DuckDB) and combined with the same IEEE expression shape in both
+    engines. Spark's native regr_* builtins accumulate in double (their
+    result is partition-order-dependent in the last ulps), so they are
+    verified within 1e-9 relative tolerance and emitted as stable
+    ``builtin_*_ok`` booleans rather than hashed raw.
+
+    Scale: one pass, map-side partial aggregation of 6 moments per group —
+    the canonical "moments, not rows" shape that makes regression free at
+    100 TB (no second pass, nothing buffered per group).
+    """
+    t = Tables(spark, sf_dir)
+    xq = F.col("l_quantity").cast("bigint")
+    y2 = dec2("l_extendedprice")
+    m = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(y2).alias("sy"),
+        F.sum(xq * xq).alias("sxx"),
+        F.sum(xq.cast("decimal(4,0)") * y2).alias("sxy"),
+        F.sum(y2 * y2).alias("syy"),
+        F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_slope"),
+        F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_icpt"),
+        F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_r2"),
+        F.regr_avgx(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_avgx"),
+        F.regr_avgy(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_avgy"),
+        F.regr_count(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_n"),
+    )
+    # each exact moment -> double via ONE rounding (scale-4 reduction per
+    # the dsum contract), then IEEE arithmetic in the same order as the
+    # oracle's expression tree
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("decimal(38,4)").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("decimal(38,4)").cast("double")
+    syy_d = F.col("syy").cast("decimal(38,4)").cast("double")
+    var_x = n_d * sxx_d - sx_d * sx_d
+    cov_xy = n_d * sxy_d - sx_d * sy_d
+    var_y = n_d * syy_d - sy_d * sy_d
+    slope = cov_xy / var_x
+    intercept = (sy_d * sxx_d - sx_d * sxy_d) / var_x
+    r2 = (cov_xy * cov_xy) / (var_x * var_y)
+
+    def _tol(builtin, derived):
+        # builtin regr_* accumulates in double: partition-order-dependent
+        # last ulps; 1e-9 relative bound is ~1e7 ulps of slack yet still
+        # catches any semantic divergence
+        return F.abs(builtin - derived) <= F.lit(1e-9) * F.greatest(
+            F.abs(derived), F.lit(1.0)
+        )
+
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        sy_d.alias("sum_y"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+        _tol(F.col("b_slope"), slope).alias("builtin_slope_ok"),
+        _tol(F.col("b_icpt"), intercept).alias("builtin_intercept_ok"),
+        _tol(F.col("b_r2"), r2).alias("builtin_r2_ok"),
+        (
+            _tol(F.col("b_avgx"), sx_d / n_d) & _tol(F.col("b_avgy"), sy_d / n_d)
+        ).alias("builtin_avg_ok"),
+        (F.col("b_n") == F.col("n")).alias("builtin_count_ok"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Boolean / conditional aggregates (SURVEY §2.5; DataFusion BOOL_AND /
+# BOOL_OR + FILTERed COUNT — datafusion.proto AggregateFunction)
+# --------------------------------------------------------------------------
+@query(
+    "ops_agg_boolean",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       bool_and(l_quantity >= 1) AS all_qty_pos,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bool_and(l_tax <= 0.08) AS all_tax_capped,
+       CAST(MIN(l_returnflag) AS VARCHAR) AS any_flag
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def ops_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT_IF + BOOL_AND / BOOL_OR (EVERY / SOME) + ANY_VALUE.
+
+    ANY_VALUE is inherently nondeterministic, so the deterministic stand-in
+    MIN is emitted under the same contract the reference applies to its
+    own FIRST_VALUE aggregate (any row satisfies the contract; the oracle
+    must pick the same one, so both engines pick the ordered extreme).
+
+    Scale: all five are single-counter map-side partials — the cheapest
+    possible aggregate class (no distinct expansion, no buffering).
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.every(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+            F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.bool_and(F.col("l_tax") <= 0.08).alias("all_tax_capped"),
+            F.min("l_returnflag").alias("any_flag"),
+        )
+        .orderBy("l_linestatus")
+    )

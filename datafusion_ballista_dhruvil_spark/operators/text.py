@@ -1003,3 +1003,83 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qsum",
         (F.col("qsum") * 20 >= F.col("n_tokens") * -1000).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT t
+  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+       unnest(d.tk) AS u(t)
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT t AS term, COUNT(*) AS tf
+FROM toks, tot
+GROUP BY t, tot.n
+HAVING COUNT(*) * 64 > tot.n
+ORDER BY tf DESC, term
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequent items) via a per-partition Misra-Gries
+    sketch + exact recount — the single-pass bounded-memory answer to
+    "which tokens exceed 1/64 of the corpus" that a plain groupBy can't
+    give when the key space itself doesn't fit (URLs, n-grams, user ids
+    at 100 TB).
+
+    Two passes, both scale-safe:
+
+    1. **Sketch**: mapInPandas keeps K=63 counters per partition
+       (batched Misra-Gries: merge a batch's counts, then subtract the
+       (K+1)-th largest count and drop non-positives — at most K
+       survivors, total decrement <= n_p/(K+1)). Guarantee: any term
+       with partition count > n_p/64 survives partition p; a term with
+       GLOBAL count > n/64 exceeds the threshold in at least one
+       partition (pigeonhole over n = sum n_p), so the candidate union
+       is a superset of every true heavy hitter. Output: <= K terms per
+       partition — bytes, regardless of input size.
+    2. **Recount**: exact counts for candidate terms only (broadcast
+       semi-join keeps the shuffle to candidate keys), filtered with the
+       integer-exact predicate tf*64 > n.
+
+    The emitted result is therefore EXACTLY the set of terms above
+    threshold — deterministic and oracle-matched even though the sketch's
+    intermediate candidate set varies with partitioning. This is the
+    MG-guarantee trick: sketches prune, exact arithmetic decides.
+
+    Reference parity: DataFusion/the reference expose no frequent-items
+    operator; this extends the approx-aggregate family (SURVEY §2.5) the
+    same way approx_distinct does, with a bounded-check contract.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    K = 63
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(_toks()).alias("term"))
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            for term, c in vc.items():
+                counts[term] = counts.get(term, 0) + int(c)
+            if len(counts) > K:
+                # batched MG decrement: subtract the (K+1)-th largest
+                # count; <= K keys stay strictly positive
+                offset = sorted(counts.values(), reverse=True)[K]
+                counts = {t_: c - offset for t_, c in counts.items() if c > offset}
+        yield pd.DataFrame({"term": list(counts)})
+
+    candidates = toks.mapInPandas(mg_partition, "term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("tf") * 64 > F.col("n"))
+        .select("term", "tf")
+        .orderBy(F.desc("tf"), "term")
+    )

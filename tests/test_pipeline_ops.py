@@ -255,3 +255,63 @@ def test_pack_token_bins_invariants(spark):
         assert sorted(ids) == list(range(len(ids)))
     again = QUERIES["pack_token_bins"](spark, SF_DIR).collect()
     assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    """The Misra-Gries candidate set varies with physical partitioning; the
+    emitted result (exact recount + threshold) must not. Also re-verify the
+    MG guarantee: the output equals the exact above-threshold set."""
+    import pyspark.sql.functions as F
+
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    base = QUERIES["text_heavy_hitters"](spark, SF_DIR).collect()
+    assert base, "sf0.01 corpus has ~50 tokens over >30k occurrences"
+
+    docs = Tables(spark, SF_DIR).documents
+    toks = docs.repartition(17).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    n = toks.count()
+    exact = {
+        (r.term, r.tf)
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).collect()
+        if r.tf * 64 > n
+    }
+    assert {(r.term, r.tf) for r in base} == exact
+
+
+def test_substring_spans_geometry(spark):
+    """Spans are well-formed, merged maximally (inter-span gap > W), and the
+    top span's text really occurs in >= max_docs_sharing distinct docs."""
+    from datafusion_ballista_dhruvil_spark.operators.dedup import SPAN_W
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    rows = QUERIES["dedup_substring_spans"](spark, SF_DIR).collect()
+    assert rows, "sf0.01 corpus contains duplicated passages"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= SPAN_W
+        assert r.n_windows >= 1 and r.max_docs_sharing >= 2
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r.span_start)
+        for a, b in zip(spans, spans[1:]):
+            # islands break only when the NEXT window start is > W past the
+            # previous start, i.e. merged spans never overlap
+            assert b.span_start > a.span_end - SPAN_W + 1 + SPAN_W
+
+    top = max(rows, key=lambda r: (r.max_docs_sharing, -r.doc_id))
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in Tables(spark, SF_DIR).documents.collect()
+    }
+    probe = " ".join(
+        texts[top.doc_id][top.span_start - 1 : top.span_start - 1 + SPAN_W]
+    )
+    holders = sum(
+        1
+        for tk in texts.values()
+        if probe in " ".join(tk)
+    )
+    assert holders >= top.max_docs_sharing
