@@ -93,9 +93,10 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def shingle_arrays_of(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, ss): the distinct word n-gram shingle SET per document, as
     one array row — no explode, no shuffle; the whole set stays map-side.
+    Works on batch AND streaming DataFrames (map-only expressions).
 
     The token array is materialized as its own projection BEFORE the
     higher-order transform: lambdas don't participate in common-
@@ -108,16 +109,19 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     clamps to 0 (Spark's sequence(1, stop) DESCENDS when stop < 1, so the
     sequence+element_at formulation would go out of bounds instead).
     """
-    t = Tables(spark, sf_dir)
     tk = F.col("__tk")
     n_sh = F.greatest(F.array_size(tk) - (n - 1), F.lit(0))
     slices = [F.slice(tk, j + 1, n_sh) for j in range(n)]
     shingles = slices[0]
     for s in slices[1:]:
         shingles = F.zip_with(shingles, s, lambda a, b: F.concat_ws(" ", a, b))
-    return t.documents.select("doc_id", _tokens().alias("__tk")).select(
+    return documents.select("doc_id", _tokens().alias("__tk")).select(
         "doc_id", F.array_distinct(shingles).alias("ss")
     )
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    return shingle_arrays_of(Tables(spark, sf_dir).documents, n)
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -1106,3 +1110,47 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("doc_id", "span_start")
     )
+
+
+def row_band_signatures(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): banded MinHash signatures computed ENTIRELY
+    map-side — transform + array_min over the per-doc shingle array instead
+    of _band_signatures' explode + groupBy(min).
+
+    Identical output (same h0, same universal-hash family, min over the
+    same set); the explode+groupBy form is preferred for BATCH because the
+    shuffle carries K ints/doc with map-side partial mins, while this form
+    is required for STREAMING inputs, where an aggregate before a stateful
+    operator would chain two stateful stages. Docs with no shingles
+    (< n tokens) drop, matching the batch form (they never enter the
+    groupBy).
+    """
+    P = 2_147_483_647
+    h0s = F.transform(
+        F.col("ss"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P,
+    )
+    # materialize h0 once per row (lambda CSE rule, PERF.md #9)
+    with_h0 = arrs.where(F.array_size("ss") >= 1).select(
+        "doc_id", h0s.alias("__h0")
+    )
+    def _perm(j: int):
+        # NOTE: must be a ONE-arg lambda. `lambda h, j=j: ...` would have
+        # arity 2, and PySpark's transform() treats a second parameter as
+        # the ELEMENT INDEX — silently replacing the captured j.
+        return lambda h: (F.lit(2 * j + 3) * h + F.lit(104729 * j + 12345)) % P
+
+    mins = [
+        F.array_min(F.transform(F.col("__h0"), _perm(j))).alias(f"m{j}")
+        for j in range(K)
+    ]
+    band_sigs = [
+        F.concat_ws(
+            "|", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"sig{b}")
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(BANDS))
+    return with_h0.select("doc_id", *mins).select(
+        "doc_id", *band_sigs
+    ).select("doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)"))

@@ -1083,3 +1083,113 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "tf")
         .orderBy(F.desc("tf"), "term")
     )
+
+
+# --------------------------------------------------------------------------
+#: DSIR hashed-feature space size (buckets)
+DSIR_B = 128
+
+
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, t,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents) d,
+       unnest(d.tk) AS u(t)
+),
+tgt AS (
+  SELECT b, COUNT(*) AS tc FROM toks WHERE source = 'src0' GROUP BY b
+),
+raw AS (SELECT b, COUNT(*) AS rc FROM toks GROUP BY b),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM toks WHERE source = 'src0') AS tt,
+         (SELECT COUNT(*) FROM toks) AS rt
+),
+scored AS (
+  SELECT k.doc_id,
+         CAST(round(log2(
+           CAST((COALESCE(tgt.tc, 0) + 1) * (tots.rt + {DSIR_B}) AS DOUBLE)
+           / CAST((raw.rc + 1) * (tots.tt + {DSIR_B}) AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS qllr
+  FROM toks k
+  LEFT JOIN tgt USING (b)
+  JOIN raw USING (b)
+  CROSS JOIN tots
+)
+SELECT doc_id, COUNT(*) AS n_toks,
+       CAST(SUM(qllr) AS BIGINT) AS sum_microbits,
+       CAST(SUM(qllr) AS DOUBLE) / (1000000.0 * COUNT(*)) AS avg_log2_ratio
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by how
+    target-domain-like its hashed unigram features are; a pipeline then
+    resamples raw data proportionally to exp(weight). Target domain here =
+    the 'src0' source slice of the same corpus.
+
+    Model: tokens hash into B=128 buckets (portable md5 bucket, identical
+    in DuckDB); the target and raw bucket profiles are add-one-smoothed
+    unigram LMs over the hashed space; per-token log-likelihood ratio
+    log2(p_tgt(b)/p_raw(b)) is computed as ONE IEEE divide of
+    exactly-representable integer-valued doubles, then quantized to
+    micro-bits (the text_bigram_lm_score determinism contract: per-token
+    sums are exact integers; the final mean is a single divide). At a
+    corpus where the count products approach 2^53, rescale the smoothing
+    to per-mille probabilities before the divide — the quantization
+    contract is unchanged.
+
+    Scale: both profiles are B-row aggregates (map-side partials over the
+    token stream, B counters however big the corpus); scoring is a
+    broadcast join of the B-row tables onto the token stream followed by
+    one per-doc aggregate. One shuffle of (doc_id) keys total. The target
+    profile in production comes from a separate curated corpus — here a
+    source slice so the oracle sees identical data.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "source", F.explode(_toks()).alias("t")
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % DSIR_B,
+    )
+    tgt = (
+        toks.where(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tots = toks.agg(
+        F.count_if(F.col("source") == "src0").alias("tt"),
+        F.count(F.lit(1)).alias("rt"),
+    )
+    qllr = F.round(
+        F.log2(
+            ((F.coalesce(F.col("tc"), F.lit(0)) + 1) * (F.col("rt") + DSIR_B))
+            .cast("double")
+            / ((F.col("rc") + 1) * (F.col("tt") + DSIR_B)).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", qllr.alias("qllr"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("qllr").cast("bigint").alias("sum_microbits"),
+            (
+                F.sum("qllr").cast("double")
+                / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+            ).alias("avg_log2_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -73,3 +73,82 @@ def test_stateful_sessionize_matches_batch(spark, conf):
     streamed = _run_stream(spark, conf)
     assert streamed == _batch_closed_sessions(spark)
     assert len(streamed) > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH near-dup ingest (streaming/lsh_ingest.py)
+# ---------------------------------------------------------------------------
+
+
+def _batch_candidate_pairs(spark) -> set[tuple[int, frozenset]]:
+    """The batch banded-LSH candidate set: unordered co-bucket pairs per
+    band, from the same signature pipeline the stream uses."""
+    from datafusion_ballista_dhruvil_spark.operators.dedup import (
+        _band_signatures,
+        _shingle_arrays,
+    )
+
+    bands = _band_signatures(_shingle_arrays(spark, SF_DIR)).collect()
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for r in bands:
+        buckets.setdefault((r.band, r.sig), []).append(r.doc_id)
+    out: set[tuple[int, frozenset]] = set()
+    max_bucket = 0
+    for (band, _sig), ids in buckets.items():
+        max_bucket = max(max_bucket, len(ids))
+        for i, a in enumerate(sorted(ids)):
+            for b in sorted(ids)[i + 1 :]:
+                out.add((band, frozenset((a, b))))
+    # the stream caps bucket state at BUCKET_CAP; equality below is only
+    # exact while no bucket exceeds it — fail loudly if the corpus changes
+    from datafusion_ballista_dhruvil_spark.streaming.lsh_ingest import BUCKET_CAP
+
+    assert max_bucket <= BUCKET_CAP, f"bucket {max_bucket} exceeds cap"
+    return out
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
+    """Any micro-batch split of the corpus must emit exactly the batch
+    banded candidate set, as unordered pairs: cross-batch pairs come from
+    operator state, intra-batch pairs from the group's own rows."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.session import Tables
+    from datafusion_ballista_dhruvil_spark.streaming.lsh_ingest import (
+        stream_lsh_candidates,
+    )
+
+    docs = Tables(spark, SF_DIR).documents.select("doc_id", "text")
+    # 4 files -> 4 micro-batches (maxFilesPerTrigger=1); range-split by id
+    src = tmp_path / "docs_stream"
+    for lo, hi, name in [(0, 125, "a"), (125, 250, "b"), (250, 375, "c"), (375, 10**9, "d")]:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(src / name))
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for part in sorted(src.rglob("part-*.parquet")):
+        shutil.copy(part, flat / f"{n:02d}.parquet")
+        n += 1
+    assert n == 4
+
+    sink = f"lsh_cand_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_lsh_candidates(spark, str(flat), docs.schema)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.band, frozenset((r.d_new, r.d_old)))
+        for r in spark.table(sink).collect()
+    }
+    batch = _batch_candidate_pairs(spark)
+    assert streamed == batch
+    assert len(streamed) > 0
