@@ -1244,3 +1244,166 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pq_dist", "neighbor_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_SQL_CODE.format(e='embedding')} AS bucket,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM coded WHERE vec_id < 20),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                      DESC, c.vec_id
+           ) AS rn
+    FROM q, coded c WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+ann_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                      DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN coded c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+hits AS (
+  SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+  FROM exact_top e
+  LEFT JOIN ann_top a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / 3.0 AS recall_at_3
+FROM hits ORDER BY query_id
+""",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the bucketed ANN index against exact brute force — the
+    quality measurement every ANN deployment runs before trusting the
+    index (an unmeasured ANN is a silent-correctness bug at scale).
+
+    Ground truth: exact cosine top-3 per query (the sim_cosine_topk
+    mapInPandas kernel — corpus partitioned, 20-query matrix in the
+    closure, per-batch partial top-3, one tiny global window). Candidate:
+    the sim_ann_bucketed rank-LSH bucket join. Recall = |ANN ∩ exact| / 3
+    per query — integer counts, so the result is hash-exact even where
+    cosine values live in the last ulp.
+
+    Scale: the ground-truth pass is O(corpus × |probe queries|) BY DESIGN
+    — production measures recall on a small probe set against the full
+    corpus exactly this way (the probe set is the only thing that must
+    stay small; 100 TB of corpus streams through the einsum kernel
+    map-side, k rows per batch survive). The ANN side scans one bucket
+    per query.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    t = Tables(spark, sf_dir)
+    qrows = sorted(
+        t.embeddings.where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = _np.array([r.vec_id for r in qrows], dtype=_np.int64)
+    q_int = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in qrows])
+        * _SCALE
+    )
+    q_norm = _np.sqrt(_np.einsum("ij,ij->i", q_int, q_int) / _SCALE_SQ)
+
+    def topk_part(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ai = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64) * _SCALE
+            )
+            cn = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+            cos = (ai @ q_int.T) / _SCALE_SQ / (q_norm[None, :] * cn[:, None])
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                mids, mcos = ids[mask], cos[mask, j]
+                pick = _np.lexsort((mids, -mcos))[:3]
+                out_q.extend([qid] * len(pick))
+                out_n.extend(mids[pick])
+                out_c.extend(mcos[pick])
+            yield _pd.DataFrame(
+                {
+                    "query_id": _pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": _pd.Series(out_n, dtype="int64"),
+                    "cosine": _pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    partial = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        topk_part, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact_top = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+
+    coded = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        _code(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    qdf = coded.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+        F.col("nrm").alias("qn"),
+    )
+    ann_scored = (
+        qdf.join(coded, "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    ann_top = (
+        ann_scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hit = ann_top.withColumnRenamed("neighbor_id", "nid")
+    return (
+        exact_top.join(
+            hit,
+            (exact_top["query_id"] == hit["query_id"])
+            & (exact_top["neighbor_id"] == hit["nid"]),
+            "left",
+        )
+        .groupBy(exact_top["query_id"])
+        .agg(F.count(hit["nid"]).alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / 3.0).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )

@@ -1117,3 +1117,64 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_hll_partition_merge",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def ev_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup: build one Datasketches HLL sketch of
+    distinct users PER (event_type, day), then union the daily sketches
+    into a per-type total — estimating global distinct users WITHOUT ever
+    revisiting raw rows.
+
+    This is the pre-aggregation pattern that makes distinct counting
+    tractable at 100 TB: raw events aggregate once into per-partition
+    sketch bytes (a few KB per group however many rows feed them); any
+    coarser rollup (weekly, all-time, cross-region) is a union of stored
+    sketches. The reference's HLL (approx_distinct) can't merge across
+    groups; Spark's hll_sketch_agg/hll_union_agg pair is built for it.
+
+    Contract (ops_agg_approx pattern): sketch estimates are
+    engine-specific, so the hashed columns are the EXACT distinct counts
+    plus a ``within_bound`` boolean asserting the merged estimate lands
+    within 3x the configured HLL relative standard error
+    (lgConfigK=12 -> rse ~= 1.04/sqrt(4096) ~= 1.6%; bound 5%).
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
