@@ -362,7 +362,13 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle past the joins, and the join build sides are doc-count-sized,
       not shingle-count-sized.
     """
-    arrs = _shingle_arrays(spark, sf_dir).cache()
+    return verified_pairs_of(_shingle_arrays(spark, sf_dir).cache())
+
+
+def verified_pairs_of(arrs: DataFrame) -> DataFrame:
+    """_verified_pairs over an explicit (doc_id, ss) shingle-set relation —
+    lets pipeline compositions run near-dup detection on an already
+    filtered/exact-deduped corpus (see pipeline_clean_corpus)."""
     bands = _band_signatures(arrs)
     buckets = (
         bands.groupBy("band", "sig")
@@ -1154,3 +1160,117 @@ def row_band_signatures(arrs: DataFrame) -> DataFrame:
     return with_h0.select("doc_id", *mins).select(
         "doc_id", *band_sigs
     ).select("doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (band, sig)"))
+
+
+# --------------------------------------------------------------------------
+#: quality gate shared by pipeline_clean_corpus (Spark + SQL forms must
+#: stay in lockstep): enough tokens, sane chars-per-token ratio. Integer
+#: arithmetic only, so both engines agree exactly.
+_MIN_TOKS = 20
+_SQL_QUALITY = (
+    f"len(string_split(text, ' ')) >= {_MIN_TOKS}"
+    " AND 3 * len(string_split(text, ' ')) <= length(text) + 1"
+    " AND length(text) + 1 <= 9 * len(string_split(text, ' '))"
+)
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH clean0 AS (
+  SELECT doc_id, text, source FROM documents WHERE {_SQL_QUALITY}
+),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean0 GROUP BY md5(text)
+),
+clean1 AS (SELECT c.* FROM clean0 c JOIN exact_keep k USING (doc_id)),
+{_SQL_PAIR_CTES.replace("FROM documents", "FROM clean1")},
+near_drop AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+clean2 AS (
+  SELECT c.* FROM clean1 c LEFT JOIN near_drop d USING (doc_id)
+  WHERE d.doc_id IS NULL
+),
+raw_s AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+q_s AS (SELECT source, COUNT(*) AS n_quality FROM clean0 GROUP BY source),
+e_s AS (SELECT source, COUNT(*) AS n_exact FROM clean1 GROUP BY source),
+f_s AS (SELECT source, COUNT(*) AS n_final FROM clean2 GROUP BY source)
+SELECT r.source,
+       r.n_raw,
+       COALESCE(q.n_quality, 0) AS n_quality,
+       COALESCE(e.n_exact, 0) AS n_exact,
+       COALESCE(f.n_final, 0) AS n_final,
+       CAST(COALESCE(f.n_final, 0) AS DOUBLE) / r.n_raw AS keep_rate
+FROM raw_s r
+LEFT JOIN q_s q USING (source)
+LEFT JOIN e_s e USING (source)
+LEFT JOIN f_s f USING (source)
+ORDER BY r.source
+""",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning funnel — the composed shape of a real
+    LLM ingest pipeline, in one lazy plan:
+
+        raw --quality filter--> clean0 --exact dedup--> clean1
+            --near-dup (MinHash LSH, keep-lowest)--> clean2
+
+    with per-source survival counts at every stage (the funnel report a
+    data team watches to see WHICH source is losing mass and WHERE).
+
+    Stage policies:
+    - quality: integer-exact token/char-ratio gate (_SQL_QUALITY) — the
+      cheap map-only filter runs FIRST so later (quadratic-leaning)
+      stages see less data; this ordering is the production default.
+    - exact: keep the smallest doc_id per md5(text) group.
+    - near-dup: verified-Jaccard >= 0.5 pairs over the SURVIVORS only
+      (verified_pairs_of on the filtered shingle sets); a doc is dropped
+      if it is the LARGER member of any verified pair (keep-lowest — the
+      policy form that needs no transitive closure; dedup_cluster_cc is
+      the clustering variant).
+
+    Scale: every stage composes lazily into one DAG — Catalyst pushes the
+    quality predicate into the parquet scan, the exact-dedup shuffle
+    carries 16-byte digests, and LSH bounds candidate pairs; the funnel
+    counts are four tiny per-source aggregates reusing the same lineage.
+    """
+    t = Tables(spark, sf_dir)
+    n_toks = F.size(F.split(F.col("text"), " "))
+    n_chars = F.length("text")
+    quality = (
+        (n_toks >= _MIN_TOKS)
+        & (3 * n_toks <= n_chars + 1)
+        & (n_chars + 1 <= 9 * n_toks)
+    )
+    clean0 = t.documents.select("doc_id", "text", "source").where(quality)
+    exact_keep = (
+        clean0.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clean1 = clean0.join(exact_keep, "doc_id", "left_semi")
+    arrs = shingle_arrays_of(clean1.select("doc_id", "text")).cache()
+    near_drop = (
+        verified_pairs_of(arrs).select(F.col("d2").alias("doc_id")).distinct()
+    )
+    clean2 = clean1.join(near_drop, "doc_id", "left_anti")
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    raw_s = _stage(t.documents, "n_raw")
+    return (
+        raw_s.join(_stage(clean0, "n_quality"), "source", "left")
+        .join(_stage(clean1, "n_exact"), "source", "left")
+        .join(_stage(clean2, "n_final"), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            (
+                F.coalesce("n_final", F.lit(0)).cast("double") / F.col("n_raw")
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

@@ -12,7 +12,10 @@ from tests.conftest import SF_DIR, assert_query_matches
 
 load_all()
 
-PREFIXES = ("dedup_", "sim_", "text_", "mm_", "ev_", "split_", "sample_", "pack_")
+PREFIXES = (
+    "dedup_", "sim_", "text_", "mm_", "ev_", "split_", "sample_", "pack_",
+    "pipeline_",
+)
 PIPELINE = sorted(n for n in QUERIES if n.startswith(PREFIXES))
 
 # queries whose result can legitimately be empty at small SF (near-dup
