@@ -14,6 +14,7 @@ def load_all() -> None:
         connectors,
         dedup,
         h2o,
+        lifecycle,
         multimodal,
         profiling,
         relational,

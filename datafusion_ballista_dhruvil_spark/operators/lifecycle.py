@@ -1,0 +1,334 @@
+"""Corpus-lifecycle operators: snapshot diff, CDC merge, deletion
+propagation, split-leakage audit.
+
+A 100 TB training corpus is not static — it is re-crawled, patched,
+purged (right-to-be-forgotten), and re-split every few weeks. These
+operators are the lifecycle half of the pipeline that the cleaning
+operators (text.py / dedup.py) feed. Reference analogue: the engine's
+relational surface (joins/aggregates over listing scans,
+/root/reference/ballista/core/src/serde/mod.rs) — the lifecycle ops are
+pure compositions of those primitives, expressed Spark-first.
+
+Scale posture at 100 TB:
+- snapshot diff is ONE key-partitioned full-outer join shuffling only
+  (key, 32-byte content hash, tiny metadata) — never document bodies;
+  with both snapshots bucketed by key it is exchange-free.
+- CDC merge compresses the change batch to ONE op per key (partial agg +
+  key shuffle) BEFORE touching the base table — the merge itself is a
+  single co-partitioned outer join.
+- deletion propagation is a broadcast of the (tiny) tombstone list —
+  map-only over the corpus, zero shuffle of event data.
+- leakage audit shuffles only (fingerprint, split) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.operators.sampling import _hash_bucket
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+#: doc_id -> [0,100) bucket, identical text in both engines (see
+#: sampling._hash_bucket for the 60-bit safety argument).
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_version_diff",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars, text, {_SQL_BUCKET} AS bucket FROM documents
+),
+v1 AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h FROM b WHERE bucket < 90
+),
+v2 AS (
+  SELECT doc_id, source, n_chars,
+         md5(CASE WHEN bucket BETWEEN 40 AND 49 THEN reverse(text) ELSE text END) AS h
+  FROM b WHERE bucket < 85 OR bucket >= 90
+),
+d AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         COALESCE(v1.source, v2.source) AS source,
+         COALESCE(v2.n_chars, v1.n_chars) AS n_chars,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM d GROUP BY status, source ORDER BY status, source
+""",
+)
+def pipeline_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every document as added / removed /
+    changed / unchanged between two corpus versions.
+
+    The two versions are carved deterministically out of `documents` (v2
+    drops buckets [85,90), gains [90,100), and rewrites [40,50)), standing
+    in for two crawl snapshots. The diff compares 32-byte content hashes
+    under a full-outer join on the document key — the incremental-ingest
+    primitive every re-crawl pipeline runs first, since downstream work
+    (dedup, scoring, embedding) need only touch `added`+`changed` docs.
+
+    Scale: each side reduces to (doc_id, md5, source, n_chars) at the scan
+    — document bodies are hashed map-side and never shuffled. The join is
+    key-partitioned; with both snapshots stored bucketed by doc_id it runs
+    exchange-free. Output is a low-cardinality status x source rollup.
+    """
+    t = Tables(spark, sf_dir)
+    b = t.documents.withColumn("bucket", _hash_bucket(F.col("doc_id"), 100))
+    v1 = b.where(F.col("bucket") < 90).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    v2 = (
+        b.where((F.col("bucket") < 85) | (F.col("bucket") >= 90))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.md5(
+                F.when(
+                    F.col("bucket").between(40, 49), F.reverse(F.col("text"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    d = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("v1.doc_id").isNull(), "added")
+        .when(F.col("v2.doc_id").isNull(), "removed")
+        .when(F.col("v1.h") != F.col("v2.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            F.coalesce(F.col("v1.doc_id"), F.col("v2.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("v1.source"), F.col("v2.source")).alias("source"),
+            F.coalesce(F.col("v2.n_chars"), F.col("v1.n_chars")).alias("n_chars"),
+            status.alias("status"),
+        )
+        .groupBy("status", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("status", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT user_id, user_id * 10 AS base_value FROM events
+),
+cdc AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+),
+latest AS (SELECT user_id, event_id, op, n_ops FROM cdc WHERE rn = 1)
+SELECT b.user_id,
+       CASE WHEN l.user_id IS NULL THEN b.base_value ELSE l.event_id END AS final_value,
+       CASE WHEN l.user_id IS NULL THEN 'base' ELSE 'cdc' END AS origin,
+       COALESCE(l.n_ops, 0) AS n_ops
+FROM base b LEFT JOIN latest l ON b.user_id = l.user_id
+WHERE l.op IS NULL OR l.op <> 'D'
+ORDER BY b.user_id
+""",
+)
+def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC apply): latest-wins upsert of a change batch onto a
+    base table, with delete tombstones.
+
+    `events` plays the CDC stream — every non-`error` event upserts the
+    user's row (new value = event_id of the winning change), `error`
+    events are delete tombstones; the base table is the distinct user set
+    with a derived base value. Latest-wins order is (ts, event_id), the
+    standard (commit-ts, lsn) CDC tiebreak.
+
+    Scale: the change batch is compressed to ONE winning op per key with a
+    key-partitioned window BEFORE the base table is touched — at 100 TB
+    the base-side join therefore sees |keys-changed| rows, not |changes|.
+    The merge itself is a single co-partitioned left join (base bucketed
+    by key -> exchange-free); deletes drop out with a filter, i.e. the
+    copy-on-write MERGE plan Delta/Iceberg run.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    base = ev.select("user_id").distinct().withColumn(
+        "base_value", F.col("user_id") * 10
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cdc = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_ops"),
+    )
+    latest = cdc.where(F.col("rn") == 1).select("user_id", "event_id", "op", "n_ops")
+    m = base.alias("b").join(
+        latest.alias("l"), F.col("b.user_id") == F.col("l.user_id"), "left"
+    )
+    return (
+        m.where(F.col("l.op").isNull() | (F.col("l.op") != "D"))
+        .select(
+            F.col("b.user_id").alias("user_id"),
+            F.when(F.col("l.user_id").isNull(), F.col("b.base_value"))
+            .otherwise(F.col("l.event_id"))
+            .alias("final_value"),
+            F.when(F.col("l.user_id").isNull(), "base")
+            .otherwise("cdc")
+            .alias("origin"),
+            F.coalesce(F.col("l.n_ops"), F.lit(0)).alias("n_ops"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_tombstone_purge",
+    oracle="""
+WITH flagged AS (
+  SELECT event_type, user_id, user_id % 30 = 7 AS is_tomb FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_before,
+       COUNT(CASE WHEN NOT is_tomb THEN 1 END) AS n_after,
+       COUNT(CASE WHEN is_tomb THEN 1 END) AS n_purged,
+       COUNT(DISTINCT CASE WHEN is_tomb THEN user_id END) AS n_users_purged
+FROM flagged GROUP BY event_type ORDER BY event_type
+""",
+)
+def pipeline_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: purge all records of a tombstone
+    user list and emit the compliance audit (before/after/purged counts
+    per event type).
+
+    The tombstone set (here `user_id % 30 = 7`, standing in for a deletion
+    -request table) is orders of magnitude smaller than the corpus, so it
+    broadcasts; membership is then a map-side flag and the audit one
+    partial-agg shuffle on the tiny event_type key. The actual purge write
+    is `events.join(tombs, 'user_id', 'left_anti')` — the identical
+    broadcast plan minus the audit columns; this query keeps both sides of
+    the count so the audit is self-contained in one scan.
+    """
+    t = Tables(spark, sf_dir)
+    tombs = (
+        t.events.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 30 == 7)
+        .withColumn("__tomb", F.lit(1))
+    )
+    flagged = t.events.join(F.broadcast(tombs), "user_id", "left").select(
+        "event_type", "user_id", F.col("__tomb").isNotNull().alias("is_tomb")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(~F.col("is_tomb"), 1)).alias("n_after"),
+            F.count(F.when(F.col("is_tomb"), 1)).alias("n_purged"),
+            F.countDistinct(
+                F.when(F.col("is_tomb"), F.col("user_id"))
+            ).alias("n_users_purged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_split_leakage",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SQL_BUCKET} < 80 THEN 'train'
+              WHEN {_SQL_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, split,
+    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      AS fingerprint
+  FROM s
+),
+g AS (
+  SELECT fingerprint,
+         array_to_string(list_sort(list(DISTINCT split)), '+') AS splits_spanned,
+         COUNT(DISTINCT split) AS n_splits,
+         COUNT(*) AS n_docs
+  FROM fp GROUP BY fingerprint
+)
+SELECT splits_spanned, n_splits > 1 AS leaky,
+       COUNT(*) AS n_groups, CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM g GROUP BY splits_spanned, leaky ORDER BY splits_spanned
+""",
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: detect content (token-set fingerprint) groups
+    that span train/val/test boundaries — near-duplicates leaking across
+    splits silently inflate eval scores, so this check gates every split.
+
+    Composes split_hash_assign's bucketing with text_fingerprint's
+    canonical fingerprint: group docs by fingerprint, record the distinct
+    splits each group touches, roll up by span combination with a `leaky`
+    flag. Scale: shuffles only (fingerprint, split) — 40-odd bytes per doc
+    — then a second rollup on the tiny span-combination key. The remedial
+    action (re-assign whole fingerprint groups to one split) reuses the
+    same first shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    g = (
+        t.documents.select(split.alias("split"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("split")), "+"
+            ).alias("splits_spanned"),
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        g.select(
+            "splits_spanned",
+            (F.col("n_splits") > 1).alias("leaky"),
+            "n_docs",
+        )
+        .groupBy("splits_spanned", "leaky")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("splits_spanned")
+    )

@@ -1193,3 +1193,129 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+#: Bloom parameters shared by the Spark plan and the DuckDB oracle.
+#: m = 2^20 bit positions, k = 4 hash functions; each hash is a disjoint
+#: 5-hex-digit (20-bit) slice of md5(gram) — always < 2^20, non-negative,
+#: so `%` agrees across engines.
+_BLOOM_M = 1 << 20
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(col: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({col}), {i * 5 + 1}, 5)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos(col, i: int):
+    return (
+        F.conv(F.substring(F.md5(col), i * 5 + 1, 5), 16, 10).cast("long")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "text_bloom_decontam",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+g0 AS (
+  SELECT doc_id, source,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS g
+  FROM d, unnest(list_transform(range(1, len(tk) - 3), j -> j)) AS u(i)
+),
+ev AS (SELECT DISTINCT g FROM g0 WHERE source = 'src0'),
+bloom AS (
+  SELECT DISTINCT p FROM ev, unnest([{", ".join(_bloom_pos_sql("g", i) for i in range(_BLOOM_K))}]) AS b(p)
+),
+tr AS (SELECT DISTINCT doc_id, g FROM g0 WHERE source <> 'src0'),
+probe AS (
+  SELECT tr.doc_id, tr.g, COUNT(bloom.p) AS n_set
+  FROM tr, unnest([{", ".join(_bloom_pos_sql("g", i) for i in range(_BLOOM_K))}]) AS b(p)
+  LEFT JOIN bloom ON b.p = bloom.p
+  GROUP BY tr.doc_id, tr.g
+),
+cand AS (SELECT doc_id, g FROM probe WHERE n_set = {_BLOOM_K}),
+ver AS (
+  SELECT cand.doc_id, cand.g, ev.g IS NOT NULL AS hit
+  FROM cand LEFT JOIN ev ON cand.g = ev.g
+)
+SELECT v.doc_id,
+       (SELECT COUNT(*) FROM tr WHERE tr.doc_id = v.doc_id) AS n_grams,
+       COUNT(*) AS n_candidates,
+       COUNT(CASE WHEN hit THEN 1 END) AS n_verified,
+       COUNT(CASE WHEN NOT hit THEN 1 END) AS n_false_pos
+FROM ver v
+GROUP BY v.doc_id
+ORDER BY v.doc_id
+""",
+)
+def text_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the 100 TB-scale path for benchmark
+    n-gram overlap when the eval set is too large to broadcast verbatim.
+
+    Semantics: a 2^20-bit / 4-hash Bloom filter is built over the eval
+    (source='src0') 5-gram set; every training gram probes it; the
+    (tiny) candidate survivor set is then EXACT-verified against the
+    real eval grams, so false positives are counted but never pollute
+    `n_verified` — the final verdict is exact, the bloom only prunes.
+
+    The filter is expressed relationally — the set-bit table (distinct
+    20-bit positions) broadcasts and membership is "all k probe positions
+    join" — which keeps the whole plan JVM-side and makes the bloom
+    semantics (including its deterministic false positives) oracle-
+    checkable in SQL. On a production cluster the identical position sets
+    pack into an actual 128 KiB bitset broadcast (`df.stat.bloomFilter` /
+    a numpy bitarray in a pandas_udf); the candidate set handed to exact
+    verification is identical by construction.
+
+    Scale: eval side is distinct-ed then expanded k-fold ONCE (4 rows per
+    eval gram, 8-byte positions — 32 bytes/gram vs the full gram string);
+    the training side never shuffles gram text except the verified
+    candidates. Compare text_decontam_overlap, which broadcasts the gram
+    strings themselves: at 100M eval grams the bloom's position table (or
+    bitset) is ~10-50x smaller than the string set.
+    """
+    t = Tables(spark, sf_dir)
+    tk = F.col("__tk")
+    n4 = F.greatest(F.array_size(tk) - 4, F.lit(0))
+    parts = [F.slice(tk, i + 1, n4) for i in range(5)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    docs = t.documents.select("doc_id", "source", _toks().alias("__tk"))
+    g0 = docs.select("doc_id", "source", F.explode(grams).alias("g"))
+
+    ev = g0.where(F.col("source") == "src0").select("g").distinct()
+    pos_arr = F.array(*[_bloom_pos(F.col("g"), i) for i in range(_BLOOM_K)])
+    bloom = ev.select(F.explode(pos_arr).alias("p")).distinct()
+
+    tr = g0.where(F.col("source") != "src0").select("doc_id", "g").distinct()
+    probe = (
+        tr.select("doc_id", "g", F.explode(pos_arr).alias("p"))
+        .join(
+            F.broadcast(bloom.withColumn("__set", F.lit(1))), "p", "left"
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("__set").alias("n_set"))
+    )
+    cand = probe.where(F.col("n_set") == _BLOOM_K).select("doc_id", "g")
+    ver = cand.join(
+        F.broadcast(ev.withColumn("__hit", F.lit(1))), "g", "left"
+    ).select("doc_id", F.col("__hit").isNotNull().alias("hit"))
+    per_doc_grams = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        ver.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("hit"), 1)).alias("n_verified"),
+            F.count(F.when(~F.col("hit"), 1)).alias("n_false_pos"),
+        )
+        .join(per_doc_grams, "doc_id")
+        .select(
+            "doc_id", "n_grams", "n_candidates", "n_verified", "n_false_pos"
+        )
+        .orderBy("doc_id")
+    )
