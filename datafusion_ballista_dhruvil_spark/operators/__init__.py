@@ -19,6 +19,7 @@ def load_all() -> None:
         profiling,
         relational,
         sampling,
+        scale,
         similarity,
         temporal,
         text,

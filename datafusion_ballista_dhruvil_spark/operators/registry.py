@@ -45,7 +45,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: ROUND-4 ROTATION NOTE: put the queries ADDED in r3 first — sim_pq_adc,
 #: text_quality_classifier, mm_image_ahash, mm_audio_features,
-#: dedup_incremental_lsh (all local-green via tests/driver_diff.py but
+#: dedup_incremental_lsh, ops_agg_regression, ops_agg_boolean,
+#: text_heavy_hitters, dedup_substring_span, text_dsir_weights,
+#: dedup_incremental_minhash streaming variant, sim_ann_recall,
+#: ops_agg_hll_rollup, pipeline_clean_corpus, pipeline_version_diff,
+#: pipeline_merge_upsert, pipeline_tombstone_purge, pipeline_split_leakage,
+#: text_bloom_decontam, ops_zorder_pruning, ops_winsorize, text_pmi_pairs
+#: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [
     # temporal / sampling / splits (7)

@@ -1646,3 +1646,77 @@ def ops_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_winsorize",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders
+),
+r AS (
+  SELECT g, p,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY p) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM s
+),
+b AS (
+  SELECT g,
+         MIN(CASE WHEN rn = (n + 19) // 20 THEN p END) AS lo,
+         MIN(CASE WHEN rn = (n * 19 + 19) // 20 THEN p END) AS hi
+  FROM r GROUP BY g
+),
+c AS (
+  SELECT s.g, s.p, b.lo, b.hi,
+         GREATEST(LEAST(s.p, b.hi), b.lo) AS pw
+  FROM s JOIN b USING (g)
+)
+SELECT g AS priority, COUNT(*) AS n,
+       CAST(MIN(lo) AS DOUBLE) AS p05, CAST(MIN(hi) AS DOUBLE) AS p95,
+       COUNT(CASE WHEN p < lo THEN 1 END) AS n_clipped_lo,
+       COUNT(CASE WHEN p > hi THEN 1 END) AS n_clipped_hi,
+       {sql_dsum('pw')} AS sum_winsorized
+FROM c GROUP BY g ORDER BY priority
+""",
+)
+def ops_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip order totals to the group's exact
+    [p05, p95] order statistics — the standard outlier treatment before
+    training-data statistics or loss-weighting.
+
+    Cutoffs are the k-th smallest value with k = ceil(q*n) (quantile_disc
+    semantics; exact decimals, no interpolation — engine-portable). They
+    come from weighted_quantile's two-phase binned pass, NOT a per-group
+    sort window: with 5 priority groups a naive window collapses to 5
+    serial sort tasks over the whole table — the few-groups pattern that
+    dies at 100 TB. The cutoff table (one row per group) broadcasts back
+    and the clip + audit is a single map + partial-agg pass.
+    """
+    t = Tables(spark, sf_dir)
+    staged = t.orders.select(
+        F.col("o_orderpriority").alias("g"),
+        dec2("o_totalprice").alias("p"),
+        F.lit(1).alias("w"),
+    )
+    bounds = weighted_quantile(
+        staged, value="p", weight="w", group_cols=["g"],
+        qs={"lo": (1, 20), "hi": (19, 20)},
+    )
+    pw = F.greatest(F.least(F.col("p"), F.col("hi")), F.col("lo"))
+    return (
+        staged.drop("w")
+        .join(F.broadcast(bounds), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").cast("double").alias("p05"),
+            F.min("hi").cast("double").alias("p95"),
+            F.count(F.when(F.col("p") < F.col("lo"), 1)).alias("n_clipped_lo"),
+            F.count(F.when(F.col("p") > F.col("hi"), 1)).alias("n_clipped_hi"),
+            dsum(pw).alias("sum_winsorized"),
+        )
+        .withColumnRenamed("g", "priority")
+        .orderBy("priority")
+    )

@@ -85,3 +85,177 @@ def cohort_join_bucketed(
     """Join two tables bucketed on the same key: Catalyst sees the matching
     hash distribution and plans SortMergeJoin WITHOUT exchanges."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# --------------------------------------------------------------------------
+# Z-order data layout: multi-dimensional clustering for scan pruning.
+
+from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.session import Tables
+
+#: Each dimension is quantized to a 6-bit rank against the column's actual
+#: max (computed in-query, as OPTIMIZE ZORDER's range-bound pass does), so
+#: the interleaved 12-bit key is dense regardless of scale factor; the top
+#: 6 bits (3 per dimension) define 64 coarse "files".
+_Z_BITS = 6
+_Z_EPOCH = "1995-01-01"  # testdata orders date range starts here
+
+
+def _zkey_sql(x: str, y: str, duck: bool) -> str:
+    """Bit-interleave two 16-bit ints into one 32-bit Morton (z-order) key.
+
+    Generated as one flat integer expression so BOTH engines evaluate the
+    identical op tree: DuckDB gets `>>`/`<<` operators, Spark SQL gets
+    shiftright()/shiftleft() (all exact int64 ops in both)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if duck:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        else:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_PRUNE_SQL = """
+SELECT layout, predicate, COUNT(*) AS n_buckets,
+       COUNT(CASE WHEN prunable THEN 1 END) AS n_pruned,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN prunable THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_skipped,
+       CAST(SUM(CASE WHEN prunable THEN n_rows ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_rows) AS DOUBLE) AS frac_skipped
+FROM preds GROUP BY layout, predicate ORDER BY layout, predicate
+"""
+
+#: the two probe predicates; min/max file-skipping uses ONLY these stats
+_CK_LO, _CK_HI = 100, 300
+_DY_LO, _DY_HI = 600, 900
+
+
+@query(
+    "ops_zorder_pruning",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey AS ck,
+         CAST(o_orderdate AS DATE) - DATE '{_Z_EPOCH}' AS dy
+  FROM orders
+),
+dom AS (SELECT MAX(ck) + 1 AS mck, MAX(dy) + 1 AS mdy FROM base),
+q AS (
+  SELECT ck, dy, (ck * 64) // mck AS xq, (dy * 64) // mdy AS yq
+  FROM base, dom
+),
+keyed AS (
+  SELECT ck, dy,
+         {_zkey_sql("xq", "yq", duck=True)} >> 6 AS zbucket,
+         yq AS tbucket
+  FROM q
+),
+stats AS (
+  SELECT 'zorder' AS layout, zbucket AS bucket, COUNT(*) AS n_rows,
+         MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+         MIN(dy) AS min_dy, MAX(dy) AS max_dy
+  FROM keyed GROUP BY zbucket
+  UNION ALL
+  SELECT 'time_linear', tbucket, COUNT(*), MIN(ck), MAX(ck), MIN(dy), MAX(dy)
+  FROM keyed GROUP BY tbucket
+),
+preds AS (
+  SELECT layout, 'custkey_range' AS predicate, n_rows,
+         (max_ck < {_CK_LO} OR min_ck > {_CK_HI}) AS prunable
+  FROM stats
+  UNION ALL
+  SELECT layout, 'date_range', n_rows,
+         (max_dy < {_DY_LO} OR min_dy > {_DY_HI})
+  FROM stats
+)
+{_PRUNE_SQL}
+""",
+)
+def ops_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout vs time-linear layout, scored by
+    min/max file-skipping — the Delta/Iceberg `OPTIMIZE ZORDER BY` story.
+
+    At 100 TB the scan is won or lost at WRITE time: parquet footers carry
+    per-file min/max, and a predicate prunes a file iff its range misses.
+    This operator simulates 64 "files" under two layouts — time-linear
+    (the natural ingest order) and z-order on (custkey, orderdate) — then
+    evaluates two single-dimension predicates against ONLY the per-file
+    min/max stats. Expected shape, verified by the oracle: time-linear
+    prunes the date predicate perfectly but the custkey predicate not at
+    all; z-order prunes BOTH dimensions substantially — the reason
+    multi-dim clustering exists.
+
+    Scale: the z-key is 32 integer bit-ops per row, map-only, codegen'd;
+    stats are one partial-agg shuffle on the 64-value bucket key. The
+    production write is `df.repartitionByRange(n, zkey).sortWithinPartitions
+    (zkey).write.parquet(...)` — same key, real footers.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        ).alias("dy"),
+    )
+    dom = base.agg(
+        (F.max("ck") + 1).alias("mck"), (F.max("dy") + 1).alias("mdy")
+    )
+    q = base.crossJoin(F.broadcast(dom)).select(
+        "ck",
+        "dy",
+        F.expr("(ck * 64) div mck").alias("xq"),
+        F.expr("(dy * 64) div mdy").alias("yq"),
+    )
+    keyed = q.select(
+        "ck",
+        "dy",
+        F.expr(f"({_zkey_sql('xq', 'yq', duck=False)}) >> 6").alias("zbucket"),
+        F.col("yq").alias("tbucket"),
+    )
+
+    def _stats(df: DataFrame, layout: str, bucket: str) -> DataFrame:
+        return df.groupBy(F.col(bucket).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dy").alias("min_dy"),
+            F.max("dy").alias("max_dy"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    stats = _stats(keyed, "zorder", "zbucket").unionAll(
+        _stats(keyed, "time_linear", "tbucket")
+    )
+    preds = stats.select(
+        "layout",
+        F.lit("custkey_range").alias("predicate"),
+        "n_rows",
+        ((F.col("max_ck") < _CK_LO) | (F.col("min_ck") > _CK_HI)).alias(
+            "prunable"
+        ),
+    ).unionAll(
+        stats.select(
+            "layout",
+            F.lit("date_range").alias("predicate"),
+            "n_rows",
+            ((F.col("max_dy") < _DY_LO) | (F.col("min_dy") > _DY_HI)).alias(
+                "prunable"
+            ),
+        )
+    )
+    skipped = F.sum(F.when(F.col("prunable"), F.col("n_rows")).otherwise(0))
+    return (
+        preds.groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.count(F.when(F.col("prunable"), 1)).alias("n_pruned"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            skipped.cast("bigint").alias("rows_skipped"),
+            (
+                skipped.cast("double") / F.sum("n_rows").cast("double")
+            ).alias("frac_skipped"),
+        )
+        .orderBy("layout", "predicate")
+    )

@@ -1319,3 +1319,83 @@ def text_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_pmi_pairs",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+v AS (
+  SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok
+  ORDER BY df DESC, tok LIMIT 40
+),
+vt AS (SELECT tk.doc_id, tk.tok, v.df FROM tk JOIN v USING (tok)),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS c_xy
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tok_a, tok_b, c_xy, df_a, df_b,
+       (c_xy * nd * 1000000) // (df_a * df_b) AS lift_ppm
+FROM p, n
+ORDER BY lift_ppm DESC, c_xy DESC, tok_a, tok_b
+LIMIT 100
+""",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence association mining (PMI family): for the top-40
+    vocabulary, count document co-occurrence of every token pair and rank
+    by lift = P(a,b)/(P(a)P(b)) — collocation discovery / topic-signal
+    extraction over a corpus.
+
+    `lift_ppm` is the lift scaled to parts-per-million under exact int64
+    arithmetic — order-identical to PMI (its log) but engine-exact, per the
+    canonicalizer float contract. Scale: the vocabulary is a broadcast
+    top-K (partial-agg + tiny sort), so pair emission is a per-doc
+    self-join bounded by K tokens/doc -> <= K(K-1)/2 pairs per document,
+    shuffled on doc_id (co-partitioned self-join, one exchange reused for
+    both sides) — never a corpus-wide cross join; the pair-count shuffle
+    key space is <= K^2 = 1600 rows.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(40)
+    )
+    vt = toks.join(F.broadcast(vocab), "tok")
+    pairs = (
+        vt.alias("a")
+        .join(
+            vt.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    nd = t.documents.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a", "tok_b", "c_xy", "df_a", "df_b",
+            F.expr("(c_xy * nd * 1000000) div (df_a * df_b)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.desc("c_xy"), "tok_a", "tok_b")
+        .limit(100)
+    )

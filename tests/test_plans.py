@@ -271,3 +271,66 @@ def test_quality_classifier_zero_shuffle(spark):
     plan = formatted_plan(QUERIES["text_quality_classifier"](spark, SF_DIR))
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert exchange_count(QUERIES["text_quality_classifier"](spark, SF_DIR)) <= 1
+
+
+def test_version_diff_shuffles_hashes_not_bodies(spark):
+    # The snapshot diff must shuffle (doc_id, md5, metadata) only — the
+    # full-outer join's exchanges carry `h`, never the `text` column.
+    import re
+
+    plan = formatted_plan(QUERIES["pipeline_version_diff"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected hash exchanges in the diff plan"
+    assert all("text" not in p for p in parts), parts
+
+
+def test_merge_upsert_compresses_cdc_before_join(spark):
+    # Latest-wins compression is a window on the CDC side; the base join
+    # must be on the compressed output, with no extra exchange beyond
+    # window + join + distinct-base.
+    plan = formatted_plan(QUERIES["pipeline_merge_upsert"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tombstone_purge_broadcasts_tombstones(spark):
+    # The deletion list is tiny — membership must be a broadcast join.
+    plan = formatted_plan(QUERIES["pipeline_tombstone_purge"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontam_broadcasts_bit_table(spark):
+    # Both the position (set-bit) table and the exact-verify eval set are
+    # broadcast; the training corpus must never be on the build side of a
+    # shuffle join.
+    plan = formatted_plan(QUERIES["text_bloom_decontam"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_is_two_scans_plus_tiny_aggs(spark):
+    # Z-key computation is pure integer expressions (codegen), domain row
+    # broadcasts, no python nodes anywhere.
+    plan = formatted_plan(QUERIES["ops_zorder_pruning"](spark, SF_DIR))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winsorize_broadcasts_cutoffs(spark):
+    # The per-group cutoff table (5 rows) must broadcast back onto the
+    # fact table; the plan must not contain a per-group global sort of
+    # the raw values (the few-groups collapse weighted_quantile avoids).
+    plan = formatted_plan(QUERIES["ops_winsorize"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_vocab_broadcasts(spark):
+    # Vocabulary (top-40) joins broadcast on both sides of the pair
+    # self-join; the pair join itself is a doc_id equi-join, never a
+    # cartesian product.
+    plan = formatted_plan(QUERIES["text_pmi_pairs"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
