@@ -332,3 +332,126 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("splits_spanned")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_data_expectations",
+    oracle="""
+SELECT 'documents' AS tbl, 'doc_id_unique' AS expectation,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(DISTINCT doc_id) AS n_violations,
+       COUNT(*) - COUNT(DISTINCT doc_id) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'documents', 'n_chars_matches_text',
+       COUNT(*),
+       COUNT(CASE WHEN n_chars <> length(text) THEN 1 END),
+       COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'documents', 'lang_in_accepted_set',
+       COUNT(*),
+       COUNT(CASE WHEN lang NOT IN ('en', 'de', 'fr') THEN 1 END),
+       COUNT(CASE WHEN lang NOT IN ('en', 'de', 'fr') THEN 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'orders', 'custkey_ref_integrity',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'lineitem', 'quantity_in_1_40',
+       COUNT(*),
+       COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 END),
+       COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'events', 'ts_in_expected_window',
+       COUNT(*),
+       COUNT(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                    OR ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 END),
+       COUNT(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                    OR ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 END) = 0
+FROM events
+UNION ALL
+SELECT 'events', 'props_has_json_key_k',
+       COUNT(*),
+       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END),
+       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) = 0
+FROM events
+ORDER BY tbl, expectation
+""",
+)
+def pipeline_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (Deequ/Great-Expectations-style):
+    declarative constraints evaluated in bulk, one audit row per
+    expectation — uniqueness, field consistency, accepted value sets,
+    referential integrity, range and freshness checks, JSON validity.
+
+    The gate every production ingest runs before training data is
+    published. Each expectation compiles to a conditional aggregate over
+    one scan of its table (violation COUNTing, never row materialization),
+    and the referential-integrity check is a null-producing left join
+    counted map-side. Scale: per-table costs are one partial-agg pass;
+    nothing shuffles more than the 1-row aggregate results; adding an
+    expectation adds a column to an existing scan, not a new scan.
+    """
+    t = Tables(spark, sf_dir)
+
+    def audit(tbl: str, name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("expectation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(bad, 1)).alias("n_violations"),
+            (F.count(F.when(bad, 1)) == 0).alias("passed"),
+        )
+
+    docs = t.documents
+    uniq = docs.agg(
+        F.lit("documents").alias("tbl"),
+        F.lit("doc_id_unique").alias("expectation"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("n_violations"),
+        ((F.count(F.lit(1)) - F.countDistinct("doc_id")) == 0).alias("passed"),
+    )
+    chars = audit(
+        "documents", "n_chars_matches_text", docs,
+        F.col("n_chars") != F.length("text"),
+    )
+    langs = audit(
+        "documents", "lang_in_accepted_set", docs,
+        ~F.col("lang").isin("en", "de", "fr"),
+    )
+    ri = audit(
+        "orders", "custkey_ref_integrity",
+        t.orders.join(
+            F.broadcast(
+                t.customer.select(F.col("c_custkey").alias("__ck"))
+            ),
+            F.col("o_custkey") == F.col("__ck"),
+            "left",
+        ),
+        F.col("__ck").isNull(),
+    )
+    qty = audit(
+        "lineitem", "quantity_in_1_40", t.lineitem,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 40),
+    )
+    fresh = audit(
+        "events", "ts_in_expected_window", t.events,
+        (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp")),
+    )
+    jkey = audit(
+        "events", "props_has_json_key_k", t.events,
+        F.get_json_object("props", "$.k").isNull(),
+    )
+    return (
+        uniq.unionAll(chars).unionAll(langs).unionAll(ri)
+        .unionAll(qty).unionAll(fresh).unionAll(jkey)
+        .orderBy("tbl", "expectation")
+    )

@@ -50,7 +50,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: dedup_incremental_minhash streaming variant, sim_ann_recall,
 #: ops_agg_hll_rollup, pipeline_clean_corpus, pipeline_version_diff,
 #: pipeline_merge_upsert, pipeline_tombstone_purge, pipeline_split_leakage,
-#: text_bloom_decontam, ops_zorder_pruning, ops_winsorize, text_pmi_pairs
+#: text_bloom_decontam, ops_zorder_pruning, ops_winsorize, text_pmi_pairs,
+#: pipeline_data_expectations, ev_attribution, ev_rfm_segments,
+#: sim_centroid_drift
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

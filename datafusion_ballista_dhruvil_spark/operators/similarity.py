@@ -1407,3 +1407,93 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_centroid_drift",
+    oracle="""
+WITH e AS (
+  SELECT label, r.pos - 1 AS pos,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 < 50 AS in_a,
+         CAST(round(CAST(embedding[r.pos] AS DOUBLE) * 10000000) AS BIGINT)
+           AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(pos)
+),
+g AS (
+  SELECT label, pos,
+         CAST(SUM(CASE WHEN in_a THEN qi ELSE 0 END) AS BIGINT) AS sa,
+         COUNT(CASE WHEN in_a THEN 1 END) AS na,
+         CAST(SUM(CASE WHEN NOT in_a THEN qi ELSE 0 END) AS BIGINT) AS sb,
+         COUNT(CASE WHEN NOT in_a THEN 1 END) AS nb
+  FROM e GROUP BY label, pos
+)
+SELECT label, pos, na, nb,
+       CAST(sa AS DOUBLE) / (10000000.0 * na) AS mean_a,
+       CAST(sb AS DOUBLE) / (10000000.0 * nb) AS mean_b,
+       abs(sa * nb - sb * na) AS drift_q
+FROM g WHERE na > 0 AND nb > 0
+ORDER BY drift_q DESC, label, pos
+LIMIT 50
+""",
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift detection: compare per-label centroids
+    between two deterministic halves of the corpus and surface the most
+    drifted (label, dimension) pairs — the monitoring pass that catches a
+    changed embedding model or a shifted data mix before training on it.
+
+    Exactness: the per-half mean difference is compared in cleared-
+    denominator integer form — drift_q = |sa*nb - sb*na| is exact int64
+    (|qi| <= 1e7, so the products stay < 2^63 up to ~1e5 vectors/label/
+    dim at scale 7) and orders identically to |mean_a - mean_b| for fixed
+    (na, nb); the means themselves are single exact double divisions.
+
+    Scale: one partial-agg shuffle keyed by (label, pos) — 64 x n_labels
+    keys, each carrying two int64 sums; corpus vectors never pairwise
+    compare and never leave their partitions unaggregated. This is
+    sim_centroid_by_label run twice in one pass (conditional aggregates),
+    not two scans.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.sampling import _hash_bucket
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "label",
+        (_hash_bucket(F.col("vec_id"), 100) < 50).alias("in_a"),
+        F.posexplode("embedding").alias("pos", "c"),
+    )
+    qi = F.round(F.col("c").cast("double") * 10000000).cast("long")
+    g = e.select("label", "pos", "in_a", qi.alias("qi")).groupBy(
+        "label", "pos"
+    ).agg(
+        F.sum(F.when(F.col("in_a"), F.col("qi")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.count(F.when(F.col("in_a"), 1)).alias("na"),
+        F.sum(F.when(~F.col("in_a"), F.col("qi")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("nb"),
+    )
+    return (
+        g.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "na",
+            "nb",
+            (F.col("sa").cast("double") / (F.lit(10000000.0) * F.col("na"))).alias(
+                "mean_a"
+            ),
+            (F.col("sb").cast("double") / (F.lit(10000000.0) * F.col("nb"))).alias(
+                "mean_b"
+            ),
+            F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias(
+                "drift_q"
+            ),
+        )
+        .orderBy(F.desc("drift_q"), "label", "pos")
+        .limit(50)
+    )

@@ -1178,3 +1178,213 @@ def ev_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_attribution",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS src_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS src_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT user_id,
+         CASE WHEN src_type IS NULL THEN 'organic'
+              WHEN epoch_us(ts) - src_us > 604800000000 THEN 'organic'
+              ELSE src_type END AS attributed_type,
+         CASE WHEN src_type IS NOT NULL
+               AND epoch_us(ts) - src_us <= 604800000000
+              THEN (epoch_us(ts) - src_us) // 60000000 END AS gap_min
+  FROM s WHERE event_type = 'purchase'
+)
+SELECT attributed_type,
+       COUNT(*) AS n_purchases,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(COALESCE(SUM(gap_min), 0) AS BIGINT) AS sum_gap_min,
+       MAX(gap_min) AS max_gap_min
+FROM p GROUP BY attributed_type ORDER BY attributed_type
+""",
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view within a 7-day lookback, else 'organic'.
+
+    A point-in-time (as-of) join expressed as ONE pass: all events sort
+    into a per-user window once, `last(..., ignorenulls)` carries the most
+    recent source event forward, and purchases read it off — no self-join,
+    no per-purchase probe. The 7-day horizon and the gap are exact int64
+    microsecond arithmetic (unix_micros/epoch_us agree across engines).
+
+    Scale: single hash-shuffle on user_id + per-user sort — the same cost
+    as sessionization; attribution output is a 3-row rollup. Skewed users
+    bound the sort per key, not the whole stage.
+    """
+    t = Tables(spark, sf_dir)
+    is_src = F.col("event_type").isin("click", "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_src, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("src_type"),
+        F.last(F.when(is_src, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("src_us"),
+    )
+    gap = F.unix_micros("ts") - F.col("src_us")
+    horizon = 604800000000  # 7 days in microseconds
+    p = s.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(F.col("src_type").isNull(), "organic")
+        .when(gap > horizon, "organic")
+        .otherwise(F.col("src_type"))
+        .alias("attributed_type"),
+        F.when(
+            F.col("src_type").isNotNull() & (gap <= horizon),
+            F.expr(
+                "(unix_micros(ts) - src_us) div 60000000"
+            ),
+        ).alias("gap_min"),
+    )
+    return (
+        p.groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.coalesce(F.sum("gap_min"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_gap_min"),
+            F.max("gap_min").alias("max_gap_min"),
+        )
+        .orderBy("attributed_type")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_rfm_segments",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         DATE '2024-02-01' - CAST(MAX(ts) AS DATE) AS r_val,
+         COUNT(*) AS f_val,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_val
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+long AS (
+  SELECT user_id, 'r' AS metric, r_val AS v FROM u
+  UNION ALL SELECT user_id, 'f', f_val FROM u
+  UNION ALL SELECT user_id, 'm', m_val FROM u
+),
+rk AS (
+  SELECT metric, v,
+         ROW_NUMBER() OVER (PARTITION BY metric ORDER BY v, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY metric) AS n
+  FROM long
+),
+cut AS (
+  SELECT metric,
+         MIN(CASE WHEN rn = (n + 4) // 5 THEN v END) AS c1,
+         MIN(CASE WHEN rn = (2 * n + 4) // 5 THEN v END) AS c2,
+         MIN(CASE WHEN rn = (3 * n + 4) // 5 THEN v END) AS c3,
+         MIN(CASE WHEN rn = (4 * n + 4) // 5 THEN v END) AS c4
+  FROM rk GROUP BY metric
+),
+sc AS (
+  SELECT l.user_id, l.metric,
+         1 + (CASE WHEN l.v > c.c1 THEN 1 ELSE 0 END)
+           + (CASE WHEN l.v > c.c2 THEN 1 ELSE 0 END)
+           + (CASE WHEN l.v > c.c3 THEN 1 ELSE 0 END)
+           + (CASE WHEN l.v > c.c4 THEN 1 ELSE 0 END) AS raw
+  FROM long l JOIN cut c USING (metric)
+),
+wide AS (
+  SELECT user_id,
+         6 - MAX(CASE WHEN metric = 'r' THEN raw END) AS r_score,
+         MAX(CASE WHEN metric = 'f' THEN raw END) AS f_score,
+         MAX(CASE WHEN metric = 'm' THEN raw END) AS m_score
+  FROM sc GROUP BY user_id
+)
+SELECT w.r_score, w.f_score, w.m_score,
+       COUNT(*) AS n_users,
+       CAST(SUM(u.m_val) AS BIGINT) AS sum_mon_cents
+FROM wide w JOIN u ON w.user_id = u.user_id
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile-score every purchasing user on Recency /
+    Frequency / Monetary and roll up segment sizes — the classic
+    user-value cube, built scale-correctly.
+
+    Monetary is exact int64 cents (round(value*100) — HALF_UP in both
+    engines); recency is whole days to a fixed anchor. The three metric
+    quintile cutoffs come from ONE weighted_quantile call over the
+    metrics in LONG form (group key = metric name): at 1e9 users this is
+    the binned two-phase quantile, not a 3x-repeated global sort. Scores
+    then need only a 3x4-value broadcast and a map-side CASE; recency is
+    score-inverted (5 = most recent).
+    """
+    from datafusion_ballista_dhruvil_spark.operators.relational import (
+        weighted_quantile,
+    )
+
+    t = Tables(spark, sf_dir)
+    u = (
+        t.events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-02-01").cast("date"), F.max("ts").cast("date")
+            ).alias("r_val"),
+            F.count(F.lit(1)).alias("f_val"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("m_val"),
+        )
+    )
+    long = (
+        u.select("user_id", F.lit("r").alias("metric"), F.col("r_val").cast("long").alias("v"))
+        .unionAll(u.select("user_id", F.lit("f"), F.col("f_val").cast("long")))
+        .unionAll(u.select("user_id", F.lit("m"), F.col("m_val").cast("long")))
+        .withColumn("w", F.lit(1))
+    )
+    cut = weighted_quantile(
+        long, value="v", weight="w", group_cols=["metric"],
+        qs={"c1": (1, 5), "c2": (2, 5), "c3": (3, 5), "c4": (4, 5)},
+    )
+    raw = (
+        F.lit(1)
+        + F.when(F.col("v") > F.col("c1"), 1).otherwise(0)
+        + F.when(F.col("v") > F.col("c2"), 1).otherwise(0)
+        + F.when(F.col("v") > F.col("c3"), 1).otherwise(0)
+        + F.when(F.col("v") > F.col("c4"), 1).otherwise(0)
+    )
+    sc = long.join(F.broadcast(cut), "metric").select(
+        "user_id", "metric", raw.alias("raw")
+    )
+    wide = sc.groupBy("user_id").agg(
+        (6 - F.max(F.when(F.col("metric") == "r", F.col("raw")))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("raw"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("raw"))).alias("m_score"),
+    )
+    return (
+        wide.join(u, "user_id")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("m_val").cast("bigint").alias("sum_mon_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

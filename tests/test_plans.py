@@ -334,3 +334,41 @@ def test_pmi_vocab_broadcasts(spark):
     plan = formatted_plan(QUERIES["text_pmi_pairs"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_expectations_no_extra_scans(spark):
+    # 7 expectations over 5 tables: each table is scanned at most twice
+    # (documents carries 3 expectations on shared scans), and the RI
+    # check broadcasts the customer key list.
+    plan = formatted_plan(QUERIES["pipeline_data_expectations"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    # As-of attribution = one window pass: exactly one hashpartitioning
+    # exchange on user_id before the final rollup; no self-join.
+    import re
+
+    plan = formatted_plan(QUERIES["ev_attribution"](spark, SF_DIR))
+    assert "Join" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("user_id" in p for p in parts)
+
+
+def test_rfm_cutoffs_broadcast(spark):
+    # Quintile cutoff table (3 metrics x 4 cutoffs) must broadcast back;
+    # no global sort of the user metrics (binned quantile path).
+    plan = formatted_plan(QUERIES["ev_rfm_segments"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_drift_single_shuffle_of_sums(spark):
+    # Drift = conditional aggregate keyed by (label, pos): the exchange
+    # carries integer partial sums, never raw embedding arrays.
+    import re
+
+    plan = formatted_plan(QUERIES["sim_centroid_drift"](spark, SF_DIR))
+    assert "Join" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("embedding" not in p for p in parts), parts
