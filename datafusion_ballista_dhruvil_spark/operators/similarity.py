@@ -1497,3 +1497,201 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_q"), "label", "pos")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_ivf_pq",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_QDOT.format(a='embedding', b='embedding')} AS selfq
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS k, embedding AS se FROM embeddings WHERE vec_id < 16),
+co AS (SELECT vec_id AS cid, embedding AS cv, selfq AS cselfq
+       FROM e WHERE vec_id < 8),
+cass AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, co.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY e.selfq + co.cselfq
+                      - 2 * {_SQL_QDOT.format(a='e.embedding', b='co.cv')},
+                      co.cid
+           ) AS rn
+    FROM e CROSS JOIN co
+  ) WHERE rn = 1
+),
+dists AS (
+  SELECT e.vec_id, m.m, s.k,
+         {_SQL_PQ_SUBDIST.format(a='e.embedding', b='s.se')} AS d
+  FROM embeddings e
+  CROSS JOIN range(0, 8) m(m)
+  CROSS JOIN cb s
+),
+coded AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, co.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY eq.selfq + co.cselfq
+                      - 2 * {_SQL_QDOT.format(a='eq.embedding', b='co.cv')},
+                      co.cid
+           ) AS rn
+    FROM q JOIN e eq ON eq.vec_id = q.qid CROSS JOIN co
+  ) WHERE rn <= 2
+),
+lut AS (
+  SELECT d.vec_id AS qid, d.m, d.k, d.d AS dq
+  FROM dists d JOIN q ON d.vec_id = q.qid
+),
+adc AS (
+  SELECT p.qid, ca.vec_id,
+         string_agg(CAST(c.code AS VARCHAR), '-' ORDER BY c.m) AS codes,
+         SUM(l.dq) AS di
+  FROM probe p
+  JOIN cass ca ON ca.cid = p.cid
+  JOIN coded c ON c.vec_id = ca.vec_id
+  JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.k = c.code
+  WHERE ca.vec_id <> p.qid
+  GROUP BY p.qid, ca.vec_id
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, codes,
+       CAST(di AS DOUBLE) / 1e14 AS pq_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY di, vec_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+ORDER BY query_id, pq_dist, neighbor_id
+""",
+)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ, by_residual=False variant — Jégou et al.
+    2011, public paper): coarse quantizer routes each vector to one of 8
+    inverted lists; vectors compress to 8 PQ codes; a query probes its
+    nprobe=2 nearest lists and scans ONLY those codes with an 8x16 ADC
+    lookup table. Returns per-query top-5 with the codes themselves, so
+    the oracle verifies routing + encoding + scan, not just distances.
+
+    Scale posture — the canonical billion-vector serving shape:
+    - encode is ONE map-only mapInPandas pass (coarse assign + PQ encode
+      per batch; centroids + codebook ship in the closure). At 100 TB the
+      corpus persists in this coded form: 8 bytes/vector + list id.
+    - the probe is an equi-join of the coded corpus against a broadcast
+      (query, list) pair table — each query touches nprobe/8 of the data,
+      and with the corpus repartitioned by list id the probe is
+      exchange-free.
+    - ADC scoring is an Arrow-vectorized int64 lookup-sum; top-5 per query
+      is a window over the tiny probed candidate set.
+
+    Determinism: same contracts as sim_pq_adc (scale-7 quantization,
+    first-minimum argmin == smallest centroid id, int64 ADC sums).
+    """
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.types import LongType
+
+    t = Tables(spark, sf_dir)
+    seeds = {
+        r.vec_id: _np.asarray(r.embedding, dtype=_np.float64)
+        for r in t.embeddings.where(
+            (F.col("vec_id") < 16)
+            | ((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    S = _round_half_away(
+        _np.stack([seeds[k] for k in range(16)]) * _SCALE
+    )  # (16, 64) int codebook rows
+    Spq = S.reshape(16, 8, 8)  # [k, m, d]
+    C = S[:8]  # coarse centroids (8, 64)
+    qids = list(range(100, 105))
+    Q = _round_half_away(_np.stack([seeds[k] for k in qids]) * _SCALE)  # (5, 64)
+    Qpq = Q.reshape(5, 8, 8)
+
+    # per-query ADC LUTs: lut[q][m, k] = ||Q_q,m - S_k,m||^2
+    dq = Qpq[:, None, :, :] - Spq[None, :, :, :]  # (5, 16, 8, 8)
+    LUT = _np.einsum("qkmd,qkmd->qkm", dq, dq).transpose(0, 2, 1)  # (5, 8, 16)
+    # per-query probe lists: 2 nearest coarse centroids (ties: smallest cid)
+    dc = Q[:, None, :] - C[None, :, :]  # (5, 8, 64)
+    cd = _np.einsum("qcd,qcd->qc", dc, dc)
+    probe_rows = [
+        (int(qids[qi]), int(cid))
+        for qi in range(5)
+        for cid in _np.lexsort((_np.arange(8), cd[qi]))[:2]
+    ]
+    probe = spark.createDataFrame(probe_rows, "query_id long, cid long")
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                * _SCALE
+            )
+            d = X[:, None, :] - C[None, :, :]
+            cid = _np.einsum("bcd,bcd->bc", d, d).argmin(axis=1)
+            Xm = X.reshape(len(pdf), 8, 8)
+            codes = _np.empty((len(pdf), 8), dtype=_np.int64)
+            for m in range(8):
+                dm = Xm[:, None, m, :] - Spq[None, :, m, :]
+                codes[:, m] = _np.einsum("bkd,bkd->bk", dm, dm).argmin(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cid": _pd.Series(cid, dtype="int64"),
+                    "codes": list(codes),
+                    "codes_str": ["-".join(map(str, c)) for c in codes],
+                }
+            )
+
+    coded = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, cid long, codes array<long>, codes_str string"
+    )
+
+    lut_by_q = {int(qids[i]): LUT[i] for i in range(5)}
+
+    @F.pandas_udf(LongType())
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return _pd.Series([], dtype="int64")
+        cm = _np.stack(codes.to_numpy()).astype(_np.int64)  # (B, 8)
+        out = _np.zeros(len(qid), dtype=_np.int64)
+        qv = qid.to_numpy()
+        for k, lut in lut_by_q.items():
+            mask = qv == k
+            if mask.any():
+                out[mask] = lut[_np.arange(8)[None, :], cm[mask]].sum(axis=1)
+        return _pd.Series(out, dtype="int64")
+
+    cand = (
+        coded.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "codes_str",
+            adc(F.col("query_id"), F.col("codes")).alias("di"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("di", "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("codes_str").alias("codes"),
+            (F.col("di").cast("double") / F.lit(1e14)).alias("pq_dist"),
+        )
+        .orderBy("query_id", "pq_dist", "neighbor_id")
+    )

@@ -43,3 +43,92 @@ def start_exactly_once_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cdc_upsert_sink(
+    cdc_stream: DataFrame,
+    delta_dir: str,
+    checkpoint: str,
+    key: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> StreamingQuery:
+    """Streaming MERGE INTO: land a CDC stream as per-epoch compressed
+    delta files — the merge-on-read (LSM) pattern Hudi/Iceberg MOR use.
+
+    Each micro-batch is compressed to its per-key winner (latest by
+    ``order_cols``) BEFORE landing, and written idempotently into
+    ``<delta_dir>/epoch=<id>`` (same exactly-once contract as
+    start_exactly_once_parquet_sink). Tombstones (op='D') are LANDED, not
+    applied: because "keep the max-(ts, event_id) row per key" is a
+    commutative, associative reduction, the read-side view is correct
+    whatever order epochs arrive or replay in — out-of-order micro-batches
+    cannot corrupt state, which is the property that makes this safe on a
+    real cluster. Compaction = periodically rewriting the merged view as a
+    new base (same reduction, so it commutes with further deltas).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o1, o2 = order_cols
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(o1).desc(), F.col(o2).desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest.write.mode("overwrite").parquet(f"{delta_dir}/epoch={epoch_id}")
+
+    return (
+        cdc_stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_merge_view(
+    spark,
+    base_df: DataFrame,
+    delta_dir: str,
+    key: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Merge-on-read view over a CDC delta directory: base rows overlaid
+    with the per-key latest delta; keys whose winning op is 'D' drop out.
+
+    Columns returned: (key, final_value, origin, n_ops-free) — matches the
+    batch MERGE (operators/lifecycle.py::pipeline_merge_upsert) semantics
+    so stream==batch can be asserted. Scale: the delta side re-compresses
+    to one row per touched key (window keyed by ``key``); the base join is
+    a single co-partitioned left join.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o1, o2 = order_cols
+    deltas = spark.read.parquet(delta_dir)
+    w = Window.partitionBy(key).orderBy(F.col(o1).desc(), F.col(o2).desc())
+    latest = (
+        deltas.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(key, "event_id", "op")
+    )
+    m = base_df.alias("b").join(
+        latest.alias("l"), F.col(f"b.{key}") == F.col(f"l.{key}"), "left"
+    )
+    return (
+        m.where(F.col("l.op").isNull() | (F.col("l.op") != "D"))
+        .select(
+            F.col(f"b.{key}").alias(key),
+            F.when(F.col(f"l.{key}").isNull(), F.col("b.base_value"))
+            .otherwise(F.col("l.event_id"))
+            .alias("final_value"),
+            F.when(F.col(f"l.{key}").isNull(), "base")
+            .otherwise("cdc")
+            .alias("origin"),
+        )
+    )

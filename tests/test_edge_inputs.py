@@ -252,3 +252,62 @@ def test_audio_pipeline_survives_empty_payload(spark, monkeypatch):
     rows = {r.doc_id: r for r in mm.mm_audio_features(spark, "unused").collect()}
     assert rows[0].n_samples == 1 and rows[0].mean_abs == 0.0 and rows[0].peak == 0
     assert rows[1].n_samples == 3 and rows[1].sample_rate == 16000
+
+
+def test_weighted_quantile_tiny_groups(spark):
+    """k = ceil(q*n) must stay >= 1 for 1-row groups and hit the exact
+    order statistic for small n (no off-by-one at the bucket boundary)."""
+    from datafusion_ballista_dhruvil_spark.operators.relational import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7, 1)]
+        + [("b", v, 1) for v in (10, 20, 30, 40)],
+        "g string, p long, w long",
+    )
+    got = {
+        r.g: (r.lo, r.hi)
+        for r in weighted_quantile(
+            df, value="p", weight="w", group_cols=["g"],
+            qs={"lo": (1, 20), "hi": (19, 20)},
+        ).collect()
+    }
+    # n=1: both quantiles are the single value
+    assert got["a"] == (7, 7)
+    # n=4: ceil(0.05*4)=1 -> 10; ceil(0.95*4)=4 -> 40
+    assert got["b"] == (10, 40)
+
+
+def test_bloom_decontam_degenerate_eval(spark, monkeypatch):
+    """All-eval corpus (every doc is src0): training side is empty ->
+    empty result, no crash; and a doc too short for any 5-gram
+    contributes nothing."""
+    import datafusion_ballista_dhruvil_spark.operators.text as text
+
+    docs = _docs(spark, ["a b c d e f g", "short doc"])
+
+    class FakeTables:
+        def __init__(self, *_): self.documents = docs
+
+    monkeypatch.setattr(text, "Tables", FakeTables)
+    assert text.text_bloom_decontam(spark, "unused").collect() == []
+
+
+def test_cdc_merge_view_all_deletes(spark, tmp_path):
+    """A delta set whose winning op is 'D' for every touched key must
+    leave only untouched base rows."""
+    from datafusion_ballista_dhruvil_spark.streaming.sinks import cdc_merge_view
+
+    delta = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(1, 100, 1000, "U"), (1, 200, 2000, "D"), (2, 150, 1500, "D")],
+        "user_id long, ts long, event_id long, op string",
+    ).write.parquet(f"{delta}/epoch=0")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "user_id long, base_value long"
+    )
+    rows = sorted(
+        map(tuple, cdc_merge_view(spark, base, delta).collect())
+    )
+    assert rows == [(3, 30, "base")]

@@ -372,3 +372,13 @@ def test_centroid_drift_single_shuffle_of_sums(spark):
     assert "Join" not in plan
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and all("embedding" not in p for p in parts), parts
+
+
+def test_ivf_pq_probe_is_broadcast_equi_join(spark):
+    # Encode is one mapInPandas pass; the probe joins the coded corpus to
+    # the broadcast (query, list) table on cid — an equi-join, never a
+    # cartesian scan of all lists; ADC is an Arrow-vectorized udf.
+    plan = formatted_plan(QUERIES["sim_ivf_pq"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -222,3 +222,70 @@ def test_foreachbatch_exactly_once_sink(spark, tmp_path):
         second.select(F.sum("event_id")).collect()[0][0]
         == batch.select(F.sum("event_id")).collect()[0][0]
     )
+
+
+def test_streaming_cdc_merge_matches_batch(spark, tmp_path):
+    """Streaming MERGE (per-epoch compressed deltas + merge-on-read view)
+    must converge to exactly the batch MERGE result, across multiple
+    micro-batches and a checkpoint replay (which must change nothing)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.operators import load_all
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+    from datafusion_ballista_dhruvil_spark.session import normalize_events_ts
+    from datafusion_ballista_dhruvil_spark.streaming.sinks import (
+        cdc_merge_view,
+        start_cdc_upsert_sink,
+    )
+
+    load_all()
+
+    # split the CDC log into 4 files -> 4 micro-batches (out-of-order keys)
+    src = str(tmp_path / "cdc_src")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(4).write.parquet(src)
+
+    delta, ck = str(tmp_path / "deltas"), str(tmp_path / "ck")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        cdc = normalize_events_ts(stream).select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+        return start_cdc_upsert_sink(cdc, delta, ck)
+
+    start().awaitTermination(120)
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .withColumn("base_value", F.col("user_id") * 10)
+    )
+    merged = cdc_merge_view(spark, base, delta)
+    got = sorted(map(tuple, merged.collect()))
+
+    want = sorted(
+        (r.user_id, r.final_value, r.origin)
+        for r in QUERIES["pipeline_merge_upsert"](spark, SF_DIR).collect()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+    # several epochs actually landed (merge-on-read really spans deltas)
+    epochs = spark.read.parquet(delta).select("epoch").distinct().count()
+    assert epochs >= 2
+
+    # checkpoint replay with no new files: view unchanged
+    start().awaitTermination(120)
+    again = sorted(map(tuple, cdc_merge_view(spark, base, delta).collect()))
+    assert again == got

@@ -36,7 +36,7 @@ subset = [
     for n in sorted(queries)
     if n in oracles
     and (
-        n.startswith(("ev_", "asof_", "range_"))
+        n.startswith(("ev_", "asof_", "range_", "pipeline_"))
         or n
         in (
             "q1",
