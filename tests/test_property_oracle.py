@@ -145,3 +145,58 @@ def test_rewrite_pg_cast_on_masked_literal(body, ty):
 
     out = rewrite_sql(f"SELECT '{body}'::{ty} FROM t")
     assert out == f"SELECT CAST('{body}' AS {ty}) FROM t"
+
+
+# ---------------------------------------------------------------------------
+# Window-function conformance fuzz: ONE SQL text (shared dialect) with a
+# random window spec runs on BOTH engines and must match exactly. Covers
+# ranking, offset (lag/lead) and framed aggregates — the §2.6 surface —
+# under randomized PARTITION BY / ROWS frames.
+
+_WFUNCS = ["row_number", "rank", "dense_rank", "lag", "lead", "sum", "min", "max", "count"]
+
+window_ast = st.tuples(
+    st.sampled_from(_WFUNCS),
+    st.lists(
+        st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+        max_size=2,
+        unique=True,
+    ),
+    st.integers(0, 3),  # frame preceding / lag offset
+    st.integers(0, 3),  # frame following
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(window_ast)
+def test_random_window_matches_oracle(spark, oracle, ast):
+    func, parts, a, b = ast
+    over = "PARTITION BY " + ", ".join(parts) + " " if parts else ""
+    order = "ORDER BY o_custkey, o_orderkey"  # total order: ties impossible
+    if func in ("row_number", "rank", "dense_rank"):
+        expr = f"{func}() OVER ({over}{order})"
+    elif func in ("lag", "lead"):
+        expr = f"{func}(o_custkey, {a}) OVER ({over}{order})"
+    elif func == "count":
+        expr = (
+            f"COUNT(*) OVER ({over}{order} "
+            f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING)"
+        )
+    else:
+        expr = (
+            f"CAST({func.upper()}(o_custkey) OVER ({over}{order} "
+            f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING) AS BIGINT)"
+        )
+    sql = (
+        f"SELECT o_orderkey, {expr} AS v FROM orders "
+        "WHERE o_orderkey < 3000 ORDER BY o_orderkey"
+    )
+
+    Tables(spark, SF_DIR).orders.createOrReplaceTempView("orders")
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    cur = oracle.execute(sql)
+    orows = cur.fetchall()
+    assert len(srows) == len(orows) > 0, sql
+    assert _normalize(srows, ["o_orderkey", "v"]) == _normalize(
+        orows, ["o_orderkey", "v"]
+    ), sql
