@@ -303,22 +303,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_signatures(arrs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): banded MinHash signatures from the per-doc
-    shingle-set arrays — shared by within-corpus LSH (_verified_pairs) and
-    incremental cross-corpus LSH (dedup_incremental_lsh).
+def minhash_wide(arrs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}): the K-column MinHash signature table.
 
     One md5 per shingle -> K universal-hash derivations
     ``(a_j*h0 + b_j) mod (2^31-1)`` -> K min-aggregates (map-side partial,
-    one shuffle of K ints per doc) -> BANDS concatenated band signatures.
-    """
+    one shuffle of K ints per doc). Shared by the banded LSH path and the
+    estimator-accuracy audit (dedup_minhash_accuracy)."""
     sh = arrs.select("doc_id", F.explode("ss").alias("s"))
     P = 2_147_483_647
     h0 = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % P
     ).alias("h0")
     hashed = sh.select("doc_id", h0)
-    mh = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.lit(2 * j + 3) * F.col("h0") + F.lit(104729 * j + 12345)) % P
@@ -326,6 +324,13 @@ def _band_signatures(arrs: DataFrame) -> DataFrame:
             for j in range(K)
         ]
     )
+
+
+def _band_signatures(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): banded MinHash signatures from the per-doc
+    shingle-set arrays — shared by within-corpus LSH (_verified_pairs) and
+    incremental cross-corpus LSH (dedup_incremental_lsh)."""
+    mh = minhash_wide(arrs)
     band_sigs = [
         F.concat_ws(
             "|", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -365,10 +370,10 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_of(_shingle_arrays(spark, sf_dir).cache())
 
 
-def verified_pairs_of(arrs: DataFrame) -> DataFrame:
-    """_verified_pairs over an explicit (doc_id, ss) shingle-set relation —
-    lets pipeline compositions run near-dup detection on an already
-    filtered/exact-deduped corpus (see pipeline_clean_corpus)."""
+def lsh_candidates(arrs: DataFrame) -> DataFrame:
+    """(d1, d2): distinct LSH candidate pairs — docs sharing any band
+    bucket, d1 < d2, mega-buckets capped at MAX_BUCKET_DOCS (deterministic
+    smallest-doc_id sample; see observe_bucket_cap for the loud counter)."""
     bands = _band_signatures(arrs)
     buckets = (
         bands.groupBy("band", "sig")
@@ -376,7 +381,7 @@ def verified_pairs_of(arrs: DataFrame) -> DataFrame:
         .where(F.array_size("ids0") >= 2)
     )
     buckets, _ = observe_bucket_cap(buckets, "ids0", "minhash_lsh")
-    cand = (
+    return (
         buckets
         # mega-bucket guard: sort (deterministic regardless of collect_list
         # order) and keep at most MAX_BUCKET_DOCS smallest doc_ids
@@ -392,6 +397,13 @@ def verified_pairs_of(arrs: DataFrame) -> DataFrame:
         .select("p.d1", "p.d2")
         .distinct()
     )
+
+
+def verified_pairs_of(arrs: DataFrame) -> DataFrame:
+    """_verified_pairs over an explicit (doc_id, ss) shingle-set relation —
+    lets pipeline compositions run near-dup detection on an already
+    filtered/exact-deduped corpus (see pipeline_clean_corpus)."""
+    cand = lsh_candidates(arrs)
     s1 = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
     s2 = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
     common = F.array_size(F.array_intersect(F.col("ss1"), F.col("ss2")))
@@ -1273,4 +1285,97 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_accuracy",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES},
+est AS (
+  SELECT c.d1, c.d2, COUNT(CASE WHEN a.m = b.m THEN 1 END) AS est_num
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.d1
+  JOIN mh b ON b.doc_id = c.d2 AND b.j = a.j
+  GROUP BY c.d1, c.d2
+),
+x AS (
+  SELECT e.d1, e.d2, e.est_num,
+         COALESCE(v.common, 0) AS common, z1.n AS n1, z2.n AS n2,
+         z1.n + z2.n - COALESCE(v.common, 0) AS u
+  FROM est e
+  LEFT JOIN ver v ON v.d1 = e.d1 AND v.d2 = e.d2
+  JOIN sizes z1 ON z1.doc_id = e.d1
+  JOIN sizes z2 ON z2.doc_id = e.d2
+)
+SELECT d1, d2, est_num, common, n1, n2,
+       est_num / {K}.0 AS est_jaccard,
+       CAST(common AS DOUBLE) / u AS jaccard,
+       abs(est_num * u - common * {K}) * 1000000 // ({K} * u) AS err_ppm
+FROM x
+ORDER BY err_ppm DESC, d1, d2
+LIMIT 100
+""",
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-accuracy audit: for every LSH candidate pair,
+    compare the signature-agreement Jaccard estimate (#agreeing minima /
+    K) against the exact shingle-set Jaccard, and rank pairs by estimator
+    error — the eval harness a sketch-based dedup ships with (the analogue
+    of sim_ann_recall for the ANN side).
+
+    err_ppm is |est - exact| in exact cleared-denominator integer ppm
+    (est/K - common/union over denominator K*union), so the ranking never
+    touches float subtraction. Scale: reuses the LSH candidate generation
+    (bounded buckets, never all-pairs) and joins the K-int signature rows
+    for candidates only; the exact side reuses the per-doc shingle-set
+    arrays — both join build sides are doc-count-sized.
+    """
+    arrs = _shingle_arrays(spark, sf_dir).cache()
+    cand = lsh_candidates(arrs)
+    mh = minhash_wide(arrs)
+    m1 = mh.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(K)]
+    )
+    m2 = mh.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(K)]
+    )
+    est_num = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(K)
+    ).cast("bigint")
+    s1 = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
+    s2 = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
+    x = (
+        cand.join(m1, "d1")
+        .join(m2, "d2")
+        .select("d1", "d2", est_num.alias("est_num"))
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "est_num",
+            F.array_size(F.array_intersect("ss1", "ss2")).cast("bigint").alias("common"),
+            F.array_size("ss1").cast("bigint").alias("n1"),
+            F.array_size("ss2").cast("bigint").alias("n2"),
+        )
+        .withColumn("u", F.col("n1") + F.col("n2") - F.col("common"))
+    )
+    return (
+        x.select(
+            "d1",
+            "d2",
+            "est_num",
+            "common",
+            "n1",
+            "n2",
+            (F.col("est_num") / F.lit(float(K))).alias("est_jaccard"),
+            (F.col("common").cast("double") / F.col("u")).alias("jaccard"),
+            F.expr(
+                f"abs(est_num * u - common * {K}) * 1000000 div ({K} * u)"
+            ).alias("err_ppm"),
+        )
+        .orderBy(F.desc("err_ppm"), "d1", "d2")
+        .limit(100)
     )
