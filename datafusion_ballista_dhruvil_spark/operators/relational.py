@@ -1720,3 +1720,180 @@ def ops_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("g", "priority")
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_mad_outliers",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders
+),
+r AS (
+  SELECT g, p,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY p) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM s
+),
+medt AS (
+  SELECT g, MIN(CASE WHEN rn = (n + 1) // 2 THEN p END) AS med
+  FROM r GROUP BY g
+),
+d AS (
+  SELECT s.g, s.p, medt.med, abs(s.p - medt.med) AS dev
+  FROM s JOIN medt USING (g)
+),
+r2 AS (
+  SELECT g, dev,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM d
+),
+madt AS (
+  SELECT g, MIN(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+  FROM r2 GROUP BY g
+)
+SELECT d.g AS priority, COUNT(*) AS n,
+       CAST(MIN(d.med) AS DOUBLE) AS median,
+       CAST(MIN(madt.mad) AS DOUBLE) AS mad,
+       COUNT(CASE WHEN d.dev > 3 * madt.mad THEN 1 END) AS n_outliers
+FROM d JOIN madt USING (g)
+GROUP BY d.g ORDER BY priority
+""",
+)
+def ops_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation (MAD)
+    with a 3-MAD flag — the robust z-score that, unlike mean/stddev, a
+    single corrupt value cannot drag.
+
+    Two exact order statistics per group (median of values, then median
+    of absolute deviations), BOTH through weighted_quantile's two-phase
+    binned pass — at 100 TB neither median triggers a per-group global
+    sort, and the broadcast cutoff table keys the final flagging pass
+    map-side. All arithmetic is exact decimal until the two output casts.
+    """
+    t = Tables(spark, sf_dir)
+    staged = t.orders.select(
+        F.col("o_orderpriority").alias("g"),
+        dec2("o_totalprice").alias("p"),
+        F.lit(1).alias("w"),
+    )
+    medt = weighted_quantile(
+        staged, value="p", weight="w", group_cols=["g"], qs={"med": (1, 2)}
+    )
+    d = staged.join(F.broadcast(medt), "g").select(
+        "g", "p", "med", F.abs(F.col("p") - F.col("med")).alias("dev"),
+        F.lit(1).alias("w"),
+    )
+    madt = weighted_quantile(
+        d, value="dev", weight="w", group_cols=["g"], qs={"mad": (1, 2)}
+    )
+    return (
+        d.join(F.broadcast(madt), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").cast("double").alias("median"),
+            F.min("mad").cast("double").alias("mad"),
+            F.count(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("g", "priority")
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ops_join_cardinality",
+    oracle="""
+WITH co AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+cl AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+actual AS (
+  SELECT CAST(SUM(co.c * cl.c) AS BIGINT) AS n
+  FROM co JOIN cl ON co.k = cl.k
+),
+hb AS (
+  SELECT 'orders' AS side, k % 256 AS b, COUNT(*) AS c, COUNT(DISTINCT k) AS d
+  FROM (SELECT o_orderkey AS k FROM orders) GROUP BY 2
+),
+lb AS (
+  SELECT k % 256 AS b, COUNT(*) AS c, COUNT(DISTINCT k) AS d
+  FROM (SELECT l_orderkey AS k FROM lineitem) GROUP BY 1
+),
+hist AS (
+  SELECT CAST(SUM(hb.c * lb.c // GREATEST(hb.d, lb.d)) AS BIGINT) AS est
+  FROM hb JOIN lb ON hb.b = lb.b
+)
+SELECT 'exact_keycount_sum' AS method,
+       (SELECT n FROM actual) AS est,
+       (SELECT n FROM actual) AS actual,
+       CAST(0 AS BIGINT) AS err_ppm
+UNION ALL
+SELECT 'histogram_256',
+       (SELECT est FROM hist),
+       (SELECT n FROM actual),
+       abs((SELECT est FROM hist) - (SELECT n FROM actual)) * 1000000
+         // (SELECT n FROM actual)
+ORDER BY method
+""",
+)
+def ops_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from table statistics — the optimizer
+    input that decides broadcast vs shuffle and join order BEFORE running
+    anything (reference analogue: DataFusion's table statistics surface,
+    SURVEY §2.2; this extends the stats to join-size estimation).
+
+    Two estimators for |orders JOIN lineitem ON orderkey|:
+    - exact per-key count-product sum (the identity Sum_k c1(k)*c2(k) —
+      equals the true cardinality; err_ppm 0 by construction, asserted
+      through the oracle);
+    - 256-bucket histogram with containment+uniformity assumption
+      (Sum_b c1*c2/max(d1,d2) — what real optimizers keep, since per-key
+      counts don't fit in catalog stats). Its integer-exact error vs
+      actual is the query's output.
+
+    Scale: both estimators are partial-agg scans + a 256-row join — the
+    join itself is never executed; that is the point.
+    """
+    t = Tables(spark, sf_dir)
+    co = t.orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cl = t.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    actual = (
+        co.join(cl, "k")
+        .select((co["c"] * cl["c"]).alias("p"))
+        .agg(F.sum("p").cast("bigint").alias("n"))
+    )
+    hb = t.orders.groupBy((F.col("o_orderkey") % 256).alias("b")).agg(
+        F.count(F.lit(1)).alias("c"), F.countDistinct("o_orderkey").alias("d")
+    )
+    lb = t.lineitem.groupBy((F.col("l_orderkey") % 256).alias("b")).agg(
+        F.count(F.lit(1)).alias("c2"), F.countDistinct("l_orderkey").alias("d2")
+    )
+    hist = (
+        hb.join(lb, "b")
+        .select(
+            F.expr("c * c2 div greatest(d, d2)").alias("p")
+        )
+        .agg(F.sum("p").cast("bigint").alias("est"))
+    )
+    a = actual.crossJoin(F.broadcast(hist))
+    exact_row = a.select(
+        F.lit("exact_keycount_sum").alias("method"),
+        F.col("n").alias("est"),
+        F.col("n").alias("actual"),
+        F.lit(0).cast("bigint").alias("err_ppm"),
+    )
+    hist_row = a.select(
+        F.lit("histogram_256").alias("method"),
+        F.col("est"),
+        F.col("n").alias("actual"),
+        F.expr("abs(est - n) * 1000000 div n").alias("err_ppm"),
+    )
+    return exact_row.unionAll(hist_row).orderBy("method")

@@ -1388,3 +1388,108 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_path_topk",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      AS prev_us
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+headed AS (
+  SELECT user_id, session_id, event_type, ts_us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts_us, event_id) AS rn
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM headed WHERE rn <= 5
+  GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def ev_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the most common first-5-event journey shapes
+    across gap-sessionized visits — the funnel-discovery complement to
+    ev_funnel_stages (which checks ONE known funnel; this surfaces which
+    paths exist).
+
+    Composes the gap sessionizer (lag + running-sum, identical semantics
+    to ev_sessionize) with a per-session ordered path prefix. The prefix
+    caps at 5 events so path strings stay bounded regardless of session
+    length — at scale the path-count shuffle keys are short strings with
+    heavy skew toward a few common journeys, which partial aggregation
+    absorbs map-side.
+    """
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts"))
+    wlag = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    ordered = t.events.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us"),
+        F.lag(ts_us).over(wlag).alias("prev_us"),
+    )
+    is_new = F.when(
+        F.col("prev_us").isNull()
+        | ((F.col("ts_us") - F.col("prev_us")) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = ordered.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.sum(is_new).over(wrun).alias("session_id"),
+    )
+    wsess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    headed = sessions.withColumn("rn", F.row_number().over(wsess)).where(
+        F.col("rn") <= 5
+    )
+    paths = (
+        headed.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
