@@ -1,0 +1,94 @@
+"""sf1 stress: materialize a synthetic 10x corpus from sf0.1 (key-shifted
+copies — a perf experiment, NOT test input; correctness stays on the
+driver's parquet) and time headline queries, extending the measured
+scaling range to 1000x (sf0.001 -> sf1).
+
+Usage: python tools/scale_stress.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+OFFSET = 10_000_000
+
+# (table, key columns to shift) — only the tables the stress queries touch
+TABLES = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "documents": ["doc_id"],
+}
+QUERIES_TO_RUN = [
+    "q1",
+    "q6",
+    "dedup_exact",
+    "text_tokens_quality",
+    "text_langid",
+    "split_hash_assign",
+]
+
+
+def build(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    for name, keys in TABLES.items():
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + i * OFFSET)
+            parts.append(d)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionAll(p)
+        big.write.mode("overwrite").parquet(dst)
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    os.makedirs(out_dir, exist_ok=True)
+
+    from datafusion_ballista_dhruvil_spark.operators import load_all
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+    from datafusion_ballista_dhruvil_spark.session import create_session
+
+    spark = create_session(app_name="scale-stress")
+    load_all()
+    t0 = time.perf_counter()
+    build(spark, out_dir)
+    print(f"build: {time.perf_counter() - t0:.1f}s -> {out_dir}")
+
+    print("| query | sf0.1 | sf1 (10x) | growth |")
+    print("|---|---|---|---|")
+    for name in QUERIES_TO_RUN:
+        fn = QUERIES[name]
+        fn(spark, SRC).collect()  # warm both paths
+        t0 = time.perf_counter()
+        fn(spark, SRC).collect()
+        small = time.perf_counter() - t0
+        fn(spark, out_dir).collect()
+        t0 = time.perf_counter()
+        fn(spark, out_dir).collect()
+        big = time.perf_counter() - t0
+        print(
+            f"| {name} | {small:.2f} | {big:.2f} | {big / small:.2f}x |"
+        )
+    if os.environ.get("SCALE_STRESS_KEEP") != "1":
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
