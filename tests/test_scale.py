@@ -88,3 +88,60 @@ def test_results_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (a, b) in results.items():
         assert a == b, f"{name} differs across partition counts"
+
+
+def test_zorder_real_parquet_write_prunes_row_groups(spark, tmp_path):
+    """ops_zorder_pruning's simulation, proven on REAL parquet: write the
+    same rows time-sorted vs z-ordered (small row groups), filter on
+    custkey, and compare the scan's output-rows metric — the z-ordered
+    layout must let parquet min/max statistics skip most row groups."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.operators.scale import _zkey_sql
+    from datafusion_ballista_dhruvil_spark.plans.metrics import executed_metrics
+    from datafusion_ballista_dhruvil_spark.session import Tables
+    from tests.conftest import SF_DIR
+
+    base = Tables(spark, SF_DIR).orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("dy"),
+    )
+    mck, mdy = base.agg(F.max("ck") + 1, F.max("dy") + 1).first()
+    q = base.select(
+        "o_orderkey",
+        "ck",
+        "dy",
+        F.expr(f"(ck * 64) div {mck}").alias("xq"),
+        F.expr(f"(dy * 64) div {mdy}").alias("yq"),
+    ).withColumn("zkey", F.expr(_zkey_sql("xq", "yq", duck=False)))
+
+    time_dir, z_dir = str(tmp_path / "time"), str(tmp_path / "zord")
+    (
+        q.repartitionByRange(4, "dy").sortWithinPartitions("dy")
+        .write.option("parquet.block.size", 65536).parquet(time_dir)
+    )
+    (
+        q.repartitionByRange(4, "zkey").sortWithinPartitions("zkey")
+        .write.option("parquet.block.size", 65536).parquet(z_dir)
+    )
+
+    def scan_rows(path: str) -> int:
+        df = spark.read.parquet(path).where(F.col("ck").between(100, 300))
+        df.collect()
+        return max(
+            v
+            for r in executed_metrics(df)
+            if "Scan" in r["node"]
+            for k, v in r["metrics"].items()
+            if "output rows" in k
+        )
+
+    t_rows, z_rows = scan_rows(time_dir), scan_rows(z_dir)
+    total = q.count()
+    # same query, same rows — but the z-ordered layout's row-group stats
+    # prune most of the file, while the time layout reads ~everything
+    assert z_rows < t_rows, (z_rows, t_rows)
+    assert z_rows < 0.5 * total, (z_rows, total)

@@ -136,3 +136,26 @@ def test_empty_snapshot_reads_as_typed_empty(spark, tmp_path):
     # the read must be empty with the committed schema
     assert df.count() == 0
     assert set(df.columns) == {"id", "tag"}
+
+
+def test_snapshot_diff_change_data_feed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.sources.snapshots import snapshot_diff
+
+    root = str(tmp_path / "t")
+    base = spark.range(0, 10).select("id", (F.col("id") * 2).alias("v"))
+    commit(base, root, "append")
+    nxt = (
+        spark.range(2, 12)  # drops 0,1; adds 10,11
+        .select("id", (F.col("id") * 2).alias("v"))
+        .withColumn("v", F.when(F.col("id") == 5, 999).otherwise(F.col("v")))
+    )
+    commit(nxt, root, "overwrite")
+
+    d = {r.id: r._change_type for r in snapshot_diff(spark, root, 0, 1, "id").collect()}
+    assert d[0] == "removed" and d[1] == "removed"
+    assert d[10] == "added" and d[11] == "added"
+    assert d[5] == "changed"
+    assert d[3] == "unchanged"
+    assert len(d) == 12
