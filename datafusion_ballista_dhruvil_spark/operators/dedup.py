@@ -1379,3 +1379,91 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("err_ppm"), "d1", "d2")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_graph_triangles",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES},
+e AS (SELECT d1, d2 FROM pairs),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e ab JOIN e bc ON ab.d2 = bc.d1
+  JOIN e ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY v
+),
+w AS (
+  SELECT COALESCE(CAST(SUM(d * (d - 1) // 2) AS BIGINT), 0) AS wedges,
+         COUNT(*) AS n_nodes
+  FROM deg
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_nodes FROM w) AS n_nodes,
+       (SELECT t FROM tri) AS n_triangles,
+       (SELECT wedges FROM w) AS n_wedges,
+       CAST(CASE WHEN (SELECT wedges FROM w) > 0
+                 THEN 3 * (SELECT t FROM tri) * 1000000 // (SELECT wedges FROM w)
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+""",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph structure audit: triangle count + global clustering
+    coefficient over the verified (J >= 0.5) pair graph — distinguishes
+    tight duplicate CLIQUES (template families, high clustering; safe to
+    collapse to one representative) from long weak CHAINS (low clustering;
+    collapsing them over-merges distinct documents through transitivity).
+    The metric that decides between keep-one-per-cluster and
+    pairwise-only removal before dedup_cluster_cc is applied.
+
+    Triangles close over the d1<d2-oriented edge list (each triangle
+    counted once); wedges come from the degree aggregate, so the
+    clustering coefficient 3T/W is exact integer ppm. Scale: the edge
+    list is the LSH-verified pair set (bounded by true duplication, never
+    all-pairs); the triangle join's fan-out is bounded by per-node degree
+    — dup-cluster degrees, already capped upstream by MAX_BUCKET_DOCS.
+    """
+    e = _verified_pairs(spark, sf_dir).select("d1", "d2").cache()
+    tri = (
+        e.alias("ab")
+        .join(e.alias("bc"), F.col("ab.d2") == F.col("bc.d1"))
+        .join(
+            e.alias("ac"),
+            (F.col("ac.d1") == F.col("ab.d1"))
+            & (F.col("ac.d2") == F.col("bc.d2")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        e.select(F.col("d1").alias("v"))
+        .unionAll(e.select("d2"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+        ).cast("bigint").alias("wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ne.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            F.col("t").alias("n_triangles"),
+            F.col("wedges").alias("n_wedges"),
+            F.when(
+                F.col("wedges") > 0,
+                F.expr("3 * t * 1000000 div wedges"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_ppm"),
+        )
+    )

@@ -382,3 +382,32 @@ def test_ivf_pq_probe_is_broadcast_equi_join(spark):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_path_topk_no_joins(spark):
+    # Sessionize + path prefix + rollup: pure window/aggregate pipeline.
+    plan = formatted_plan(QUERIES["ev_path_topk"](spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_mad_outliers_broadcasts_both_cutoff_tables(spark):
+    # Median and MAD tables (5 rows each) broadcast back; the raw values
+    # are never globally sorted per group.
+    plan = formatted_plan(QUERIES["ops_mad_outliers"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_cardinality_never_runs_the_raw_join(spark):
+    # Both estimators join COUNT tables (pre-aggregated), never the raw
+    # fact tables: every join input passes through a HashAggregate first.
+    plan = formatted_plan(QUERIES["ops_join_cardinality"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 8  # partial+final per count table
+
+
+def test_triangles_and_accuracy_bounded_joins(spark):
+    for name in ("dedup_graph_triangles", "dedup_minhash_accuracy"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
