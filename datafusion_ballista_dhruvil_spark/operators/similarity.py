@@ -1499,6 +1499,43 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_coded(embeddings: DataFrame, C, Spq) -> DataFrame:
+    """(vec_id, cid, codes array<long>, codes_str): one map-only mapInPandas
+    pass assigning each vector to its coarse list and PQ-encoding it —
+    shared by the IVF-PQ scan (sim_ivf_pq) and PQ-code dedup
+    (sim_pq_code_dedup). Centroids/codebook ship in the closure."""
+    import numpy as _np
+    import pandas as _pd
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                * _SCALE
+            )
+            d = X[:, None, :] - C[None, :, :]
+            cid = _np.einsum("bcd,bcd->bc", d, d).argmin(axis=1)
+            Xm = X.reshape(len(pdf), 8, 8)
+            codes = _np.empty((len(pdf), 8), dtype=_np.int64)
+            for m in range(8):
+                dm = Xm[:, None, m, :] - Spq[None, :, m, :]
+                codes[:, m] = _np.einsum("bkd,bkd->bk", dm, dm).argmin(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cid": _pd.Series(cid, dtype="int64"),
+                    "codes": list(codes),
+                    "codes_str": ["-".join(map(str, c)) for c in codes],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, cid long, codes array<long>, codes_str string"
+    )
+
+
 # --------------------------------------------------------------------------
 @query(
     "sim_ivf_pq",
@@ -1595,8 +1632,6 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-minimum argmin == smallest centroid id, int64 ADC sums).
     """
     import numpy as _np
-    import pandas as _pd
-    from pyspark.sql.types import LongType
 
     t = Tables(spark, sf_dir)
     seeds = {
@@ -1630,48 +1665,22 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     probe = spark.createDataFrame(probe_rows, "query_id long, cid long")
 
-    def encode(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = _round_half_away(
-                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
-                * _SCALE
-            )
-            d = X[:, None, :] - C[None, :, :]
-            cid = _np.einsum("bcd,bcd->bc", d, d).argmin(axis=1)
-            Xm = X.reshape(len(pdf), 8, 8)
-            codes = _np.empty((len(pdf), 8), dtype=_np.int64)
-            for m in range(8):
-                dm = Xm[:, None, m, :] - Spq[None, :, m, :]
-                codes[:, m] = _np.einsum("bkd,bkd->bk", dm, dm).argmin(axis=1)
-            yield _pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cid": _pd.Series(cid, dtype="int64"),
-                    "codes": list(codes),
-                    "codes_str": ["-".join(map(str, c)) for c in codes],
-                }
-            )
-
-    coded = t.embeddings.select("vec_id", "embedding").mapInPandas(
-        encode, schema="vec_id long, cid long, codes array<long>, codes_str string"
-    )
+    coded = pq_coded(t.embeddings, C, Spq)
 
     lut_by_q = {int(qids[i]): LUT[i] for i in range(5)}
 
     @F.pandas_udf(LongType())
     def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
         if len(qid) == 0:
-            return _pd.Series([], dtype="int64")
-        cm = _np.stack(codes.to_numpy()).astype(_np.int64)  # (B, 8)
-        out = _np.zeros(len(qid), dtype=_np.int64)
+            return pd.Series([], dtype="int64")
+        cm = np.stack(codes.to_numpy()).astype(np.int64)  # (B, 8)
+        out = np.zeros(len(qid), dtype=np.int64)
         qv = qid.to_numpy()
         for k, lut in lut_by_q.items():
             mask = qv == k
             if mask.any():
-                out[mask] = lut[_np.arange(8)[None, :], cm[mask]].sum(axis=1)
-        return _pd.Series(out, dtype="int64")
+                out[mask] = lut[np.arange(8)[None, :], cm[mask]].sum(axis=1)
+        return pd.Series(out, dtype="int64")
 
     cand = (
         coded.join(F.broadcast(probe), "cid")
@@ -1694,4 +1703,88 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("di").cast("double") / F.lit(1e14)).alias("pq_dist"),
         )
         .orderBy("query_id", "pq_dist", "neighbor_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_pq_code_dedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_QDOT.format(a='embedding', b='embedding')} AS selfq
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS k, embedding AS se FROM embeddings WHERE vec_id < 16),
+co AS (SELECT vec_id AS cid, embedding AS cv, selfq AS cselfq
+       FROM e WHERE vec_id < 8),
+cass AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, co.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY e.selfq + co.cselfq
+                      - 2 * {_SQL_QDOT.format(a='e.embedding', b='co.cv')},
+                      co.cid
+           ) AS rn
+    FROM e CROSS JOIN co
+  ) WHERE rn = 1
+),
+dists AS (
+  SELECT e.vec_id, m.m, s.k,
+         {_SQL_PQ_SUBDIST.format(a='e.embedding', b='s.se')} AS d
+  FROM embeddings e
+  CROSS JOIN range(0, 8) m(m)
+  CROSS JOIN cb s
+),
+coded AS (
+  SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS codes
+  FROM (
+    SELECT vec_id, m, k AS code FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+      FROM dists
+    ) WHERE rn = 1
+  ) GROUP BY vec_id
+)
+SELECT ca.cid, c.codes, COUNT(*) AS n_vecs, MIN(c.vec_id) AS rep_vec
+FROM coded c JOIN cass ca ON ca.vec_id = c.vec_id
+GROUP BY ca.cid, c.codes
+ORDER BY n_vecs DESC, ca.cid, c.codes
+LIMIT 20
+""",
+)
+def sim_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector dedup by PQ code identity: vectors landing in the same
+    coarse list with the SAME 8-byte PQ code are quantization-level
+    near-duplicates — dedup of a billion-vector corpus as one groupBy on
+    8 bytes + a list id, zero float math past encoding.
+
+    This is the coarse tier of embedding dedup: PQ-code collision groups
+    feed the exact verifier (sim_embedding_neardup's cosine) the same way
+    LSH buckets feed the shingle verifier — candidates from hash
+    structure, never all-pairs. Scale: one mapInPandas encode pass
+    (shared with sim_ivf_pq via pq_coded), one partial-agg shuffle of
+    (cid, 8-byte code) keys; groups >= 2 are the dedup candidates, and
+    the top-20 output works even on corpora with no collisions (the
+    count column shows the collision structure either way).
+    """
+    import numpy as _np
+
+    t = Tables(spark, sf_dir)
+    seeds = {
+        r.vec_id: _np.asarray(r.embedding, dtype=_np.float64)
+        for r in t.embeddings.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    S = _round_half_away(_np.stack([seeds[k] for k in range(16)]) * _SCALE)
+    coded = pq_coded(t.embeddings, S[:8], S.reshape(16, 8, 8))
+    return (
+        coded.groupBy("cid", F.col("codes_str").alias("codes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("rep_vec"),
+        )
+        .orderBy(F.desc("n_vecs"), "cid", "codes")
+        .limit(20)
     )
