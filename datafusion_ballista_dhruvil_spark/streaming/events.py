@@ -1493,3 +1493,69 @@ def ev_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_forecast_naive",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type, a.day, a.c AS actual, f.c AS forecast
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.day = a.day - 7
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       CAST(SUM(abs(actual - forecast)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(actual) AS BIGINT) AS sum_actual,
+       CAST(SUM(abs(actual - forecast)) AS DOUBLE) / SUM(actual) AS wape
+FROM j GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event volume
+    with the same weekday last week and score WAPE per event type — the
+    baseline every capacity-planning / anomaly model must beat, and the
+    standard first check that a metrics pipeline's seasonality is real.
+
+    Exact: daily counts are integers, the error sum is integer, WAPE is
+    one final double division. Scale: events collapse to (type, day)
+    counts at the first aggregate (partial map-side); the self-join runs
+    on the tiny daily table, shifted by an exact 7-day key — never raw
+    events. Backfills and re-runs are idempotent (pure function of the
+    input range).
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    f = daily.select(
+        F.col("event_type").alias("ft"),
+        F.date_add(F.col("day"), 7).alias("fday"),
+        F.col("c").alias("forecast"),
+    )
+    j = daily.join(
+        f,
+        (F.col("event_type") == F.col("ft")) & (F.col("day") == F.col("fday")),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("c") - F.col("forecast")))
+            .cast("bigint")
+            .alias("sum_abs_err"),
+            F.sum("c").cast("bigint").alias("sum_actual"),
+            (
+                F.sum(F.abs(F.col("c") - F.col("forecast"))).cast("double")
+                / F.sum("c")
+            ).alias("wape"),
+        )
+        .orderBy("event_type")
+    )
