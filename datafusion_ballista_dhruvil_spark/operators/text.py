@@ -1399,3 +1399,85 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), F.desc("c_xy"), "tok_a", "tok_b")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_source_overlap_matrix",
+    oracle="""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS gram
+  FROM d, unnest(list_transform(range(1, len(tk) - 3), j -> j)) AS u(i)
+),
+sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.shared,
+       za.n AS n_a, zb.n AS n_b,
+       p.shared * 1000000 // LEAST(za.n, zb.n) AS containment_ppm
+FROM p JOIN sz za ON za.source = p.src_a JOIN sz zb ON zb.source = p.src_b
+ORDER BY containment_ppm DESC, p.src_a, p.src_b
+LIMIT 50
+""",
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the count
+    of shared distinct 5-grams and the containment ratio
+    shared/min(|A|,|B|) — the governance view that catches one crawl
+    mirroring another (or a benchmark hiding inside a crawl) BEFORE
+    per-document decontamination runs.
+
+    Scale: grams reduce to DISTINCT (source, gram) first, so the
+    gram-keyed self-join's fan-out per gram is bounded by the number of
+    sources (a constant), never by document count — a gram shared by all
+    S sources emits S(S-1)/2 pairs, once. Containment is exact integer
+    ppm over min set size (the asymmetric-size-robust overlap measure).
+    """
+    t = Tables(spark, sf_dir)
+    tk = F.col("__tk")
+    n4 = F.greatest(F.array_size(tk) - 4, F.lit(0))
+    parts = [F.slice(tk, i + 1, n4) for i in range(5)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    g = (
+        t.documents.select("source", _toks().alias("__tk"))
+        .select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("shared * 1000000 div least(n_a, n_b)").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy(F.desc("containment_ppm"), "src_a", "src_b")
+        .limit(50)
+    )
