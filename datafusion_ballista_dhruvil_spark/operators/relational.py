@@ -1897,3 +1897,33 @@ def ops_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("abs(est - n) * 1000000 div n").alias("err_ppm"),
     )
     return exact_row.unionAll(hist_row).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+#: postgres/DataFusion text, run through rewrite_sql on the Spark side and
+#: NATIVELY by the DuckDB oracle (both engines keep-first-per-key).
+_DISTINCT_ON_SQL = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+"""
+
+
+@query("ops_distinct_on", oracle=_DISTINCT_ON_SQL)
+def ops_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT DISTINCT ON`` dialect parity (postgres keep-first-per-key,
+    supported by DataFusion's sqlparser): the IDENTICAL SQL text runs
+    natively in DuckDB and through sql/rewrite.py on Spark, which lowers
+    it to a row_number window with rn = 1 — the latest-order-per-customer
+    query every CDC/report pipeline writes.
+
+    The ORDER BY carries a full tiebreak (orderdate DESC, orderkey DESC)
+    so "first per key" is a total function in both engines. Scale: one
+    window shuffle on the DISTINCT ON key; WindowGroupLimit pushes the
+    per-partition top-1 below the exchange on Spark >= 3.5.
+    """
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(rewrite_sql(_DISTINCT_ON_SQL))

@@ -246,3 +246,27 @@ def snapshot_diff(
         F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
         status.alias("_change_type"),
     )
+
+
+def cleanup_orphans(root: str) -> dict:
+    """Delete staged data directories no manifest references — the debris
+    of failed/abandoned commits (files are staged BEFORE the atomic
+    manifest publish, so a crashed writer leaves an orphan staging dir).
+    Safe at any time: a referenced file can never be removed, because
+    membership is defined by the manifests, and staging dirs are
+    unique-per-writer (never appended to after publish)."""
+    import shutil
+
+    referenced: set[str] = set()
+    for n in _list_snapshots(root):
+        for p in _read_manifest(root, n)["files"]:
+            referenced.add(os.path.dirname(p))
+    data_dir = os.path.join(root, _DATA_DIR)
+    removed = 0
+    if os.path.isdir(data_dir):
+        for stage in os.listdir(data_dir):
+            rel = os.path.join(_DATA_DIR, stage)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                removed += 1
+    return {"removed_dirs": removed}

@@ -14,6 +14,10 @@ Handled rewrites:
                                          approx_percentile_cont -> percentile_approx
 - CREATE EXTERNAL TABLE ... STORED AS fmt LOCATION p
                                       -> CREATE TABLE ... USING fmt LOCATION p
+- ``SELECT DISTINCT ON (k) ... ORDER BY o``
+                                      -> row_number window, rn = 1
+  (postgres/DataFusion keep-first-per-key; single SELECT only — a
+  DISTINCT ON inside a subquery passes through untouched)
 """
 
 from __future__ import annotations
@@ -67,6 +71,15 @@ def _similar_to_regex(pat: str) -> str:
 
 _STRING_LIT = re.compile(r"'(?:[^']|'')*'")
 
+# SELECT DISTINCT ON (cols) select FROM rest [ORDER BY ord]: single-SELECT
+# statements only (no later SELECT keyword — subqueries pass through).
+_DISTINCT_ON = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<on>[^)]+)\)\s*"
+    r"(?P<select>.*?)\s+FROM\s+(?P<rest>.*?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def rewrite_sql(sql: str) -> str:
     # String literals are masked FIRST so no rewrite — token-level or
@@ -97,6 +110,17 @@ def rewrite_sql(sql: str) -> str:
         )
 
     out = _EXTERNAL_TABLE.sub(_ext, out)
+
+    m = _DISTINCT_ON.match(out)
+    if m and "SELECT" not in (m.group("select") + m.group("rest")).upper():
+        on = m.group("on").strip()
+        order = (m.group("order") or on).strip()
+        out = (
+            f"SELECT {m.group('select').strip()} FROM "
+            f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY {on} "
+            f"ORDER BY {order}) AS __don_rn FROM {m.group('rest').strip()}) "
+            f"WHERE __don_rn = 1 ORDER BY {order}"
+        )
 
     out = _PG_CAST.sub(lambda m: f"CAST({m.group('operand')} AS {m.group('type')})", out)
     for old, new in SQL_NAME_REWRITES.items():

@@ -1559,3 +1559,52 @@ def ev_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_hopping_window",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+),
+b AS (
+  SELECT event_type, ts_us,
+         (ts_us // 300000000) * 300000000 AS bin5
+  FROM e
+),
+w AS (
+  SELECT event_type, u.ws FROM b,
+         unnest([bin5, bin5 - 300000000]) AS u(ws)
+)
+SELECT ws AS window_start_us, event_type, COUNT(*) AS n
+FROM w GROUP BY ws, event_type
+ORDER BY window_start_us, event_type
+""",
+)
+def ev_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 10-minute windows every 5
+    minutes — each event lands in exactly window_len/slide = 2 windows.
+    The smoothing/trend primitive tumbling windows can't express (a spike
+    at a boundary splits), and the same `F.window(ts, len, slide)` call
+    runs unchanged under readStream with a watermark.
+
+    Exactness: window starts are pure epoch-microsecond arithmetic
+    (epoch-aligned bins, timezone-independent); the oracle expands each
+    event to its two covering starts explicitly. Scale: Spark's Expand
+    duplicates rows window_len/slide times BEFORE the partial aggregate —
+    the shuffle still carries only (window, type) partial counts.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start_us", "event_type")
+    )

@@ -311,3 +311,20 @@ def test_cdc_merge_view_all_deletes(spark, tmp_path):
         map(tuple, cdc_merge_view(spark, base, delta).collect())
     )
     assert rows == [(3, 30, "base")]
+
+
+def test_distinct_on_rewrite_shapes():
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    out = rewrite_sql(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, ts DESC"
+    )
+    assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, ts DESC)" in out
+    assert "__don_rn = 1" in out
+    # no ORDER BY -> deterministic fallback ordering on the key
+    out2 = rewrite_sql("SELECT DISTINCT ON (k) k, v FROM t")
+    assert "ORDER BY k)" in out2
+    # literals and subqueries are never touched
+    assert rewrite_sql("SELECT 'DISTINCT ON (x)' FROM t") == "SELECT 'DISTINCT ON (x)' FROM t"
+    sub = "SELECT a FROM (SELECT DISTINCT ON (b) a FROM t) z"
+    assert rewrite_sql(sub) == sub

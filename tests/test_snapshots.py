@@ -216,3 +216,25 @@ def test_incremental_mv_refresh_via_change_feed(spark, tmp_path):
     # the refresh really was partial: some groups came from the old MV
     n_affected = affected.count()
     assert 0 < n_affected < 11  # grps {0 (drop), 7 (change), 10 (add)} of 11
+
+
+def test_cleanup_orphans_removes_only_unreferenced(spark, tmp_path):
+    """A crashed writer's staged-but-unpublished files are garbage; live
+    snapshot data must survive the sweep untouched."""
+    import os as _os
+
+    import datafusion_ballista_dhruvil_spark.sources.snapshots as snap
+
+    root = str(tmp_path / "t")
+    commit(_df(spark, 0, 10, "a"), root, "append")
+    # simulate a crash: stage files but never publish a manifest
+    orphans = snap._stage_files(_df(spark, 50, 60, "x"), root)
+    assert orphans
+
+    stats = snap.cleanup_orphans(root)
+    assert stats["removed_dirs"] == 1
+    assert not _os.path.exists(_os.path.join(root, _os.path.dirname(orphans[0])))
+    # live table unaffected
+    assert read_snapshot(spark, root).count() == 10
+    # idempotent
+    assert snap.cleanup_orphans(root)["removed_dirs"] == 0
