@@ -1788,3 +1788,139 @@ def sim_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_vecs"), "cid", "codes")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         {_sql_norm('embedding')} AS nrm,
+         embedding[1:16] AS emb16,
+         {_sql_norm('embedding[1:16]')} AS nrm16
+  FROM embeddings
+),
+q AS (SELECT * FROM c WHERE vec_id < 20),
+full_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                      DESC, c.vec_id
+           ) AS rn
+    FROM q, c WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+pfx_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.emb16', 'c.emb16')} / (q.nrm16 * c.nrm16)
+                      DESC, c.vec_id
+           ) AS rn
+    FROM q, c WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+hits AS (
+  SELECT f.query_id, COUNT(p.neighbor_id) AS n_hits
+  FROM full_top f
+  LEFT JOIN pfx_top p
+    ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / 3.0 AS recall_at_3
+FROM hits ORDER BY query_id
+""",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/prefix-truncation evaluation: recall@3 of 16-dim-prefix
+    cosine search against full 64-dim ground truth — the measurement that
+    decides how far an embedding column can be truncated (4x less memory
+    and bandwidth) before retrieval quality drops. The modern counterpart
+    of PQ compression: prefix dims instead of codebooks.
+
+    Both sides run the same partitioned brute-force kernel (corpus
+    streams map-side, probe queries in the closure) at different widths;
+    recall is integer overlap counts, hash-exact across engines.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    t = Tables(spark, sf_dir)
+    qrows = sorted(
+        t.embeddings.where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = _np.array([r.vec_id for r in qrows], dtype=_np.int64)
+    q_int = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in qrows])
+        * _SCALE
+    )
+
+    def topk_at(dims: int):
+        qd = q_int[:, :dims]
+        qn = _np.sqrt(_np.einsum("ij,ij->i", qd, qd) / _SCALE_SQ)
+
+        def part(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                ai = _round_half_away(
+                    _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                    * _SCALE
+                )[:, :dims]
+                cn = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+                cos = (ai @ qd.T) / _SCALE_SQ / (qn[None, :] * cn[:, None])
+                ids = pdf["vec_id"].to_numpy()
+                out_q, out_n, out_c = [], [], []
+                for j, qid in enumerate(q_ids):
+                    mask = ids != qid
+                    mids, mcos = ids[mask], cos[mask, j]
+                    pick = _np.lexsort((mids, -mcos))[:3]
+                    out_q.extend([qid] * len(pick))
+                    out_n.extend(mids[pick])
+                    out_c.extend(mcos[pick])
+                yield _pd.DataFrame(
+                    {
+                        "query_id": _pd.Series(out_q, dtype="int64"),
+                        "neighbor_id": _pd.Series(out_n, dtype="int64"),
+                        "cosine": _pd.Series(out_c, dtype="float64"),
+                    }
+                )
+
+        partial = t.embeddings.select("vec_id", "embedding").mapInPandas(
+            part, schema="query_id long, neighbor_id long, cosine double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            partial.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_top = topk_at(64)
+    pfx_top = topk_at(16).withColumnRenamed("neighbor_id", "pn")
+    return (
+        full_top.join(
+            pfx_top,
+            (full_top["query_id"] == pfx_top["query_id"])
+            & (full_top["neighbor_id"] == pfx_top["pn"]),
+            "left",
+        )
+        .groupBy(full_top["query_id"].alias("query_id"))
+        .agg(F.count("pn").cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / 3.0).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
