@@ -135,3 +135,65 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "snapshot_timetravel_agg",
+    oracle="""
+WITH v0 AS (SELECT source, n_chars FROM documents WHERE doc_id < 300),
+v1 AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id < 500
+)
+SELECT 'v0' AS version, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v0 GROUP BY source
+UNION ALL
+SELECT 'v1', source, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM v1 GROUP BY source
+ORDER BY version, source
+""",
+)
+def snapshot_timetravel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-log table round-trip with TIME TRAVEL under the driver's
+    hash gate: documents -> snapshot v0 (append) -> snapshot v1
+    (overwrite, edited rows) -> read BOTH versions back (v0 via time
+    travel, v1 as latest) -> per-version aggregate. Hash-matching the
+    oracle (which recomputes both versions from the source parquet)
+    proves commit, manifest resolution, and historical reads end-to-end
+    (sources/snapshots.py — the Iceberg-semantics surface).
+    """
+    import shutil
+
+    from datafusion_ballista_dhruvil_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+    )
+
+    t = Tables(spark, sf_dir)
+    root = _stage(spark, sf_dir, "snap_docs")
+    shutil.rmtree(root, ignore_errors=True)  # re-runnable within a session
+    v0 = t.documents.where(F.col("doc_id") < 300).select(
+        "doc_id", "source", "n_chars"
+    )
+    commit(v0, root, "append")
+    v1 = t.documents.where(F.col("doc_id") < 500).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    commit(v1, root, "overwrite")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.lit(tag).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select("version", "source", "n_docs", "sum_chars")
+
+    old = agg(read_snapshot(spark, root, version=0), "v0")
+    new = agg(read_snapshot(spark, root), "v1")
+    return old.unionAll(new).orderBy("version", "source")

@@ -54,6 +54,7 @@ subset = [
             "avro_roundtrip_agg",
             "csv_roundtrip_agg",
             "json_roundtrip_agg",
+            "snapshot_timetravel_agg",
             "hybrid_search_rrf",
             "sim_random_projection",
             "text_bigram_lm_score",
