@@ -90,3 +90,21 @@ def test_unknown_query_404(server):
 def test_cancel_route_accepts(server):
     res = _post(server, "/api/job/some-group/cancel")
     assert res["cancelled"] == "some-group"
+
+
+def test_concurrent_sql_posts(spark, server):
+    """8 simultaneous SQL posts: the threaded control plane must serve all
+    of them correctly (job-group bookkeeping is per-thread in Spark)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i):
+        res = _post(
+            server,
+            "/api/sql",
+            {"sql": f"SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 8 = {i}"},
+        )
+        return res["rows"][0][0]
+
+    with ThreadPoolExecutor(8) as ex:
+        counts = list(ex.map(one, range(8)))
+    assert sum(counts) == spark.table("orders").count()

@@ -289,3 +289,55 @@ def test_streaming_cdc_merge_matches_batch(spark, tmp_path):
     start().awaitTermination(120)
     again = sorted(map(tuple, cdc_merge_view(spark, base, delta).collect()))
     assert again == got
+
+
+def test_streaming_hopping_window_matches_batch(spark):
+    """Hopping (10-min/5-min slide) window counts via readStream +
+    watermark must equal the batch ev_hopping_window result — the overlap
+    (Expand) duplication interacts with streaming state, so parity is
+    asserted explicitly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.operators import load_all
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+    from datafusion_ballista_dhruvil_spark.session import (
+        ensure_session_confs,
+        normalize_events_ts,
+    )
+
+    load_all()
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    hopped = (
+        normalize_events_ts(raw)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+    sink = f"hop_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        hopped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(map(tuple, spark.table(sink).collect()))
+    batch_rows = sorted(
+        map(tuple, QUERIES["ev_hopping_window"](spark, SF_DIR).collect())
+    )
+    assert len(stream_rows) == len(batch_rows) > 0
+    assert stream_rows == batch_rows
