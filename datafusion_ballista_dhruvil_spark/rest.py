@@ -12,6 +12,10 @@ APIs + the executed-plan metrics module:
 - ``GET  /api/executors``           executor infos from the status tracker
 - ``GET  /api/jobs``                recent Spark jobs + states
 - ``POST /api/sql``                 run SQL: ``{"sql": ...}`` -> job id + rows
+- ``POST /api/sql?format=arrow``    same, result as an Arrow IPC stream —
+  the reference's FlightSQL RESULT ENCODING (Arrow record batches,
+  flight_sql.rs:87-146) over HTTP framing; the gRPC/Flight framing itself
+  still needs grpcio (absent in-container, documented gap)
 - ``GET  /api/job/<id>/dot``        executed-plan dot graph of that query
 - ``GET  /api/job/<id>/metrics``    per-operator SQLMetrics of that query
 - ``POST /api/job/<id>/cancel``     cancel the job group (long queries)
@@ -132,7 +136,9 @@ def _make_handler(state: _State):
 
         # ----------------------------------------------------------- POST
         def do_POST(self) -> None:  # noqa: N802 - http.server API
-            parts = [p for p in self.path.split("/") if p]
+            path, _, query_str = self.path.partition("?")
+            parts = [p for p in path.split("/") if p]
+            want_arrow = "format=arrow" in query_str
             if parts == ["api", "sql"]:
                 n = int(self.headers.get("Content-Length", "0"))
                 try:
@@ -146,6 +152,34 @@ def _make_handler(state: _State):
                 sc.setJobGroup(qid, f"rest:{qid}", interruptOnCancel=True)
                 try:
                     df = state.spark.sql(sql)
+                    if want_arrow:
+                        # Arrow IPC result transport (FlightSQL's encoding):
+                        # executor batches arrive Arrow-native via
+                        # toArrow(), serialized as one IPC stream
+                        import io
+
+                        import pyarrow as pa
+
+                        tbl = df.limit(state.max_rows).toArrow()
+                        sink = io.BytesIO()
+                        with pa.ipc.new_stream(sink, tbl.schema) as w:
+                            w.write_table(tbl)
+                        body = sink.getvalue()
+                        with state.lock:
+                            state.queries[qid] = {
+                                "df": df,
+                                "sql": sql,
+                                "n_rows": tbl.num_rows,
+                            }
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/vnd.apache.arrow.stream"
+                        )
+                        self.send_header("X-Query-Id", qid)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     rows = df.limit(state.max_rows).collect()
                 except Exception as e:  # noqa: BLE001 - surface to client
                     self._send(400, {"error": str(e).split("\n")[0]})

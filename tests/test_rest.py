@@ -108,3 +108,33 @@ def test_concurrent_sql_posts(spark, server):
     with ThreadPoolExecutor(8) as ex:
         counts = list(ex.map(one, range(8)))
     assert sum(counts) == spark.table("orders").count()
+
+
+def test_arrow_ipc_result_transport(spark, server):
+    """POST /api/sql?format=arrow returns a readable Arrow IPC stream
+    whose values equal the JSON transport's — the FlightSQL result
+    encoding over HTTP framing."""
+    import pyarrow as pa
+
+    body = json.dumps(
+        {
+            "sql": "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        }
+    ).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/api/sql?format=arrow",
+        data=body,
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+        qid = r.headers["X-Query-Id"]
+        tbl = pa.ipc.open_stream(r.read()).read_all()
+    assert tbl.num_rows == 5
+    assert tbl.column_names == ["o_orderpriority", "n"]
+    assert sum(tbl.column("n").to_pylist()) == spark.table("orders").count()
+    # the arrow query is introspectable like any other
+    mets = _get(server, f"/api/job/{qid}/metrics")
+    assert mets["operators"]
