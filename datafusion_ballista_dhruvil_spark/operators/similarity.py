@@ -1924,3 +1924,104 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_knn_label_agreement",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, label, embedding, {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+nn AS (
+  SELECT a_id, a_label, b_label FROM (
+    SELECT a.vec_id AS a_id, a.label AS a_label, b.label AS b_label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                      DESC, b.vec_id
+           ) AS rn
+    FROM c a, c b WHERE a.vec_id <> b.vec_id
+  ) WHERE rn <= 3
+)
+SELECT CAST(a_label AS BIGINT) AS label,
+       COUNT(DISTINCT a_id) AS n_vecs,
+       COUNT(CASE WHEN a_label = b_label THEN 1 END) AS n_agree,
+       COUNT(CASE WHEN a_label = b_label THEN 1 END) * 1000000
+         // (3 * COUNT(DISTINCT a_id)) AS agree_ppm
+FROM nn GROUP BY a_label ORDER BY label
+""",
+)
+def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (confident-learning style): for every vector,
+    check whether its 3 nearest neighbors share its label, and roll
+    agreement up per label — labels whose neighborhoods disagree are the
+    mislabeled/ambiguous classes to re-annotate before training a
+    classifier head on the embeddings.
+
+    The probe matrix (all vectors + labels) ships in the closure and the
+    corpus streams through the einsum kernel map-side — each partition
+    resolves its own rows' exact top-3 in ONE pass, so no pair ever
+    shuffles. This all-vs-all form is exact at the testdata's fixed
+    500-vector scale; at 1e9 vectors the identical aggregation runs over
+    IVF-PQ candidates instead of the full matrix (sim_ivf_pq supplies
+    them) — the agreement statistic is unchanged.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    t = Tables(spark, sf_dir)
+    rows = sorted(
+        t.embeddings.select("vec_id", "label", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    all_ids = _np.array([r.vec_id for r in rows], dtype=_np.int64)
+    all_labels = _np.array([r.label for r in rows], dtype=_np.int64)
+    M = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in rows])
+        * _SCALE
+    )
+    Mn = _np.sqrt(_np.einsum("ij,ij->i", M, M) / _SCALE_SQ)
+
+    def agree_part(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ai = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                * _SCALE
+            )
+            an = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+            cos = (ai @ M.T) / _SCALE_SQ / (an[:, None] * Mn[None, :])
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy().astype(_np.int64)
+            n_agree = _np.empty(len(pdf), dtype=_np.int64)
+            for i in range(len(pdf)):
+                mask = all_ids != ids[i]
+                pick = _np.lexsort((all_ids[mask], -cos[i, mask]))[:3]
+                n_agree[i] = int((all_labels[mask][pick] == labels[i]).sum())
+            yield _pd.DataFrame(
+                {
+                    "label": _pd.Series(labels, dtype="int64"),
+                    "n_agree": _pd.Series(n_agree, dtype="int64"),
+                }
+            )
+
+    per_vec = t.embeddings.select("vec_id", "label", "embedding").mapInPandas(
+        agree_part, schema="label long, n_agree long"
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_agree").cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_agree",
+            F.expr("n_agree * 1000000 div (3 * n_vecs)").alias("agree_ppm"),
+        )
+        .orderBy("label")
+    )
