@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datafusion_ballista_dhruvil_spark.operators.registry import query
 from datafusion_ballista_dhruvil_spark.session import Tables
@@ -1480,4 +1481,88 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("containment_ppm"), "src_a", "src_b")
         .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_zipf_slope",
+    oracle="""
+WITH v AS (
+  SELECT lang, tok, COUNT(*) AS freq
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY lang, tok
+),
+r AS (
+  SELECT lang, freq,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rnk
+  FROM v
+),
+q AS (
+  SELECT lang,
+         CAST(round(log2(rnk) * 1000000) AS BIGINT) AS x,
+         CAST(round(log2(freq) * 1000000) AS BIGINT) AS y
+  FROM r WHERE rnk <= 100
+),
+s AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q GROUP BY lang
+)
+SELECT lang, n AS n_terms,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS zipf_slope
+FROM s ORDER BY lang
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: least-squares slope of log2(freq) vs
+    log2(rank) over each language's top-100 vocabulary — natural text
+    slopes near -1; synthetic/templated/spam corpora deviate, making this
+    a cheap corpus-health fingerprint per source/language.
+
+    Exactness: log2 of integer ranks/frequencies quantizes to micro-bits
+    (round(log2*1e6), the module's established cross-engine-stable log
+    path, cf. text_bigram_lm_score); the regression runs entirely in the
+    cleared-denominator integer sums (magnitudes < 2^62 for rank <= 100)
+    and divides ONCE into a double. Scale: vocabulary aggregate is the
+    only corpus-sized pass (partial agg); ranking and regression operate
+    on <= 100 rows per language.
+    """
+    t = Tables(spark, sf_dir)
+    v = (
+        t.documents.select("lang", F.explode(_toks()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "tok")
+    q = (
+        v.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .select(
+            "lang",
+            F.round(F.log2("rnk") * 1000000).cast("long").alias("x"),
+            F.round(F.log2("freq") * 1000000).cast("long").alias("y"),
+        )
+    )
+    s = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.select(
+            "lang",
+            F.col("n").alias("n_terms"),
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+            (num.cast("double") / den).alias("zipf_slope"),
+        )
+        .orderBy("lang")
     )

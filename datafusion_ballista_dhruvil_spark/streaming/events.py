@@ -1608,3 +1608,72 @@ def ev_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_interarrival_profile",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+              (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+         ) // 1000000 AS gap_s
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap_s < 10 THEN '0_lt10s'
+              WHEN gap_s < 60 THEN '1_10s_1m'
+              WHEN gap_s < 600 THEN '2_1m_10m'
+              WHEN gap_s < 3600 THEN '3_10m_1h'
+              ELSE '4_ge1h' END AS bucket,
+         gap_s
+  FROM g WHERE gap_s IS NOT NULL
+)
+SELECT event_type, bucket, COUNT(*) AS n,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
+""",
+)
+def ev_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: bucketed gaps
+    between a user's consecutive events — the burstiness fingerprint that
+    sizes session-gap thresholds (ev_sessionize's 30 min), watermark
+    horizons, and bot-detection cutoffs from data instead of folklore.
+
+    Gaps are exact integer seconds (microsecond lag arithmetic, floor
+    division); buckets are prefix-ordered strings so both engines sort
+    identically. Scale: one user-keyed window pass (the sessionization
+    shuffle, reused shape) then a partial-agg rollup on <= 25 keys.
+    """
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    g = t.events.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY unix_micros(ts), event_id)) div 1000000"
+        ).alias("gap_s"),
+    )
+    bucket = (
+        F.when(F.col("gap_s") < 10, "0_lt10s")
+        .when(F.col("gap_s") < 60, "1_10s_1m")
+        .when(F.col("gap_s") < 600, "2_1m_10m")
+        .when(F.col("gap_s") < 3600, "3_10m_1h")
+        .otherwise("4_ge1h")
+    )
+    return (
+        g.where(F.col("gap_s").isNotNull())
+        .select("event_type", bucket.alias("bucket"), "gap_s")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "bucket")
+    )
