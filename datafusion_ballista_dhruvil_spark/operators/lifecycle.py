@@ -587,3 +587,59 @@ def pipeline_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("d_q"), "source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_source_balance",
+    oracle="""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, source) AS i,
+         COUNT(*) OVER () AS k, CAST(SUM(n) OVER () AS BIGINT) AS tot,
+         CAST(MAX(n) OVER () AS BIGINT) AS mx
+  FROM c
+)
+SELECT MAX(k) AS n_sources, MAX(tot) AS total_docs,
+       CAST(2 * SUM(i * n) - (MAX(k) + 1) * MAX(tot) AS BIGINT) AS gini_num,
+       CAST(MAX(k) * MAX(tot) AS BIGINT) AS gini_den,
+       CAST(2 * SUM(i * n) - (MAX(k) + 1) * MAX(tot) AS DOUBLE)
+         / (MAX(k) * MAX(tot)) AS gini,
+       MAX(mx) * 1000000 // MAX(tot) AS max_share_ppm
+FROM r
+""",
+)
+def pipeline_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-balance audit: Gini coefficient + max share of the
+    per-source document distribution — the one-row health metric a data
+    mixer watches (Gini 0 = perfectly balanced mixture, ->1 = one source
+    dominates; the input check before mix_resample_sources rebalances).
+
+    Gini via the exact rank formula (2*Sum(i*c_i) - (k+1)*Sum(c)) /
+    (k*Sum(c)) on counts sorted ascending with a total tiebreak — all
+    int64 until the single output division. Scale: the corpus collapses
+    to k = |sources| rows at the first aggregate; ranking k rows is free.
+    """
+    t = Tables(spark, sf_dir)
+    c = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "source")
+    r = c.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("tot"),
+        F.max("n").cast("bigint").alias("mx"),
+        F.sum(F.col("i") * F.col("n")).cast("bigint").alias("sin"),
+    )
+    num = 2 * F.col("sin") - (F.col("k") + 1) * F.col("tot")
+    den = F.col("k") * F.col("tot")
+    return agg.select(
+        F.col("k").alias("n_sources"),
+        F.col("tot").alias("total_docs"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den).alias("gini"),
+        F.expr("mx * 1000000 div tot").alias("max_share_ppm"),
+    )

@@ -1566,3 +1566,72 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_ngram_diversity",
+    oracle="""
+WITH tk AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+u AS (
+  SELECT source, 1 AS n, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT source, 2, concat_ws(' ', t[i], t[i+1])
+  FROM tk, unnest(list_transform(range(1, len(t)), j -> j)) AS x(i)
+  UNION ALL
+  SELECT source, 3, concat_ws(' ', t[i], t[i+1], t[i+2])
+  FROM tk, unnest(list_transform(range(1, len(t) - 1), j -> j)) AS x(i)
+)
+SELECT source, n,
+       COUNT(*) AS total_ngrams,
+       COUNT(DISTINCT g) AS distinct_ngrams,
+       COUNT(DISTINCT g) * 1000000 // COUNT(*) AS ttr_ppm
+FROM u GROUP BY source, n ORDER BY source, n
+""",
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram diversity (type-token ratio at n = 1, 2, 3) per source — the
+    self-repetition fingerprint that flags synthetic/templated/looping
+    generations: natural corpora keep high bigram/trigram TTR, degenerate
+    generators collapse it. The aggregate complement of the per-document
+    Gopher repetition filter (text_repetition_filter).
+
+    Scale: one explode per n (map-side), then a (source, n)-keyed
+    count-distinct — the distinct shuffles the gram strings once, and the
+    ratio is exact integer ppm. At 100 TB swap COUNT(DISTINCT g) for the
+    mergeable HLL rollup (ev_hll_partition_merge's pattern) and keep the
+    same shape within 2% error.
+    """
+    t = Tables(spark, sf_dir)
+    tk = t.documents.select("source", _toks().alias("t"))
+
+    def grams(n: int) -> DataFrame:
+        if n == 1:
+            g = F.explode(F.col("t"))
+        else:
+            sz = F.greatest(F.array_size("t") - (n - 1), F.lit(0))
+            parts = [F.slice("t", i + 1, sz) for i in range(n)]
+            z = parts[0]
+            for p in parts[1:]:
+                z = F.zip_with(z, p, lambda x, y: F.concat(x, F.lit(" "), y))
+            g = F.explode(z)
+        return tk.select("source", F.lit(n).alias("n"), g.alias("g"))
+
+    u = grams(1).unionAll(grams(2)).unionAll(grams(3))
+    return (
+        u.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr("distinct_ngrams * 1000000 div total_ngrams").alias(
+                "ttr_ppm"
+            ),
+        )
+        .orderBy("source", "n")
+    )
