@@ -190,3 +190,73 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, tp.pos
         """
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "udf_grouped_map_normalize",
+    oracle="""
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         MIN(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mn,
+         MAX(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mx
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, event_type,
+       CASE WHEN mx = mn THEN 500000
+            ELSE (cents - mn) * 1000000 // (mx - mn) END AS scaled_ppm
+FROM b ORDER BY event_id
+""",
+)
+def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP pandas UDF (``applyInPandas`` returning per-row output,
+    not a scalar) — the §2.8 UDF shape where custom logic needs the whole
+    group in memory: per-event-type min-max normalization to exact
+    integer ppm (degenerate single-value groups pin to the midpoint).
+
+    Arithmetic inside the UDF is exact int64 (cents quantization, the
+    round(x*100) HALF_UP contract), so the pandas path hash-matches the
+    pure-SQL window oracle — proving the Python group kernel is a drop-in
+    for the relational form. Scale: one shuffle on the group key; each
+    group must fit an executor (event types do; for high-cardinality
+    normalize keys the window form is the right plan — documented
+    trade-off of the grouped-map API).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    t = Tables(spark, sf_dir)
+    src = t.events.where(F.col("event_id") < 2000).select(
+        "event_id", "event_type", "value"
+    )
+
+    from datafusion_ballista_dhruvil_spark.operators.similarity import (
+        _round_half_away,
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # HALF_UP like both engines' round(); np.round is half-to-even
+        cents = _round_half_away(pdf["value"].to_numpy() * 100).astype(np.int64)
+        mn, mx = cents.min(), cents.max()
+        if mx == mn:
+            scaled = np.full(len(cents), 500000, dtype=np.int64)
+        else:
+            scaled = (cents - mn) * 1000000 // (mx - mn)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "event_type": pdf["event_type"],
+                "scaled_ppm": pd.Series(scaled, dtype="int64"),
+            }
+        )
+
+    return (
+        src.groupBy("event_type")
+        .applyInPandas(
+            normalize, schema="event_id long, event_type string, scaled_ppm long"
+        )
+        .orderBy("event_id")
+    )
