@@ -1677,3 +1677,88 @@ def ev_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_time_to_convert",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+  FROM events
+),
+c AS (
+  SELECT CASE
+           WHEN next_purchase_us IS NULL THEN '9_never'
+           WHEN next_purchase_us - ts_us <= 600000000 THEN '0_10m'
+           WHEN next_purchase_us - ts_us <= 3600000000 THEN '1_1h'
+           WHEN next_purchase_us - ts_us <= 86400000000 THEN '2_1d'
+           ELSE '3_gt1d' END AS horizon,
+         (next_purchase_us - ts_us) // 60000000 AS gap_min
+  FROM s WHERE event_type = 'click'
+)
+SELECT horizon, COUNT(*) AS n_clicks,
+       CAST(COALESCE(SUM(gap_min), 0) AS BIGINT) AS sum_gap_min,
+       MAX(gap_min) AS max_gap_min
+FROM c GROUP BY horizon ORDER BY horizon
+""",
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: for every click, the FORWARD as-of distance to
+    the user's next purchase, bucketed by horizon (10 m / 1 h / 1 d /
+    longer / never) — the conversion-latency funnel metric, and the
+    forward twin of ev_attribution's backward as-of.
+
+    One window pass with a forward frame (``ROWS BETWEEN CURRENT ROW AND
+    UNBOUNDED FOLLOWING`` + first non-null purchase timestamp) — no
+    self-join, exact integer microsecond arithmetic, same single
+    user-keyed shuffle as sessionization. A click that IS a purchase
+    boundary counts from itself only if the purchase is a later row
+    (clicks are never purchases, so the frame's current row contributes
+    null and the search is strictly forward-inclusive of later ties).
+    """
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us, F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    s = t.events.select(
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", ts_us), ignorenulls=True
+        )
+        .over(w)
+        .alias("next_purchase_us"),
+    )
+    gap_us = F.col("next_purchase_us") - F.col("ts_us")
+    horizon = (
+        F.when(F.col("next_purchase_us").isNull(), "9_never")
+        .when(gap_us <= 600000000, "0_10m")
+        .when(gap_us <= 3600000000, "1_1h")
+        .when(gap_us <= 86400000000, "2_1d")
+        .otherwise("3_gt1d")
+    )
+    c = s.where(F.col("event_type") == "click").select(
+        horizon.alias("horizon"),
+        F.expr(
+            "(next_purchase_us - ts_us) div 60000000"
+        ).alias("gap_min"),
+    )
+    return (
+        c.groupBy("horizon")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.coalesce(F.sum("gap_min"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_gap_min"),
+            F.max("gap_min").alias("max_gap_min"),
+        )
+        .orderBy("horizon")
+    )
