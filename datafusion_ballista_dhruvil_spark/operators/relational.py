@@ -1927,3 +1927,37 @@ def ops_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("orders")
     return spark.sql(rewrite_sql(_DISTINCT_ON_SQL))
+
+
+# ---------------------------------------------------------------------------
+#: QUALIFY dialect parity: the IDENTICAL text runs natively in DuckDB
+#: (which has QUALIFY) and through sql/rewrite.py on Spark (which does not).
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice AS price
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, price DESC, o_orderkey
+"""
+
+
+@query("ops_qualify_rewrite", oracle=_QUALIFY_SQL)
+def ops_qualify_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``QUALIFY`` clause parity (DuckDB/Snowflake window filter; accepted
+    by DataFusion's sqlparser GenericDialect): rewrite_sql lowers it to a
+    subquery computing the window predicate as a boolean column plus an
+    outer WHERE — the standard QUALIFY desugaring, since Spark SQL has no
+    QUALIFY clause and window functions are illegal in WHERE.
+
+    The tail split is paren-aware: the predicate's own ``ORDER BY`` lives
+    inside OVER(...) at depth >= 1 and must not be mistaken for the outer
+    ORDER BY. Scale: one window shuffle on o_custkey; the boolean-column
+    form forgoes Spark's WindowGroupLimit rank-pushdown (which needs a
+    direct rank-vs-literal filter), the documented cost of the general
+    desugaring.
+    """
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(rewrite_sql(_QUALIFY_SQL))

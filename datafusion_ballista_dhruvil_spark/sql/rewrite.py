@@ -18,6 +18,11 @@ Handled rewrites:
                                       -> row_number window, rn = 1
   (postgres/DataFusion keep-first-per-key; single SELECT only — a
   DISTINCT ON inside a subquery passes through untouched)
+- ``... QUALIFY <window predicate>``  -> subquery computing the predicate
+  as a boolean column + outer WHERE (DuckDB/Snowflake QUALIFY; Spark has
+  no QUALIFY clause). Single SELECT only; every select item must be a
+  plain column or carry an AS alias so the outer projection can re-emit
+  it by name — anything else passes through untouched.
 """
 
 from __future__ import annotations
@@ -81,6 +86,76 @@ _DISTINCT_ON = re.compile(
 )
 
 
+# SELECT sel FROM rest QUALIFY pred [ORDER BY o] [LIMIT n]: the head split
+# is regex (QUALIFY is a reserved-enough keyword at depth 0 in practice);
+# the tail split (ORDER BY / LIMIT after the predicate) must be paren-aware
+# because the predicate itself contains ORDER BY inside OVER(...).
+_QUALIFY = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<rest>.*?)\s+"
+    r"QUALIFY\s+(?P<tail>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SIMPLE_COL = re.compile(r"^[A-Za-z_][\w.]*$")
+_AS_ALIAS = re.compile(r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _find_top_keyword(s: str, kw_re: re.Pattern) -> int:
+    """Index of the first match of kw_re at paren depth 0, or -1."""
+    depth = 0
+    for m in kw_re.finditer(s):
+        depth = s[: m.start()].count("(") - s[: m.start()].count(")")
+        if depth == 0:
+            return m.start()
+    return -1
+
+
+def _rewrite_qualify(out: str) -> str:
+    m = _QUALIFY.match(out)
+    if not m or "SELECT" in (m.group("select") + m.group("rest")).upper():
+        return out
+    tail = m.group("tail")
+    # peel trailing LIMIT / ORDER BY at depth 0 (OVER(...) keeps its own
+    # ORDER BY at depth >= 1, so a depth-0 scan never eats it)
+    limit = order = ""
+    i = _find_top_keyword(tail, re.compile(r"\bLIMIT\b", re.IGNORECASE))
+    if i >= 0:
+        limit, tail = f" LIMIT {tail[i + 5:].strip()}", tail[:i].rstrip()
+    i = _find_top_keyword(tail, re.compile(r"\bORDER\s+BY\b", re.IGNORECASE))
+    if i >= 0:
+        order, tail = f" ORDER BY {tail[i:].split(None, 2)[2].strip()}", tail[:i].rstrip()
+    pred = tail.strip()
+    outer = []
+    for item in _split_top_commas(m.group("select")):
+        am = _AS_ALIAS.search(item)
+        if am:
+            outer.append(am.group(1))
+        elif _SIMPLE_COL.match(item):
+            outer.append(item.split(".")[-1])
+        else:
+            return out  # un-aliased expression: leave the statement alone
+    return (
+        f"SELECT {', '.join(outer)} FROM "
+        f"(SELECT {m.group('select').strip()}, ({pred}) AS __qualify "
+        f"FROM {m.group('rest').strip()}) WHERE __qualify{order}{limit}"
+    )
+
+
 def rewrite_sql(sql: str) -> str:
     # String literals are masked FIRST so no rewrite — token-level or
     # construct-level — can ever touch text inside quotes (e.g.
@@ -110,6 +185,8 @@ def rewrite_sql(sql: str) -> str:
         )
 
     out = _EXTERNAL_TABLE.sub(_ext, out)
+
+    out = _rewrite_qualify(out)
 
     m = _DISTINCT_ON.match(out)
     if m and "SELECT" not in (m.group("select") + m.group("rest")).upper():

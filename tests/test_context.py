@@ -139,6 +139,48 @@ def test_rewrite_similar_to_adversarial(ctx):
     assert rows[0].m is True and rows[0].lit == "x SIMILAR TO y"
 
 
+def test_rewrite_qualify(ctx):
+    # QUALIFY lowers to subquery + boolean filter; the OVER(...)'s ORDER BY
+    # must not be mistaken for the outer ORDER BY (paren-aware tail split)
+    out = rewrite_sql(
+        "SELECT k, v AS val FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 "
+        "ORDER BY k LIMIT 5"
+    )
+    assert out.startswith("SELECT k, val FROM (SELECT k, v AS val, (row_number()")
+    assert out.endswith("WHERE __qualify ORDER BY k LIMIT 5")
+    assert "OVER (PARTITION BY k ORDER BY v DESC) = 1) AS __qualify" in out
+    # no outer ORDER BY / LIMIT: nothing appended
+    out = rewrite_sql("SELECT k FROM t QUALIFY rank() OVER (ORDER BY k) <= 3")
+    assert out.endswith("WHERE __qualify")
+    # un-aliased expression in the select list: statement passes through
+    sql = "SELECT k + 1 FROM t QUALIFY row_number() OVER (ORDER BY k) = 1"
+    assert rewrite_sql(sql) == sql
+    # QUALIFY inside a subquery passes through (single-SELECT guard)
+    sql = (
+        "SELECT * FROM (SELECT k FROM t "
+        "QUALIFY row_number() OVER (ORDER BY k) = 1)"
+    )
+    assert rewrite_sql(sql) == sql
+    # a literal containing the word QUALIFY is never touched
+    sql = "SELECT 'how to QUALIFY leads' AS doc FROM t"
+    assert rewrite_sql(sql) == sql
+    # end-to-end through the session
+    rows = ctx.sql(
+        "SELECT l_orderkey, l_linenumber FROM ctx_lineitem "
+        "QUALIFY row_number() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber) = 1 ORDER BY l_orderkey LIMIT 3"
+    ).collect()
+    expected = {
+        r.l_orderkey: r.m
+        for r in ctx.sql(
+            "SELECT l_orderkey, min(l_linenumber) AS m FROM ctx_lineitem "
+            "GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 3"
+        ).collect()
+    }
+    assert {r.l_orderkey: r.l_linenumber for r in rows} == expected
+
+
 def test_compat_function_names(ctx):
     # DataFusion spellings through the session shims (functions/compat.py)
     row = ctx.sql(
