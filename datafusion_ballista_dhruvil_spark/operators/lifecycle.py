@@ -643,3 +643,76 @@ def pipeline_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / den).alias("gini"),
         F.expr("mx * 1000000 div tot").alias("max_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_benford_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+)
+SELECT digit, n,
+       CAST(n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) AS BIGINT) AS obs_ppm,
+       CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm,
+       abs(n * 1000000 // CAST(SUM(n) OVER () AS BIGINT)
+           - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                        WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END)
+         > 50000 AS flagged
+FROM c ORDER BY digit
+""",
+)
+def pipeline_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    synthetic-data / fraud / unit-mix-up detector for a numeric column:
+    a natural multi-scale amount column should put ~30.1% of first digits
+    at 1; a uniform generator (like this synthetic corpus) flags hard.
+
+    Everything is integer-exact: the first digit comes from the decimal
+    string of floor(x) (no log10 — libm rounding differs across engines),
+    shares are ppm integer divisions, and the Benford expectations are
+    integer literals (precomputed log10(1+1/d), engine-independent).
+
+    Scale: one scan + a 9-group aggregate; the SUM() OVER () total runs on
+    the 9-row aggregate (bounded, single partition is fine).
+    """
+    t = Tables(spark, sf_dir)
+    digit = (
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = (
+        t.orders.where(F.col("o_totalprice") >= 1)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp_ppm = (
+        F.when(F.col("digit") == 1, 301030)
+        .when(F.col("digit") == 2, 176091)
+        .when(F.col("digit") == 3, 124939)
+        .when(F.col("digit") == 4, 96910)
+        .when(F.col("digit") == 5, 79181)
+        .when(F.col("digit") == 6, 66947)
+        .when(F.col("digit") == 7, 57992)
+        .when(F.col("digit") == 8, 51153)
+        .otherwise(45757)
+    )
+    # 9-row relation: the unpartitioned total is bounded (see docstring)
+    obs_ppm = F.expr("n * 1000000 div SUM(n) OVER ()")
+    return c.select(
+        "digit",
+        "n",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        (F.abs(obs_ppm - exp_ppm) > 50000).alias("flagged"),
+    ).orderBy("digit")

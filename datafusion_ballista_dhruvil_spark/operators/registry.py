@@ -58,7 +58,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ev_hopping_window, ops_distinct_on, sim_matryoshka_recall,
 #: snapshot_timetravel_agg, sim_knn_label_agreement, text_zipf_slope,
 #: ev_interarrival_profile, text_ngram_diversity, pipeline_source_balance,
-#: udf_grouped_map_normalize, ev_time_to_convert, ops_qualify_rewrite
+#: udf_grouped_map_normalize, ev_time_to_convert, ops_qualify_rewrite,
+#: ev_ab_chisquare, dedup_entity_blocking, pipeline_benford_audit,
+#: sim_covariance_matrix
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

@@ -2025,3 +2025,77 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_covariance_matrix",
+    oracle="""
+WITH q AS (
+  SELECT list_transform(embedding[1:16],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+         qv[ti.i + 1] AS qi, qv[tj.j + 1] AS qj
+  FROM q, range(0, 16) ti(i), range(0, 16) tj(j)
+  WHERE tj.j >= ti.i
+),
+g AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qi) AS BIGINT) AS sx,
+         CAST(SUM(qj) AS BIGINT) AS sy,
+         CAST(SUM(qi * qj) AS BIGINT) AS sxy
+  FROM p GROUP BY i, j
+)
+SELECT i, j, n, sx, sy, sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0 AS cov
+FROM g ORDER BY i, j
+""",
+)
+def sim_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle, dims 0..15) — the
+    distributed co-moment pass that whitening / PCA / ZCA preprocessing
+    runs before an eigendecomposition on the driver: cov(i,j) =
+    (n*Sxy - Sx*Sy) / n^2 from one scan.
+
+    Exactness: elements quantize to round(x*1e6) BIGINTs, so Sx/Sy/Sxy are
+    exact integers in both engines; cov is a FIXED left-to-right double
+    chain over them (the chi-square determinism argument). The 1e6 scale
+    (not the module's 1e7 dot-product scale) keeps SUM(qi*qj) under int64
+    through ~5e6 rows; beyond that, shard the sum or drop to 1e5.
+
+    Scale: the 136x pair explode is followed IMMEDIATELY by a (i,j)
+    aggregate, so map-side partial aggregation reduces every partition to
+    <= 136 rows before the only shuffle — the shuffle moves 136 rows per
+    partition regardless of corpus size. Never materializes pairs.
+    """
+    t = Tables(spark, sf_dir)
+    pairs = t.embeddings.select(
+        F.expr(
+            "explode(flatten(transform(sequence(0, 15), i ->"
+            " transform(sequence(i, 15), j -> named_struct("
+            "  'i', i, 'j', j,"
+            "  'qi', CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT),"
+            "  'qj', CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)"
+            "))))) AS p"
+        )
+    ).select("p.i", "p.j", "p.qi", "p.qj")
+    g = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qi").cast("bigint").alias("sx"),
+        F.sum("qj").cast("bigint").alias("sy"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
+    )
+    cov = F.expr(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0"
+    )
+    return g.select("i", "j", "n", "sx", "sy", "sxy", cov.alias("cov")).orderBy(
+        "i", "j"
+    )

@@ -1762,3 +1762,115 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_ab_chisquare",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS noconv_a,
+    CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+    CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS noconv_b
+  FROM u
+)
+SELECT conv_a, noconv_a, conv_b, noconv_b,
+       CAST(conv_a AS DOUBLE) / (conv_a + noconv_a) AS rate_a,
+       CAST(conv_b AS DOUBLE) / (conv_b + noconv_b) AS rate_b,
+       CAST(conv_a + noconv_a + conv_b + noconv_b AS DOUBLE)
+         * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)
+            - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+         * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)
+            - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+         / (CAST(conv_a + noconv_a AS DOUBLE)
+            * CAST(conv_b + noconv_b AS DOUBLE)
+            * CAST(conv_a + conv_b AS DOUBLE)
+            * CAST(noconv_a + noconv_b AS DOUBLE)) AS chi2
+FROM c
+""",
+)
+def ev_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: hash-of-user_id variant
+    assignment (the same md5-bucket idiom as split_hash_assign — re-runs
+    and other engines assign every user identically), per-user conversion
+    flag (>= 14 purchases — every synthetic user purchases at least once,
+    so "ever purchased" would degenerate the table; an above-median
+    threshold keeps all four cells populated), 2x2 contingency table, and
+    the chi-square independence statistic
+    chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Float determinism: the statistic is a FIXED left-to-right chain of
+    IEEE-double ops over exact BIGINT counts — both engines round each
+    intermediate identically, so the hash gate holds with no quantization.
+    (N(ad-bc)^2 can exceed int64, so the chain casts to DOUBLE before the
+    square rather than computing an exact-integer numerator.)
+
+    Scale: one user-keyed shuffle for the per-user conversion flag (same
+    shuffle sessionization already pays), then a 4-counter global
+    aggregate with map-side partials; the contingency table is one row.
+    """
+    t = Tables(spark, sf_dir)
+    u = (
+        t.events.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("conv")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    cell = lambda v, c: F.sum(
+        F.when((F.col("variant") == v) & (F.col("conv") == c), 1).otherwise(0)
+    ).cast("bigint")
+    c = u.agg(
+        cell(0, 1).alias("conv_a"),
+        cell(0, 0).alias("noconv_a"),
+        cell(1, 1).alias("conv_b"),
+        cell(1, 0).alias("noconv_b"),
+    )
+    # IDENTICAL op tree as the oracle text: left-to-right double chain
+    chi2 = F.expr(
+        "CAST(conv_a + noconv_a + conv_b + noconv_b AS DOUBLE)"
+        " * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)"
+        "    - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))"
+        " * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)"
+        "    - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))"
+        " / (CAST(conv_a + noconv_a AS DOUBLE)"
+        "    * CAST(conv_b + noconv_b AS DOUBLE)"
+        "    * CAST(conv_a + conv_b AS DOUBLE)"
+        "    * CAST(noconv_a + noconv_b AS DOUBLE))"
+    )
+    return c.select(
+        "conv_a",
+        "noconv_a",
+        "conv_b",
+        "noconv_b",
+        (F.col("conv_a").cast("double") / (F.col("conv_a") + F.col("noconv_a"))).alias("rate_a"),
+        (F.col("conv_b").cast("double") / (F.col("conv_b") + F.col("noconv_b"))).alias("rate_b"),
+        chi2.alias("chi2"),
+    )
