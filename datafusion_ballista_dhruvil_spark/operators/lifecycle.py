@@ -716,3 +716,76 @@ def pipeline_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_ppm.alias("exp_ppm"),
         (F.abs(obs_ppm - exp_ppm) > 50000).alias("flagged"),
     ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_compaction_plan",
+    oracle="""
+WITH f AS (
+  SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS file_key,
+         COUNT(*) * 128 AS size_bytes
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(SUM(size_bytes) AS BIGINT) AS tot FROM f),
+c AS (
+  SELECT file_key, CAST(size_bytes AS BIGINT) AS size_bytes,
+         CAST(SUM(size_bytes) OVER (ORDER BY file_key
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - CAST(size_bytes AS BIGINT) AS cum_before,
+         tot // 8 + 1 AS target
+  FROM f CROSS JOIN t
+)
+SELECT cum_before // target AS bin_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes,
+       MIN(file_key) AS first_key,
+       MAX(file_key) AS last_key
+FROM c GROUP BY 1 ORDER BY bin_id
+""",
+)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite-data-files step
+    every table format needs at 100 TB): per-key "file" stats (here one
+    file per ship-month, size = rows x 128B) are packed SEQUENTIALLY in
+    key order into ~equal target bins via a prefix sum — bin boundaries
+    never split the sort order, so compacted files stay range-prunable
+    (the same reason Iceberg's binpack keeps sort order within groups).
+
+    bin = cum_bytes_before // target is the standard one-pass packing:
+    deterministic, order-preserving, and each bin lands within one file
+    size of the target. The prefix sum runs on the FILE SUMMARY (one row
+    per month — bounded metadata, like a manifest listing), not on data
+    rows; at metadata scale beyond one partition, the two-phase prefix
+    sum of sample_pps_systematic applies unchanged.
+    """
+    t = Tables(spark, sf_dir)
+    f = (
+        t.lineitem.select(
+            F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("file_key")
+        )
+        .groupBy("file_key")
+        .agg((F.count(F.lit(1)) * 128).alias("size_bytes"))
+    )
+    tot = f.agg(F.sum("size_bytes").cast("bigint").alias("tot"))
+    w = Window.orderBy("file_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = f.crossJoin(F.broadcast(tot)).select(
+        "file_key",
+        F.col("size_bytes").cast("bigint").alias("size_bytes"),
+        (F.sum("size_bytes").over(w).cast("bigint") - F.col("size_bytes").cast("bigint")).alias(
+            "cum_before"
+        ),
+        F.expr("tot div 8 + 1").alias("target"),
+    )
+    return (
+        c.groupBy(F.expr("cum_before div target").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
+            F.min("file_key").alias("first_key"),
+            F.max("file_key").alias("last_key"),
+        )
+        .orderBy("bin_id")
+    )

@@ -60,7 +60,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ev_interarrival_profile, text_ngram_diversity, pipeline_source_balance,
 #: udf_grouped_map_normalize, ev_time_to_convert, ops_qualify_rewrite,
 #: ev_ab_chisquare, dedup_entity_blocking, pipeline_benford_audit,
-#: sim_covariance_matrix
+#: sim_covariance_matrix, sample_pps_systematic, ev_decay_weighted,
+#: pipeline_compaction_plan
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

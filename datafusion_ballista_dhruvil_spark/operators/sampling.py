@@ -408,3 +408,88 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "k")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_pps_systematic",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents),
+s AS (
+  SELECT source, n_chars, CAST(cum AS BIGINT) AS cum, tot // 100 AS step
+  FROM w CROSS JOIN t
+)
+SELECT source,
+       COUNT(*) FILTER (WHERE cum // step > (cum - n_chars) // step)
+         AS n_selected,
+       CAST(SUM(n_chars) FILTER (WHERE cum // step
+                                       > (cum - n_chars) // step) AS BIGINT)
+         AS sel_chars,
+       COUNT(*) AS n_docs
+FROM s GROUP BY source ORDER BY source
+""",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling: walk the
+    corpus in doc_id order accumulating n_chars; a document is selected
+    whenever the cumulative weight crosses a multiple of step = total/100
+    — inclusion probability ~ n_chars/step, the survey-sampling design
+    token-budgeted corpus subsetting uses (big docs deterministically in,
+    small docs systematically thinned). Exact integers throughout.
+
+    The global running sum is computed DISTRIBUTED, not as one sequential
+    window: (1) per-chunk sums (chunk = doc_id div 256) aggregate
+    map-side; (2) chunk offsets come from a prefix sum over the BOUNDED
+    chunk summary (corpus_size/256 rows — recurse the same two-phase
+    construction if that summary itself outgrows one partition); (3)
+    offsets broadcast-join back and a chunk-partitioned window finishes
+    locally. No unpartitioned window ever touches the full corpus —
+    this is the textbook two-level distributed prefix sum.
+    """
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("doc_id div 256").alias("chunk"),
+    )
+    chunks = docs.groupBy("chunk").agg(F.sum("n_chars").alias("cw"))
+    # bounded relation (see docstring): prefix-sum the chunk summary
+    woff = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = chunks.select(
+        "chunk", (F.sum("cw").over(woff) - F.col("cw")).alias("off")
+    )
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("tot"))
+    wloc = (
+        Window.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        docs.join(F.broadcast(offs), "chunk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_chars",
+            (F.col("off") + F.sum("n_chars").over(wloc)).cast("bigint").alias("cum"),
+            F.expr("tot div 100").alias("step"),
+        )
+    )
+    hit = F.expr("cum div step > (cum - n_chars) div step")
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_selected"),
+            F.sum(F.when(hit, F.col("n_chars"))).cast("bigint").alias("sel_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1874,3 +1874,66 @@ def ev_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("conv_b").cast("double") / (F.col("conv_b") + F.col("noconv_b"))).alias("rate_b"),
         chi2.alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_decay_weighted",
+    oracle="""
+WITH m AS (
+  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events
+),
+e AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         LEAST((m.max_us - epoch_us(CAST(ts AS TIMESTAMP)))
+                 // 604800000000, 8) AS k
+  FROM events CROSS JOIN m
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v_cents) AS BIGINT) AS raw_sum_cents,
+       CAST(SUM(v_cents * (256 // CAST(power(2, k) AS BIGINT))) AS BIGINT)
+         AS decayed_num,
+       CAST(CAST(SUM(v_cents * (256 // CAST(power(2, k) AS BIGINT)))
+                 AS BIGINT) AS DOUBLE) / 25600.0 AS decayed_sum
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay-weighted value per event type: each event's value is
+    weighted by 2^-(age/half-life) with a 7-day half-life — the freshness
+    weighting training-data curricula and engagement scores apply, without
+    the cross-engine libm hazard of exp()/pow(float): the decay is DYADIC
+    (exact powers of two on integer week counts, clamped at 8 halvings),
+    so the weighted sum is an exact BIGINT in both engines and the final
+    scale-down is a single deterministic double division.
+
+    Integer budget: weight <= 256, cents <= ~56k -> <= 1.4e7 per row,
+    int64-safe past 1e11 rows. Scale: one scalar max(ts) aggregate
+    broadcast back (no window), then a map-side-partial groupBy; the
+    decay weight is a pure per-row projection.
+    """
+    t = Tables(spark, sf_dir)
+    m = t.events.agg(F.max(F.unix_micros(F.col("ts"))).alias("max_us"))
+    e = t.events.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        F.least(
+            F.expr("(max_us - unix_micros(ts)) div 604800000000"), F.lit(8)
+        ).alias("k"),
+    )
+    wgt = F.expr("256 div CAST(power(2, k) AS BIGINT)")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").cast("bigint").alias("raw_sum_cents"),
+            F.sum(F.col("v_cents") * wgt).cast("bigint").alias("decayed_num"),
+            (
+                F.sum(F.col("v_cents") * wgt).cast("bigint").cast("double")
+                / 25600.0
+            ).alias("decayed_sum"),
+        )
+        .orderBy("event_type")
+    )
