@@ -2099,3 +2099,122 @@ def sim_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("i", "j", "n", "sx", "sy", "sxy", cov.alias("cov")).orderBy(
         "i", "j"
     )
+
+
+# --------------------------------------------------------------------------
+#: nDCG@10 rank discounts: round(1e6 / log2(r+1)) as integer LITERALS —
+#: precomputed once here, never via runtime log2 (libm rounding is not
+#: engine-portable). _NDCG_PREFIX[k] = sum of the first k discounts = the
+#: ideal DCG when k results are relevant.
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853,
+           356207, 333333, 315465, 301030, 289065]
+_NDCG_PREFIX = [sum(_NDCG_W[: k + 1]) for k in range(10)]
+
+_SQL_NDCG_W = (
+    "CASE rn " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+    ) + " END"
+)
+_SQL_IDCG = (
+    "CASE LEAST(n_rel, 10) " + " ".join(
+        f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_PREFIX)
+    ) + " ELSE 0 END"
+)
+
+
+@query(
+    "sim_ndcg_eval",
+    oracle=f"""
+WITH coded AS (
+  SELECT vec_id, embedding, label, {_SQL_CODE.format(e='embedding')} AS bucket,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM coded WHERE vec_id < 20),
+ranked AS (
+  SELECT query_id, rn, rel FROM (
+    SELECT q.vec_id AS query_id,
+           CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                      DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN coded c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 10
+),
+g AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(SUM(rel * ({_SQL_NDCG_W})) AS BIGINT) AS dcg
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, n_rel, dcg,
+       CASE WHEN n_rel = 0 THEN 0.0
+            ELSE CAST(dcg AS DOUBLE) / ({_SQL_IDCG}) END AS ndcg
+FROM g ORDER BY query_id
+""",
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the bucketed ANN retrieval with label-match relevance —
+    the GRADED retrieval-quality metric alongside sim_ann_recall's set
+    recall (position matters: a relevant hit at rank 1 is worth 3.5x one
+    at rank 10).
+
+    Rank discounts 1/log2(r+1) are integer literals quantized at 1e6 and
+    the ideal DCG is their prefix-sum table indexed by the query's
+    relevant-hit count (ideal ranking puts all hits first) — so DCG is an
+    exact BIGINT and only the final normalization divides. No runtime
+    log2 anywhere (libm is not cross-engine exact).
+
+    Scale: retrieval is the sim_ann_bucketed equi-join (each query scans
+    one bucket); the per-query top-10 window partitions by query_id.
+    """
+    t = Tables(spark, sf_dir)
+    coded = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        "label",
+        _code(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = coded.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        F.col("bucket"),
+        F.col("nrm").alias("qn"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+        F.col("bucket").alias("cbucket"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = (
+        q.join(
+            c,
+            (F.col("bucket") == F.col("cbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            F.when(F.col("qlabel") == F.col("clabel"), 1).otherwise(0).alias("rel"),
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            "neighbor_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+    )
+    g = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.col("rel") * F.expr(_SQL_NDCG_W)).cast("bigint").alias("dcg"),
+    )
+    ndcg = F.when(F.col("n_rel") == 0, F.lit(0.0)).otherwise(
+        F.col("dcg").cast("double") / F.expr(_SQL_IDCG)
+    )
+    return g.select("query_id", "n_rel", "dcg", ndcg.alias("ndcg")).orderBy(
+        "query_id"
+    )

@@ -1635,3 +1635,101 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "n")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_classifier_calibration",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct,
+         CAST(list_sum(list_transform(string_split(text, ' '), t ->
+           (CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 2001) - 1000))
+           AS BIGINT) AS qsum
+  FROM documents
+),
+s AS (
+  SELECT GREATEST(LEAST(qsum * 20 // n_tokens, 999), -1000) // 100 AS bin,
+         CASE WHEN n_distinct * 2 >= n_tokens THEN 1 ELSE 0 END AS good
+  FROM d WHERE n_tokens > 0
+),
+g AS (
+  SELECT bin, COUNT(*) AS n_docs,
+         CAST(SUM(good) AS BIGINT) AS n_good
+  FROM s GROUP BY bin
+),
+t AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) * 1000000
+           // CAST(SUM(n_docs) AS BIGINT) AS global_ppm
+  FROM g
+)
+SELECT bin, n_docs, n_good,
+       n_good * 1000000 // n_docs AS good_ppm,
+       abs(n_good * 1000000 // n_docs - global_ppm) AS gap_ppm
+FROM g CROSS JOIN t ORDER BY bin
+""",
+)
+def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration audit of the cheap hash-weight
+    quality classifier (text_quality_classifier's score) against a more
+    expensive quality outcome (type-token ratio >= 1/2 — repeated-token
+    documents are the classic low-quality class): bin documents by
+    classifier score band, report the realized good-rate per bin and its
+    gap from the corpus rate. A cheap filter whose bins all show the same
+    good-rate carries no signal; monotone rates mean the threshold is
+    doing its job — this is the audit run before trusting a cheap score
+    to gate 100 TB.
+
+    All integer: score bands are integer divisions of the exact weight
+    sum, rates are ppm integer divisions, the global rate is one scalar
+    cross-joined back. One scan + one small-key groupBy.
+    """
+    t = Tables(spark, sf_dir)
+    weights = F.transform(
+        "toks",
+        lambda x: (
+            F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long") % 2001
+        )
+        - 1000,
+    )
+    d = t.documents.select("doc_id", _toks().alias("toks")).select(
+        F.array_size("toks").cast("long").alias("n_tokens"),
+        F.array_size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "qsum"
+        ),
+    )
+    s = d.where(F.col("n_tokens") > 0).select(
+        F.expr(
+            "GREATEST(LEAST(qsum * 20 div n_tokens, 999), -1000) div 100"
+        ).alias("bin"),
+        F.when(F.col("n_distinct") * 2 >= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("good"),
+    )
+    g = s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("good").cast("bigint").alias("n_good"),
+    )
+    tot = g.agg(
+        F.expr(
+            "CAST(SUM(n_good) AS BIGINT) * 1000000"
+            " div CAST(SUM(n_docs) AS BIGINT)"
+        ).alias("global_ppm")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_good",
+            F.expr("n_good * 1000000 div n_docs").alias("good_ppm"),
+            F.expr(
+                "abs(n_good * 1000000 div n_docs - global_ppm)"
+            ).alias("gap_ppm"),
+        )
+        .orderBy("bin")
+    )
