@@ -2218,3 +2218,130 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("query_id", "n_rel", "dcg", ndcg.alias("ndcg")).orderBy(
         "query_id"
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_triplet_margin",
+    oracle=f"""
+WITH c AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+k AS (SELECT COUNT(*) AS nk FROM c),
+r AS (
+  SELECT vec_id, label, embedding,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS r,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+a AS (SELECT r.*, c.cnt FROM r JOIN c USING (label)),
+trip AS (
+  SELECT a.label,
+         CAST(round({_sql_dot('a.embedding', 'p.embedding')}
+                    / (a.nrm * p.nrm) * 10000000) AS BIGINT)
+         - CAST(round({_sql_dot('a.embedding', 'n.embedding')}
+                      / (a.nrm * n.nrm) * 10000000) AS BIGINT) AS margin_q7
+  FROM a
+  JOIN k ON TRUE
+  JOIN c cn ON cn.label = (a.label + 1) % k.nk
+  JOIN r p ON p.label = a.label AND p.r = (a.r + 1) % a.cnt
+  JOIN r n ON n.label = cn.label AND n.r = a.r % cn.cnt
+  WHERE p.vec_id <> a.vec_id
+)
+SELECT label, COUNT(*) AS n_triplets,
+       CAST(SUM(margin_q7) AS BIGINT) AS sum_margin_q7,
+       COUNT(CASE WHEN margin_q7 > 0 THEN 1 END) AS n_pos_wins,
+       MIN(margin_q7) AS min_margin_q7,
+       MAX(margin_q7) AS max_margin_q7
+FROM trip GROUP BY label ORDER BY label
+""",
+)
+def sim_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triplet mining for contrastive training: every vector
+    anchors one (anchor, positive, negative) triplet — positive = the
+    NEXT same-label vector in vec_id order (cyclic), negative = the
+    rank-aligned vector of the NEXT label (cyclic over labels) — and the
+    readout is the per-label margin profile cos(a,p) - cos(a,n) (how
+    separable the label structure already is; the metric-learning
+    curriculum signal).
+
+    Unlike random triplet samplers, every choice is a pure function of
+    (label, rank), so re-runs and other engines mine identical triplets.
+    Margins quantize per-triplet to 1e-7 BIGINTs BEFORE aggregation —
+    summing raw doubles would hit addition-order nondeterminism.
+
+    Scale: ranks come from label-partitioned windows; the positive and
+    negative matches are EQUI-joins on (label, rank) — never a pair
+    explosion; label counts and the label-count scalar broadcast.
+    """
+    t = Tables(spark, sf_dir)
+    c = t.embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    k = c.agg(F.count(F.lit(1)).alias("nk"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    r = t.embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        (F.row_number().over(w) - 1).alias("r"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = (
+        r.join(F.broadcast(c), "label")
+        .crossJoin(F.broadcast(k))
+        .join(
+            F.broadcast(
+                c.select(F.col("label").alias("nlabel"), F.col("cnt").alias("ncnt"))
+            ),
+            F.col("nlabel") == (F.col("label") + 1) % F.col("nk"),
+        )
+    )
+    p = r.select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("pe"),
+        F.col("r").alias("p_r"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    n = r.select(
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ne"),
+        F.col("r").alias("n_r"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    trip = (
+        a.join(
+            p,
+            (F.col("p_label") == F.col("label"))
+            & (F.col("p_r") == (F.col("r") + 1) % F.col("cnt")),
+        )
+        .join(
+            n,
+            (F.col("n_label") == F.col("nlabel"))
+            & (F.col("n_r") == F.col("r") % F.col("ncnt")),
+        )
+        .where(F.col("p_id") != F.col("vec_id"))
+        .select(
+            "label",
+            (
+                F.round(
+                    dot(F.col("embedding"), F.col("pe"))
+                    / (F.col("nrm") * F.col("p_nrm"))
+                    * 10000000
+                ).cast("bigint")
+                - F.round(
+                    dot(F.col("embedding"), F.col("ne"))
+                    / (F.col("nrm") * F.col("n_nrm"))
+                    * 10000000
+                ).cast("bigint")
+            ).alias("margin_q7"),
+        )
+    )
+    return (
+        trip.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_triplets"),
+            F.sum("margin_q7").cast("bigint").alias("sum_margin_q7"),
+            F.count(F.when(F.col("margin_q7") > 0, 1)).alias("n_pos_wins"),
+            F.min("margin_q7").alias("min_margin_q7"),
+            F.max("margin_q7").alias("max_margin_q7"),
+        )
+        .orderBy("label")
+    )

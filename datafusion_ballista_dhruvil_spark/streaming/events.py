@@ -1937,3 +1937,75 @@ def ev_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day_no
+  FROM events
+),
+isl AS (
+  SELECT user_id, day_no,
+         day_no - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_no)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM isl GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, MAX(streak_len) AS max_streak,
+         COUNT(*) AS n_streaks
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+FROM best GROUP BY max_streak ORDER BY max_streak
+""",
+)
+def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands):
+    distinct active days, then the classic ``day - row_number`` island
+    key — consecutive days share one island — then max island length per
+    user, summarized as a streak-length histogram (the engagement metric
+    behind every "7-day streak" product feature).
+
+    Exact: days are integer epoch-day numbers (UTC-pinned microseconds,
+    no timezone-dependent date casting), islands are integer differences.
+    Scale: one user-keyed shuffle shared by the distinct, the window, and
+    both aggregates (all partition by user_id or its superset) — Catalyst
+    reuses the single exchange; the final histogram is a tiny-key agg.
+    """
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    isl = days.select(
+        "user_id",
+        "day_no",
+        (F.col("day_no") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return (
+        best.groupBy("max_streak")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_streaks").cast("bigint").alias("total_streaks"),
+        )
+        .orderBy("max_streak")
+    )

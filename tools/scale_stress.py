@@ -25,6 +25,9 @@ TABLES = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "documents": ["doc_id"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
 }
 QUERIES_TO_RUN = [
     "q1",
@@ -33,6 +36,15 @@ QUERIES_TO_RUN = [
     "text_tokens_quality",
     "text_langid",
     "split_hash_assign",
+    # r3 session-3 additions — each a distinct plan shape worth a growth curve
+    "sample_pps_systematic",   # two-phase distributed prefix sum
+    "pipeline_benford_audit",  # scan + 9-group agg
+    "pipeline_compaction_plan",# metadata prefix-sum binning
+    "dedup_entity_blocking",   # banded blocking self-join (pair growth!)
+    "ev_decay_weighted",       # scalar broadcast + map-side agg
+    "ev_ab_chisquare",         # user-keyed shuffle + 4-counter agg
+    "sim_covariance_matrix",   # 136x explode collapsed by partial agg
+    "text_classifier_calibration",
 ]
 
 
