@@ -62,7 +62,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ev_ab_chisquare, dedup_entity_blocking, pipeline_benford_audit,
 #: sim_covariance_matrix, sample_pps_systematic, ev_decay_weighted,
 #: pipeline_compaction_plan, sim_ndcg_eval, text_classifier_calibration,
-#: ev_activity_streaks, sim_triplet_margin
+#: ev_activity_streaks, sim_triplet_margin, ev_pareto_share,
+#: ev_chisquare_matrix
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

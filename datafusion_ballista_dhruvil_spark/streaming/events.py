@@ -2009,3 +2009,167 @@ def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("max_streak")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_pareto_share",
+    oracle="""
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS total_events FROM u),
+v AS (SELECT n_events AS v, COUNT(*) AS c FROM u GROUP BY 1),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+  FROM v
+),
+thr AS (
+  SELECT MIN(v) AS p90
+  FROM cum CROSS JOIN tot WHERE cm * 10 >= n_users * 9
+)
+SELECT tot.n_users,
+       tot.total_events,
+       thr.p90 AS p90_events,
+       COUNT(*) FILTER (WHERE u.n_events >= thr.p90) AS n_heavy,
+       CAST(SUM(u.n_events) FILTER (WHERE u.n_events >= thr.p90)
+            AS BIGINT) AS heavy_events,
+       COUNT(*) FILTER (WHERE u.n_events >= thr.p90) * 1000000
+         // tot.n_users AS heavy_user_ppm,
+       CAST(SUM(u.n_events) FILTER (WHERE u.n_events >= thr.p90)
+            AS BIGINT) * 1000000 // tot.total_events AS heavy_share_ppm
+FROM u CROSS JOIN tot CROSS JOIN thr
+GROUP BY tot.n_users, tot.total_events, thr.p90
+""",
+)
+def ev_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration readout: what share of all events do the
+    top-decile (by activity) users generate — the 80/20 audit behind
+    capacity planning, skew-aware partitioning decisions, and "is this
+    corpus dominated by a few power users/domains" data-quality checks.
+
+    The p90 activity threshold is an EXACT order statistic through
+    weighted_quantile's two-phase binned pass (no global sort of users by
+    count — the rank-the-whole-table approach dies at scale); the
+    threshold scalar broadcasts back for one conditional aggregate. Same
+    selection semantics as the oracle's cumulative-count MIN(v) with
+    cm*10 >= n*9.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.relational import (
+        weighted_quantile,
+    )
+
+    t = Tables(spark, sf_dir)
+    u = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    staged = u.select(
+        F.lit(1).alias("g"), F.col("n_events").alias("v"), F.lit(1).alias("w")
+    )
+    thr = weighted_quantile(
+        staged, value="v", weight="w", group_cols=["g"], qs={"p90": (9, 10)}
+    ).drop("g")
+    heavy = F.col("n_events") >= F.col("p90")
+    return (
+        u.crossJoin(F.broadcast(thr))
+        .groupBy("p90")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.count(F.when(heavy, 1)).alias("n_heavy"),
+            F.sum(F.when(heavy, F.col("n_events"))).cast("bigint").alias(
+                "heavy_events"
+            ),
+        )
+        .select(
+            "n_users",
+            "total_events",
+            F.col("p90").alias("p90_events"),
+            "n_heavy",
+            "heavy_events",
+            F.expr("n_heavy * 1000000 div n_users").alias("heavy_user_ppm"),
+            F.expr("heavy_events * 1000000 div total_events").alias(
+                "heavy_share_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+#: Per-cell chi-square contribution, quantized to 1e-6 BIGINTs before the
+#: SUM — aggregating raw doubles is addition-order nondeterministic; the
+#: same text runs in both engines (obs/rt/ct/n are exact BIGINTs).
+_CHI_CELL = (
+    "CAST(round((CAST(obs AS DOUBLE)"
+    " - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(obs AS DOUBLE)"
+    " - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "ev_chisquare_matrix",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow
+  FROM events
+),
+cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM e GROUP BY event_type, dow
+),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+       FROM cells GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY dow),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+q AS (
+  SELECT cells.event_type, {_CHI_CELL} AS contrib_q6
+  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+)
+SELECT event_type, COUNT(*) AS n_cells,
+       CAST(SUM(contrib_q6) AS BIGINT) AS row_chi2_q6
+FROM q GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_chisquare_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K x K chi-square heterogeneity of the event_type x day-of-week
+    contingency table — "does traffic mix shift by weekday", the
+    generalization of ev_ab_chisquare's 2x2 to full categorical matrices
+    (seasonality audits, mixture drift by shard, device x outcome).
+
+    Day-of-week is pure integer arithmetic on epoch days ((d+4)%7,
+    1970-01-01 = Thursday) — no locale/timezone-dependent date functions.
+    Each cell's (obs-exp)^2/exp is a deterministic double chain over
+    exact BIGINT marginals, quantized to 1e-6 BEFORE summation so the
+    reduction is exact-integer and addition-order-free.
+
+    Scale: one scan into a 35-cell aggregate (map-side partials); the
+    marginal tables are bounded (K rows) broadcast joins.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+    )
+    cells = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    q = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select("event_type", F.expr(_CHI_CELL).alias("contrib_q6"))
+    )
+    return (
+        q.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("contrib_q6").cast("bigint").alias("row_chi2_q6"),
+        )
+        .orderBy("event_type")
+    )
