@@ -1561,3 +1561,91 @@ def dedup_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nat", "seg")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+probe AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id,
+               list_transform(range(1, least(len(tk), 42) - 1),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 AS ss
+        FROM toks WHERE doc_id < 500) p,
+       unnest(ss) AS u(s)
+),
+corp AS (
+  SELECT DISTINCT doc_id, s
+  FROM toks,
+       unnest(list_transform(range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         AS u(s)
+),
+psize AS (SELECT doc_id, COUNT(*) AS np FROM probe GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS probe_doc, b.doc_id AS host_doc, COUNT(*) AS common
+  FROM probe a JOIN corp b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT probe_doc, host_doc, common, CAST(np AS BIGINT) AS n_probe,
+       CAST(common AS DOUBLE) / np AS containment
+FROM pairs JOIN psize ON psize.doc_id = probe_doc
+WHERE CAST(common AS DOUBLE) / np >= 0.8
+ORDER BY containment DESC, probe_doc, host_doc
+LIMIT 100
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment C = |chunk∩doc| /
+    |chunk| of a probe chunk (each document's first ~40 tokens) inside
+    OTHER full documents — the "quoted article / boilerplate-wrapped
+    repost" case that symmetric Jaccard misses because the host's union
+    term dwarfs the intersection. A hit (C >= 0.8) says the probe's
+    opening is reproduced nearly verbatim inside another document.
+
+    Same bounded join shape as dedup_ngram_jaccard: probe and corpus
+    shingle tables equi-join on the shingle (cardinality bounded by
+    per-shingle df, trigram-sized); the probe side is 40 shingles/doc.
+    At 100 TB the probe set is whatever chunk sample you audit, and the
+    equi-join stays the only shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    shingle = (
+        "array_distinct(transform(sequence(1, greatest(least({lim}, size(tk)) - 2, 0)), "
+        "i -> concat(tk[i - 1], ' ', tk[i], ' ', tk[i + 1])))"
+    )
+    probe = (
+        toks.where(F.col("doc_id") < 500)
+        .select("doc_id", F.explode(F.expr(shingle.format(lim=42))).alias("s"))
+        .distinct()
+    )
+    corp = toks.select(
+        F.col("doc_id").alias("host_doc"),
+        F.explode(F.expr(shingle.format(lim="size(tk)"))).alias("s"),
+    ).distinct()
+    psize = probe.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    pairs = (
+        probe.join(corp, "s")
+        .where(F.col("doc_id") != F.col("host_doc"))
+        .groupBy("doc_id", "host_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(F.broadcast(psize), "doc_id")
+        .select(
+            F.col("doc_id").alias("probe_doc"),
+            "host_doc",
+            "common",
+            F.col("np").alias("n_probe"),
+            (F.col("common").cast("double") / F.col("np")).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.8)
+        .orderBy(F.desc("containment"), "probe_doc", "host_doc")
+        .limit(100)
+    )

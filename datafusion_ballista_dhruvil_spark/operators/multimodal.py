@@ -626,3 +626,92 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_scene_cuts",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         list_transform(range(1, least(length(text), 1024) + 1, 64),
+                        i -> substr(md5(substring(text, i, 64)), 1, 8)) AS sigs
+  FROM documents WHERE doc_id < 200
+),
+x AS (
+  SELECT doc_id, unnest(sigs) AS sig,
+         unnest(range(1, len(sigs) + 1)) AS idx,
+         len(sigs) AS nf
+  FROM f
+),
+m AS (
+  SELECT doc_id, idx, nf,
+         CASE WHEN idx = 1 THEN 0
+              WHEN sig <> lag(sig) OVER (PARTITION BY doc_id ORDER BY idx)
+                THEN 1 ELSE 0 END AS chg
+  FROM x
+),
+sc AS (
+  SELECT doc_id, nf,
+         SUM(chg) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS scene_id
+  FROM m
+),
+runs AS (
+  SELECT doc_id, nf, scene_id, COUNT(*) AS run_len
+  FROM sc GROUP BY doc_id, nf, scene_id
+)
+SELECT doc_id,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts,
+       CAST(MAX(run_len) AS BIGINT) AS longest_static
+FROM runs GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene/shot-boundary detection over sampled frames: fingerprint each
+    64-unit frame, a cut is any consecutive-signature change, and
+    longest_static is the longest run of identical frames (the static-
+    scene detector video dedup and thumbnail pickers run). As with the
+    module's other stages, the frame payload is the document text so the
+    mapInPandas kernel is hash-verified against the SQL oracle; a real
+    video pipeline swaps the signature for a perceptual frame hash with
+    identical plumbing, batch shape, and output schema.
+
+    Scale: map-only — frames never leave their executor, no shuffle
+    carries payload bytes; output is 3 small ints per asset. The Python
+    loop is per-batch (Arrow-fed), bounded by frames-per-asset (<= 16).
+    """
+    import hashlib
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def cuts_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "longest_static": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = (text or "")[:1024]
+                frames = [s[i : i + 64] for i in range(0, len(s), 64)]
+                frames = [fr for fr in frames if fr]
+                if not frames:
+                    continue
+                sigs = [
+                    hashlib.md5(fr.encode("utf-8")).hexdigest()[:8]
+                    for fr in frames
+                ]
+                cuts = sum(1 for a, b in zip(sigs, sigs[1:]) if a != b)
+                best = cur = 1
+                for a, b in zip(sigs, sigs[1:]):
+                    cur = cur + 1 if a == b else 1
+                    best = max(best, cur)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(sigs))
+                out["n_cuts"].append(cuts)
+                out["longest_static"].append(best)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        cuts_batch,
+        schema="doc_id long, n_frames long, n_cuts long, longest_static long",
+    ).orderBy("doc_id")

@@ -63,7 +63,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: sim_covariance_matrix, sample_pps_systematic, ev_decay_weighted,
 #: pipeline_compaction_plan, sim_ndcg_eval, text_classifier_calibration,
 #: ev_activity_streaks, sim_triplet_margin, ev_pareto_share,
-#: ev_chisquare_matrix
+#: ev_chisquare_matrix, text_source_entropy_kl, mm_scene_cuts,
+#: ev_bot_detection, dedup_containment
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

@@ -1733,3 +1733,107 @@ def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_source_entropy_kl",
+    oracle="""
+WITH v AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY lang, tok
+),
+c AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS cf FROM v GROUP BY tok),
+tl AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS tot FROM v GROUP BY lang),
+tc AS (SELECT CAST(SUM(cf) AS BIGINT) AS totc FROM c),
+j AS (
+  SELECT v.lang, v.f,
+         CAST(round(log2(v.f) * 1000000) AS BIGINT) AS y,
+         CAST(round(log2(c.cf) * 1000000) AS BIGINT) AS yc
+  FROM v JOIN c USING (tok)
+),
+s AS (
+  SELECT lang, COUNT(*) AS vocab,
+         CAST(SUM(f * y) AS BIGINT) AS sum_fy,
+         CAST(SUM(f * (y - yc)) AS BIGINT) AS sum_fd
+  FROM j GROUP BY lang
+)
+SELECT s.lang, s.vocab, tl.tot AS total_toks,
+       tl.tot * CAST(round(log2(tl.tot) * 1000000) AS BIGINT) - s.sum_fy
+         AS ent_num_q6,
+       CAST(tl.tot * CAST(round(log2(tl.tot) * 1000000) AS BIGINT) - s.sum_fy
+            AS DOUBLE) / CAST(tl.tot AS DOUBLE) / 1000000.0 AS entropy_bits,
+       s.sum_fd AS kl_num_q6,
+       CAST(s.sum_fd AS DOUBLE) / CAST(tl.tot AS DOUBLE) / 1000000.0
+         + CAST(CAST(round(log2(tc.totc) * 1000000) AS BIGINT)
+                - CAST(round(log2(tl.tot) * 1000000) AS BIGINT) AS DOUBLE)
+           / 1000000.0 AS kl_bits
+FROM s JOIN tl USING (lang) CROSS JOIN tc
+ORDER BY lang
+""",
+)
+def text_source_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution Shannon entropy and KL divergence
+    from the corpus-wide distribution — the information-theoretic pair
+    behind data-mixing decisions (low entropy = templated/spammy source;
+    high KL = source whose vocabulary diverges from the mix, i.e. what a
+    re-weighting actually changes).
+
+    Identities that keep it exact: H = log2(T) - (1/T)SUM(f*log2 f) and
+    KL(l||c) = (1/T_l)SUM(f*(log2 f - log2 cf)) + log2(T_c) - log2(T_l),
+    with every log2 of an INTEGER count quantized to micro-bits (the
+    module's established cross-engine log path, cf. text_zipf_slope) —
+    the big sums are exact BIGINTs and each output double is one fixed
+    division chain.
+
+    Scale: vocab aggregate (partial agg) + an equi-join of per-lang vocab
+    to corpus vocab on token; per-lang totals and the corpus scalar are
+    bounded broadcasts. No per-row doubles are ever summed.
+    """
+    t = Tables(spark, sf_dir)
+    v = (
+        t.documents.select("lang", F.explode(_toks()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    c = v.groupBy("tok").agg(F.sum("f").cast("bigint").alias("cf"))
+    tl = v.groupBy("lang").agg(F.sum("f").cast("bigint").alias("tot"))
+    tc = c.agg(F.sum("cf").cast("bigint").alias("totc"))
+    j = v.join(c, "tok").select(
+        "lang",
+        "f",
+        F.round(F.log2("f") * 1000000).cast("long").alias("y"),
+        F.round(F.log2("cf") * 1000000).cast("long").alias("yc"),
+    )
+    s = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("f") * F.col("y")).cast("bigint").alias("sum_fy"),
+        F.sum(F.col("f") * (F.col("y") - F.col("yc")))
+        .cast("bigint")
+        .alias("sum_fd"),
+    )
+    out = (
+        s.join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "lang",
+            "vocab",
+            F.col("tot").alias("total_toks"),
+            F.expr(
+                "tot * CAST(round(log2(tot) * 1000000) AS BIGINT) - sum_fy"
+            ).alias("ent_num_q6"),
+            F.expr(
+                "CAST(tot * CAST(round(log2(tot) * 1000000) AS BIGINT) - sum_fy"
+                " AS DOUBLE) / CAST(tot AS DOUBLE) / 1000000.0"
+            ).alias("entropy_bits"),
+            F.col("sum_fd").alias("kl_num_q6"),
+            F.expr(
+                "CAST(sum_fd AS DOUBLE) / CAST(tot AS DOUBLE) / 1000000.0"
+                " + CAST(CAST(round(log2(totc) * 1000000) AS BIGINT)"
+                "        - CAST(round(log2(tot) * 1000000) AS BIGINT) AS DOUBLE)"
+                "   / 1000000.0"
+            ).alias("kl_bits"),
+        )
+    )
+    return out.orderBy("lang")

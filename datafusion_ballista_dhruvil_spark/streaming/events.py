@@ -2173,3 +2173,88 @@ def ev_chisquare_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_bot_detection",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+           AS gap_s
+  FROM events
+),
+u AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(gap_s) AS BIGINT) AS sg,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+  FROM g WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 20 AND SUM(gap_s) >= 1000
+),
+c AS (
+  SELECT user_id,
+         (n * sgg - sg * sg) // (sg * sg // 1000000 + 1) AS cv2_ppm
+  FROM u
+)
+SELECT LEAST(cv2_ppm // 250000, 12) AS cv2_bucket,
+       COUNT(*) AS n_users,
+       CAST(COUNT(*) FILTER (WHERE cv2_ppm < 250000) AS BIGINT)
+         AS n_flagged
+FROM c GROUP BY 1 ORDER BY cv2_bucket
+""",
+)
+def ev_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot detection by inter-arrival regularity: a human's
+    event gaps are bursty (squared coefficient of variation CV^2 ~ 1 for
+    Poisson, higher for bursty), a scripted client fires on a timer
+    (CV^2 -> 0). Flag users whose n*CV^2 proxy — exactly
+    (n*SUM(g^2) - SUM(g)^2) / SUM(g)^2 in integer ppm — falls below
+    0.25, and report the CV^2 histogram. The cleaning step that keeps
+    scripted traffic out of behavioural training data.
+
+    Exact: second-granularity integer gaps keep every product within
+    int64 (n*SUM(g^2) <= ~3e16 for a 30-day span and bounded per-user
+    counts); the ppm ratio divides FIRST (sg^2 * 1e6 would overflow), with
+    the same +1-guarded denominator text in both engines. Scale: the lag window and the aggregate share one
+    user-keyed shuffle; the histogram is a tiny-key agg.
+    """
+    t = Tables(spark, sf_dir)
+    ts_s = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    g = t.events.select(
+        "user_id", (ts_s - F.lag(ts_s).over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    u = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").cast("bigint").alias("sg"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sgg"),
+        )
+        .where((F.col("n") >= 20) & (F.col("sg") >= 1000))
+    )
+    # divide-first ppm: (sg*sg)*1e6 would overflow int64; the +1 floor-guard
+    # denominator is applied IDENTICALLY in the oracle, so hashes agree
+    c = u.select(
+        F.expr(
+            "(n * sgg - sg * sg) div (sg * sg div 1000000 + 1)"
+        ).alias("cv2_ppm")
+    )
+    return (
+        c.groupBy(
+            F.expr("LEAST(cv2_ppm div 250000, 12)").alias("cv2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.when(F.col("cv2_ppm") < 250000, 1))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("cv2_bucket")
+    )
