@@ -411,3 +411,38 @@ def test_triangles_and_accuracy_bounded_joins(spark):
     for name in ("dedup_graph_triangles", "dedup_minhash_accuracy"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_dynamic_partition_pruning_subquery_injected(spark, tmp_path):
+    # DPP (the other half of the 100 TB pruning story, alongside the static
+    # gate above): when the partition-key predicate lives on a JOINED dim,
+    # not the fact itself, the optimizer must inject a dynamic-pruning
+    # subquery on the fact scan so only dim-selected partitions are read at
+    # RUNTIME. Thresholds shrunk to testdata scale.
+    out = str(tmp_path / "events_by_type_dpp")
+    t = Tables(spark, SF_DIR)
+    t.events.write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2)], "etype string, w int"
+    ).where(F.col("w") == 1)
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10000",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim, fact.event_type == dim.etype).groupBy("etype").count()
+        plan = formatted_plan(j)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        rows = j.collect()
+        assert [r.etype for r in rows] == ["click"]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
