@@ -2345,3 +2345,97 @@ def sim_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+WITH coded AS (
+  SELECT vec_id, label, embedding, {_SQL_CODE.format(e='embedding')} AS bucket,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM coded WHERE vec_id < 50),
+cand AS (
+  SELECT q.vec_id AS anchor, q.label AS anchor_label,
+         c.vec_id AS neg_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN coded c ON q.bucket = c.bucket AND q.label <> c.label
+),
+r AS (
+  SELECT anchor, anchor_label, neg_id,
+         CAST(round(cosine * 10000000) AS BIGINT) AS cos_q7,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY cosine DESC, neg_id) AS rn,
+         COUNT(*) OVER (PARTITION BY anchor) AS n_candidates
+  FROM cand
+)
+SELECT anchor, anchor_label, neg_id, cos_q7,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM r WHERE rn = 1 ORDER BY anchor
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor, the MOST SIMILAR vector with
+    a DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; hard ones are not).
+    Candidates come from the anchor's LSH bucket, which is precisely where
+    hard negatives live (similar enough to collide), so the search is the
+    same bounded equi-join as sim_ann_bucketed — never corpus x corpus.
+
+    Determinism: the argmax orders by the cosine double (one fixed
+    division chain over exact integer dots) with neg_id tiebreak; the
+    reported score quantizes to 1e-7. Scale: bucket equi-join + per-anchor
+    top-1 window (WindowGroupLimit pushes the rank-1 filter below the
+    exchange).
+    """
+    t = Tables(spark, sf_dir)
+    coded = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        "label",
+        _code(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = coded.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("anchor_label"),
+        F.col("bucket"),
+        F.col("nrm").alias("qn"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+        F.col("bucket").alias("cbucket"),
+        F.col("nrm").alias("cn"),
+    )
+    cand = q.join(
+        c,
+        (F.col("bucket") == F.col("cbucket"))
+        & (F.col("anchor_label") != F.col("clabel")),
+    ).select(
+        "anchor",
+        "anchor_label",
+        "neg_id",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    wc = Window.partitionBy("anchor")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor",
+            "anchor_label",
+            "neg_id",
+            F.round(F.col("cosine") * 10000000).cast("bigint").alias("cos_q7"),
+            "n_candidates",
+        )
+        .orderBy("anchor")
+    )

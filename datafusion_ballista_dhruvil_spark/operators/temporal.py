@@ -223,3 +223,74 @@ def range_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "asof_tolerance_attribution",
+    oracle="""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         v.ts AS prev_ts, v.value AS prev_value,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+),
+m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(prev_ts) <= 3600000000
+              THEN prev_value END AS attr_value,
+         CASE WHEN epoch_us(ts) - epoch_us(prev_ts) <= 3600000000
+              THEN epoch_us(ts) - epoch_us(prev_ts) END AS gap_us
+  FROM j WHERE rn = 1
+)
+SELECT COUNT(*) AS n_purchases,
+       COUNT(attr_value) AS n_attributed,
+       CAST(COALESCE(SUM(CAST(round(attr_value * 100) AS BIGINT)), 0)
+            AS BIGINT) AS attr_cents,
+       MAX(gap_us) AS max_gap_us
+FROM m
+""",
+)
+def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of attribution: each purchase matches the latest
+    click at most ONE HOUR before it (asof_join's ``tolerance_us`` path —
+    matches older than the tolerance null out, exactly the attribution-
+    window semantics ad pipelines bill on, and the state-bound that makes
+    the streaming version's watermark finite).
+
+    Same single user-keyed shuffle as the unbounded as-of; the tolerance
+    is a post-window projection, not another join. Summary output (counts
+    + exact cent sum) keeps the hash gate on integers.
+    """
+    t = Tables(spark, sf_dir)
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        payload=["ts", "value"],
+        tie="event_id",
+        tolerance_us=3_600_000_000,
+        prefix="prev_",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("prev_value").alias("n_attributed"),
+        F.coalesce(
+            F.sum(F.round(F.col("prev_value") * 100).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("attr_cents"),
+        F.max(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+        ).alias("max_gap_us"),
+    )
