@@ -2439,3 +2439,204 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_mmr_rerank",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+),
+q AS (SELECT * FROM c0 WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS a, c.vec_id AS id, c.embedding AS e, c.nrm AS cn,
+         CAST(round({_sql_dot('q.embedding', 'c.embedding')}
+                    / (q.nrm * c.nrm) * 10000000) AS BIGINT) AS rel
+  FROM q, c0 c WHERE c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT a, id, e, cn, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY a ORDER BY rel DESC, id) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+sims AS (
+  SELECT x.a, x.id AS i, y.id AS j,
+         CAST(round({_sql_dot('x.e', 'y.e')} / (x.cn * y.cn) * 10000000)
+              AS BIGINT) AS sim
+  FROM cand x JOIN cand y ON x.a = y.a AND x.id <> y.id
+),
+p1 AS (
+  SELECT a, id AS pick1, rel AS rel1 FROM (
+    SELECT a, id, rel,
+           row_number() OVER (PARTITION BY a ORDER BY rel DESC, id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT c.a, c.id, c.rel, c.rel - s.sim AS score
+  FROM cand c
+  JOIN p1 ON c.a = p1.a AND c.id <> p1.pick1
+  JOIN sims s ON s.a = c.a AND s.i = c.id AND s.j = p1.pick1
+),
+p2 AS (
+  SELECT a, id AS pick2, rel AS rel2 FROM (
+    SELECT a, id, rel,
+           row_number() OVER (PARTITION BY a ORDER BY score DESC, id) AS rn
+    FROM s2
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT c.a, c.id, c.rel,
+         c.rel - GREATEST(sa.sim, sb.sim) AS score
+  FROM cand c
+  JOIN p1 ON c.a = p1.a
+  JOIN p2 ON c.a = p2.a
+  JOIN sims sa ON sa.a = c.a AND sa.i = c.id AND sa.j = p1.pick1
+  JOIN sims sb ON sb.a = c.a AND sb.i = c.id AND sb.j = p2.pick2
+  WHERE c.id <> p1.pick1 AND c.id <> p2.pick2
+),
+p3 AS (
+  SELECT a, id AS pick3, rel AS rel3 FROM (
+    SELECT a, id, rel,
+           row_number() OVER (PARTITION BY a ORDER BY score DESC, id) AS rn
+    FROM s3
+  ) WHERE rn = 1
+)
+SELECT p1.a AS query_id, p1.pick1, p1.rel1, p2.pick2, p2.rel2,
+       p3.pick3, p3.rel3
+FROM p1 JOIN p2 ON p1.a = p2.a JOIN p3 ON p1.a = p3.a
+ORDER BY query_id
+""",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) diversified re-ranking — the
+    search/RAG post-processor that trades raw relevance against
+    redundancy: greedily pick argmax[rel - max sim-to-already-picked]
+    (lambda = 0.5, which cancels into plain subtraction after
+    quantization). Three greedy rounds UNROLLED as dataframe stages —
+    each round is an equi-join of the bounded candidate set (top-5 per
+    query) to the picks so far plus a per-query argmax window; no
+    iterative driver loop, no UDF.
+
+    Exactness: relevance and pairwise sims quantize to 1e-7 BIGINTs
+    BEFORE any ranking, so every argmax and subtraction is integer-exact.
+    Scale: candidate generation is the broadcast-queries brute-force
+    baseline (swap in the bucketed join at scale); everything after
+    operates on <= 5 rows x queries — re-ranking cost is independent of
+    corpus size, which is the whole point of candidate-then-rerank.
+    """
+    t = Tables(spark, sf_dir)
+    c0 = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = c0.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        c0.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("a"))
+        .select(
+            "a",
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("e"),
+            F.col("nrm").alias("cn"),
+            F.round(
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+                * 10000000
+            )
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    wrel = Window.partitionBy("a").orderBy(F.desc("rel"), F.asc("id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wrel))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    x = cand.select("a", F.col("id").alias("i"), F.col("e").alias("xe"), F.col("cn").alias("xn"))
+    y = cand.select(F.col("a").alias("ya"), F.col("id").alias("j"), F.col("e").alias("ye"), F.col("cn").alias("yn"))
+    sims = (
+        x.join(y, (F.col("a") == F.col("ya")) & (F.col("i") != F.col("j")))
+        .select(
+            "a",
+            "i",
+            "j",
+            F.round(
+                dot(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn")) * 10000000
+            )
+            .cast("bigint")
+            .alias("sim"),
+        )
+    )
+    p1 = (
+        cand.withColumn("rn", F.row_number().over(wrel))
+        .where(F.col("rn") == 1)
+        .select("a", F.col("id").alias("pick1"), F.col("rel").alias("rel1"))
+    )
+    s2 = (
+        cand.join(p1, "a")
+        .where(F.col("id") != F.col("pick1"))
+        .join(
+            sims.select(F.col("a").alias("sa"), "i", "j", "sim"),
+            (F.col("sa") == F.col("a"))
+            & (F.col("i") == F.col("id"))
+            & (F.col("j") == F.col("pick1")),
+        )
+        .select("a", "id", "rel", (F.col("rel") - F.col("sim")).alias("score"))
+    )
+    wsc = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("id"))
+    p2 = (
+        s2.withColumn("rn", F.row_number().over(wsc))
+        .where(F.col("rn") == 1)
+        .select("a", F.col("id").alias("pick2"), F.col("rel").alias("rel2"))
+    )
+    sa = sims.select(F.col("a").alias("saa"), F.col("i").alias("sai"), F.col("j").alias("saj"), F.col("sim").alias("sim1"))
+    sb = sims.select(F.col("a").alias("sba"), F.col("i").alias("sbi"), F.col("j").alias("sbj"), F.col("sim").alias("sim2"))
+    s3 = (
+        cand.join(p1, "a")
+        .join(p2, "a")
+        .where((F.col("id") != F.col("pick1")) & (F.col("id") != F.col("pick2")))
+        .join(
+            sa,
+            (F.col("saa") == F.col("a"))
+            & (F.col("sai") == F.col("id"))
+            & (F.col("saj") == F.col("pick1")),
+        )
+        .join(
+            sb,
+            (F.col("sba") == F.col("a"))
+            & (F.col("sbi") == F.col("id"))
+            & (F.col("sbj") == F.col("pick2")),
+        )
+        .select(
+            "a",
+            "id",
+            "rel",
+            (F.col("rel") - F.greatest(F.col("sim1"), F.col("sim2"))).alias("score"),
+        )
+    )
+    p3 = (
+        s3.withColumn("rn", F.row_number().over(wsc))
+        .where(F.col("rn") == 1)
+        .select("a", F.col("id").alias("pick3"), F.col("rel").alias("rel3"))
+    )
+    return (
+        p1.join(p2, "a")
+        .join(p3, "a")
+        .select(
+            F.col("a").alias("query_id"),
+            "pick1",
+            "rel1",
+            "pick2",
+            "rel2",
+            "pick3",
+            "rel3",
+        )
+        .orderBy("query_id")
+    )
