@@ -200,3 +200,47 @@ def test_random_window_matches_oracle(spark, oracle, ast):
     assert _normalize(srows, ["o_orderkey", "v"]) == _normalize(
         orows, ["o_orderkey", "v"]
     ), sql
+
+
+@given(
+    k=_ident,
+    v=_ident,
+    alias=_ident,
+    lim=st.integers(min_value=1, max_value=99),
+    use_order=st.booleans(),
+    use_limit=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_rewrite_qualify_shapes(k, v, alias, lim, use_order, use_limit):
+    """QUALIFY lowers for arbitrary identifier shapes; the OVER clause's
+    internal ORDER BY is never confused with the outer ORDER BY, and the
+    outer tail (ORDER BY / LIMIT) survives verbatim."""
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    tail = (f" ORDER BY {k}" if use_order else "") + (
+        f" LIMIT {lim}" if use_limit else ""
+    )
+    sql = (
+        f"SELECT {k}, {v} AS {alias} FROM t QUALIFY "
+        f"row_number() OVER (PARTITION BY {k} ORDER BY {v} DESC) = 1{tail}"
+    )
+    out = rewrite_sql(sql)
+    assert out.startswith(f"SELECT {k}, {alias} FROM (SELECT {k}, {v} AS {alias}, ")
+    assert f"OVER (PARTITION BY {k} ORDER BY {v} DESC) = 1) AS __qualify" in out
+    assert out.endswith(f"WHERE __qualify{tail}")
+
+
+@given(body=_lit_body)
+@settings(max_examples=100, deadline=None)
+def test_rewrite_qualify_never_fires_inside_literals_or_subqueries(body):
+    """A literal containing 'QUALIFY' and a QUALIFY inside a subquery both
+    pass through byte-identical (single-SELECT guard + literal masking)."""
+    from datafusion_ballista_dhruvil_spark.sql.rewrite import rewrite_sql
+
+    lit = f"SELECT '{body} QUALIFY {body}' AS s FROM t"
+    assert rewrite_sql(lit) == lit
+    sub = (
+        "SELECT * FROM (SELECT k FROM t "
+        "QUALIFY row_number() OVER (ORDER BY k) = 1) z"
+    )
+    assert rewrite_sql(sub) == sub
