@@ -2640,3 +2640,130 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+#: raw INTEGER dot (the _dot7 kernel's SQL twin, no double cast): exact
+#: BIGINT, so squared distances na + nb - 2ab stay integer end-to-end.
+_SQL_IDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(round(CAST(x[1] AS DOUBLE) * 10000000) AS BIGINT)"
+    " * CAST(round(CAST(x[2] AS DOUBLE) * 10000000) AS BIGINT))) AS BIGINT)"
+)
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_IDOT.format(a='embedding', b='embedding')} AS nn
+  FROM embeddings
+),
+p1 AS (SELECT vec_id AS c1, embedding AS e1, nn AS n1 FROM e
+       ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT e.vec_id, e.embedding, e.nn,
+         e.nn + p1.n1 - 2 * {_SQL_IDOT.format(a='e.embedding', b='p1.e1')}
+           AS dist1
+  FROM e CROSS JOIN p1
+),
+p2 AS (SELECT vec_id AS c2, embedding AS e2, nn AS n2 FROM d1
+       ORDER BY dist1 DESC, vec_id LIMIT 1),
+d2 AS (
+  SELECT d1.vec_id, d1.embedding, d1.nn, d1.dist1,
+         LEAST(d1.dist1,
+               d1.nn + p2.n2 - 2 * {_SQL_IDOT.format(a='d1.embedding', b='p2.e2')})
+           AS dmin2
+  FROM d1 CROSS JOIN p2
+),
+p3 AS (SELECT vec_id AS c3, embedding AS e3, nn AS n3 FROM d2
+       ORDER BY dmin2 DESC, vec_id LIMIT 1),
+cov AS (
+  SELECT MAX(LEAST(d2.dmin2,
+                   d2.nn + p3.n3
+                   - 2 * {_SQL_IDOT.format(a='d2.embedding', b='p3.e3')}))
+           AS radius_sq_q14,
+         COUNT(*) AS n_vectors
+  FROM d2 CROSS JOIN p3
+)
+SELECT p1.c1, p2.c2, p3.c3, cov.radius_sq_q14, cov.n_vectors
+FROM p1 CROSS JOIN p2 CROSS JOIN p3 CROSS JOIN cov
+""",
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first (Gonzalez) k-center coreset selection, k = 3: seed
+    with the smallest vec_id, then twice pick the vector farthest from the
+    chosen set, and report the covering radius — the greedy 2-approximation
+    behind diversity-maximizing data selection / dataset distillation
+    ("cover the embedding space with k exemplars").
+
+    Entirely integer: squared distances expand to nn_a + nn_b - 2<a,b>
+    over the module's raw 1e7-scaled BIGINT dots (no sqrt, no doubles), so
+    every argmax and the final radius are exact in both engines.
+
+    Scale: each greedy round is ONE corpus pass against a broadcast
+    1-row center (map-side max via TakeOrdered) — k passes total, the
+    textbook distributed farthest-first; nothing is ever pairwise.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        _dot7(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    p1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("c1"),
+        F.col("embedding").alias("e1"),
+        F.col("nn").alias("n1"),
+    )
+    d1 = e.crossJoin(F.broadcast(p1)).select(
+        "vec_id",
+        "embedding",
+        "nn",
+        "c1",
+        (
+            F.col("nn") + F.col("n1")
+            - 2 * _dot7(F.col("embedding"), F.col("e1"))
+        ).alias("dist1"),
+    )
+    p2 = d1.orderBy(F.desc("dist1"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("c2"),
+        F.col("embedding").alias("e2"),
+        F.col("nn").alias("n2"),
+    )
+    d2 = d1.crossJoin(F.broadcast(p2)).select(
+        "vec_id",
+        "embedding",
+        "nn",
+        "c1",
+        "c2",
+        "dist1",
+        F.least(
+            F.col("dist1"),
+            F.col("nn") + F.col("n2") - 2 * _dot7(F.col("embedding"), F.col("e2")),
+        ).alias("dmin2"),
+    )
+    p3 = d2.orderBy(F.desc("dmin2"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("c3"),
+        F.col("embedding").alias("e3"),
+        F.col("nn").alias("n3"),
+    )
+    cov = (
+        d2.crossJoin(F.broadcast(p3))
+        .agg(
+            F.max(
+                F.least(
+                    F.col("dmin2"),
+                    F.col("nn")
+                    + F.col("n3")
+                    - 2 * _dot7(F.col("embedding"), F.col("e3")),
+                )
+            ).alias("radius_sq_q14"),
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("c1").alias("c1"),
+            F.min("c2").alias("c2"),
+            F.min("c3").alias("c3"),
+        )
+    )
+    return cov.select("c1", "c2", "c3", "radius_sq_q14", "n_vectors")

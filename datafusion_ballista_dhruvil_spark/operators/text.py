@@ -1837,3 +1837,123 @@ def text_source_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+_RAKE_STOPS = "'the', 'a', 'of', 'and', 'to', 'is', 'in', 'on'"
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+wp AS (
+  SELECT doc_id, pos, tok,
+         tok IN ({_RAKE_STOPS}) AS is_stop,
+         SUM(CASE WHEN tok IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM toks
+),
+members AS (SELECT doc_id, grp, pos, tok FROM wp WHERE NOT is_stop),
+plen AS (
+  SELECT doc_id, grp, COUNT(*) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase_text
+  FROM members GROUP BY doc_id, grp HAVING COUNT(*) <= 4
+),
+ws AS (
+  SELECT m.tok, COUNT(*) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS deg
+  FROM members m JOIN plen p ON m.doc_id = p.doc_id AND m.grp = p.grp
+  GROUP BY m.tok
+),
+occ AS (
+  SELECT p.phrase_text, p.doc_id, p.grp,
+         CAST(SUM(ws.deg * 1000000 // ws.freq) AS BIGINT) AS pscore
+  FROM plen p
+  JOIN members m ON m.doc_id = p.doc_id AND m.grp = p.grp
+  JOIN ws ON ws.tok = m.tok
+  GROUP BY p.phrase_text, p.doc_id, p.grp
+)
+SELECT phrase_text, COUNT(*) AS n_occ,
+       CAST(MIN(pscore) AS BIGINT) AS score_ppm
+FROM occ GROUP BY phrase_text
+ORDER BY score_ppm DESC, phrase_text
+LIMIT 20
+""",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public): split each
+    document into candidate phrases at stopword boundaries, score words by
+    degree/frequency over the whole corpus (degree = total length of
+    phrases containing the word — favors words that appear inside longer
+    collocations), and rank phrases by their members' summed scores. The
+    unsupervised keyword extractor that needs no model artifact — a
+    corpus-labeling staple.
+
+    Exact: word scores are integer-ppm divisions; phrase scores are exact
+    sums of them (identical occurrences score identically, so MIN = the
+    score). Scale: phrase segmentation is a doc-partitioned running sum;
+    the only corpus-wide state is the word-stats table (vocabulary-sized,
+    built by partial aggregation and equi-joined back).
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.posexplode(_toks()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    is_stop = F.expr(f"tok IN ({_RAKE_STOPS})")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wp = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop.cast("int")).over(wdoc).alias("grp"),
+    )
+    members = wp.where(~F.col("is_stop")).select("doc_id", "grp", "pos", "tok")
+    plen = (
+        members.groupBy("doc_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase_text"),
+        )
+        .where(F.col("plen") <= 4)
+    )
+    ws = (
+        members.join(plen, ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    occ = (
+        plen.join(members, ["doc_id", "grp"])
+        .join(ws, "tok")
+        .groupBy("phrase_text", "doc_id", "grp")
+        .agg(
+            F.sum(F.expr("deg * 1000000 div freq")).cast("bigint").alias("pscore")
+        )
+    )
+    return (
+        occ.groupBy("phrase_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("pscore").cast("bigint").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "phrase_text")
+        .limit(20)
+    )
