@@ -1961,3 +1961,45 @@ def ops_qualify_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("orders")
     return spark.sql(rewrite_sql(_QUALIFY_SQL))
+
+
+# ---------------------------------------------------------------------------
+#: Recursive CTE — IDENTICAL text in Spark 4 (recursive CTE support is new
+#: in Spark 4.0) and DuckDB: an ancestor walk over the synthetic decimal
+#: tree parent(doc) = floor(doc/10), i.e. hierarchy rollup without a
+#: precomputed closure table. FLOOR(x/10) spelling is shared by both
+#: dialects (Spark's `div` and DuckDB's `//` are not).
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc(node, ancestor, depth) AS (
+  SELECT doc_id, CAST(FLOOR(doc_id / 10) AS BIGINT), 1
+  FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT a.node, CAST(FLOOR(a.ancestor / 10) AS BIGINT), a.depth + 1
+  FROM anc a WHERE a.ancestor > 0
+)
+SELECT ancestor, COUNT(*) AS n_descendants, MAX(depth) AS max_depth
+FROM anc
+GROUP BY ancestor
+ORDER BY n_descendants DESC, ancestor
+LIMIT 20
+"""
+
+
+@query("ops_recursive_cte", oracle=_RECURSIVE_SQL)
+def ops_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` parity: the SAME SQL text runs on Spark 4 (which
+    added recursive CTEs) and DuckDB — an ancestor-closure walk over a
+    derived tree (parent = doc_id/10), rolled up to descendant counts per
+    ancestor. This is the hierarchy/BOM-explosion query class that
+    previously required the DataFrame Pregel loop (dedup_cluster_cc);
+    depth here is logarithmic (~4 levels), so the iterative union
+    terminates fast.
+
+    Scale: each recursion step is one projection of the frontier (no
+    joins — the parent is computed, not looked up); Spark executes it as
+    an iterative UnionLoop with the same per-step shuffle posture as the
+    hand-rolled loop, but planned and fused by Catalyst.
+    """
+    t = Tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_SQL)

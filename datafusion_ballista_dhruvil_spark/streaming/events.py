@@ -2258,3 +2258,71 @@ def ev_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cv2_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_survival_retention",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day
+  FROM events GROUP BY user_id
+),
+life AS (SELECT user_id, last_day - first_day AS lifetime_days FROM u),
+n AS (SELECT COUNT(*) AS n_users FROM life),
+d AS (SELECT unnest(range(0, 29)) AS day)
+SELECT d.day,
+       CAST(COUNT(*) FILTER (WHERE life.lifetime_days >= d.day) AS BIGINT)
+         AS n_surviving,
+       n.n_users,
+       COUNT(*) FILTER (WHERE life.lifetime_days >= d.day) * 1000000
+         // n.n_users AS survival_ppm
+FROM life CROSS JOIN d CROSS JOIN n
+GROUP BY d.day, n.n_users ORDER BY d.day
+""",
+)
+def ev_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival/retention curve: for each day-offset d, the fraction of
+    users whose observed lifetime (last activity - first activity) reaches
+    d — the product-analytics survival function behind churn dashboards
+    and the engagement-horizon statistic training-data recency weighting
+    keys on. (Right-censoring is inherent: the last observed day bounds
+    every lifetime; a Kaplan-Meier estimator refines this with per-day
+    hazards, same plan shape.)
+
+    Exact: integer epoch-day lifetimes, ppm integer division. Scale: one
+    user-keyed aggregate (min/max partial-agg), then the per-user lifetime
+    row explodes against a FIXED 29-row day axis (broadcast) — the cross
+    join fan-out is 29x the USER table (already aggregated), never the
+    event log.
+    """
+    t = Tables(spark, sf_dir)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    life = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.min(day).alias("first_day"),
+            F.max(day).alias("last_day"),
+        )
+        .select((F.col("last_day") - F.col("first_day")).alias("lifetime_days"))
+    )
+    n = life.agg(F.count(F.lit(1)).alias("n_users"))
+    d = spark.range(0, 29).select(F.col("id").alias("day"))
+    surv = F.count(F.when(F.col("lifetime_days") >= F.col("day"), 1)).cast(
+        "bigint"
+    )
+    return (
+        life.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(n))
+        .groupBy("day", "n_users")
+        .agg(surv.alias("n_surviving"))
+        .select(
+            "day",
+            "n_surviving",
+            "n_users",
+            F.expr("n_surviving * 1000000 div n_users").alias("survival_ppm"),
+        )
+        .orderBy("day")
+    )
