@@ -2003,3 +2003,104 @@ def ops_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.documents.createOrReplaceTempView("documents")
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_quantile_sketch_merge",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT g, cents // 1000000 AS bin, CAST(COUNT(*) AS BIGINT) AS w
+  FROM v GROUP BY g, bin
+),
+merged AS (SELECT bin, CAST(SUM(w) AS BIGINT) AS w FROM hist GROUP BY bin),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM merged),
+approx AS (
+  SELECT MIN(bin) * 1000000 AS approx_c FROM (
+    SELECT bin,
+           SUM(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum, n
+    FROM merged CROSS JOIN tot
+  ) WHERE cum * 2 >= n
+),
+ex AS (
+  SELECT MIN(cents) AS exact_c FROM (
+    SELECT cents,
+           SUM(1) OVER (ORDER BY cents, rid ROWS UNBOUNDED PRECEDING) AS cum,
+           n
+    FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rid FROM v)
+    CROSS JOIN tot
+  ) WHERE cum * 2 >= n
+)
+SELECT tot.n AS n_rows,
+       (SELECT COUNT(*) FROM merged) AS n_bins,
+       approx.approx_c AS approx_p50_cents,
+       ex.exact_c AS exact_p50_cents,
+       ex.exact_c - approx.approx_c AS diff_cents,
+       ex.exact_c - approx.approx_c BETWEEN 0 AND 999999 AS within_bound
+FROM tot CROSS JOIN approx CROSS JOIN ex
+""",
+)
+def ops_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile summaries (the quantile twin of the HLL
+    partition-merge rollup): per-group fixed-width histograms — the
+    pre-aggregated artifact a 100 TB deployment stores per partition/day —
+    MERGE by bin addition into a corpus histogram whose median answer is
+    provably within one bin width of the exact median. The query computes
+    BOTH (sketch answer from merged bins; exact answer via the binned
+    two-phase order statistic) and emits the checked bound, so the
+    mergeability contract itself is hash-verified, not asserted.
+
+    Scale: raw data is touched by two histogram-shaped aggregates only;
+    the merge, crossing-bin search, and bound check run on bin-count-sized
+    metadata. (The oracle's exact side uses a global ROW_NUMBER for
+    clarity; the Spark side uses the same two-phase weighted_quantile
+    machinery as every other exact order statistic here.)
+    """
+    t = Tables(spark, sf_dir)
+    v = t.orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    hist = v.groupBy("g", F.expr("cents div 1000000").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    merged = hist.groupBy("bin").agg(F.sum("w").cast("bigint").alias("w"))
+    tot = merged.agg(F.sum("w").cast("bigint").alias("n"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    approx = (
+        merged.crossJoin(F.broadcast(tot))
+        .select("bin", (F.sum("w").over(wcum)).alias("cum"), "n")
+        .where(F.col("cum") * 2 >= F.col("n"))
+        .agg((F.min("bin") * 1000000).alias("approx_c"))
+    )
+    staged = v.select(F.lit(1).alias("gg"), F.col("cents").alias("val"), F.lit(1).alias("w"))
+    ex = (
+        weighted_quantile(
+            staged, value="val", weight="w", group_cols=["gg"], qs={"exact_c": (1, 2)}
+        )
+        .drop("gg")
+        .select(F.col("exact_c").cast("bigint").alias("exact_c"))
+    )
+    nbins = merged.agg(F.count(F.lit(1)).alias("n_bins"))
+    return (
+        tot.crossJoin(nbins)
+        .crossJoin(approx)
+        .crossJoin(ex)
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_bins",
+            F.col("approx_c").alias("approx_p50_cents"),
+            F.col("exact_c").alias("exact_p50_cents"),
+            (F.col("exact_c") - F.col("approx_c")).alias("diff_cents"),
+            ((F.col("exact_c") - F.col("approx_c")).between(0, 999999)).alias(
+                "within_bound"
+            ),
+        )
+    )

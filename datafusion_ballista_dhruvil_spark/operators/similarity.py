@@ -2767,3 +2767,177 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cov.select("c1", "c2", "c3", "radius_sq_q14", "n_vectors")
+
+
+# --------------------------------------------------------------------------
+#: micro-bit quantized log2 of an integer expression (the text-module
+#: cross-engine log path)
+_QLOG = "CAST(round(log2({x}) * 1000000) AS BIGINT)"
+
+
+@query(
+    "sim_cluster_purity_nmi",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, label,
+         {_SQL_QDOT.format(a='embedding', b='embedding')} AS selfq
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, selfq AS cselfq
+      FROM e WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, e.label, c.cid,
+         e.selfq + c.cselfq - 2 * {_SQL_QDOT.format(a='e.embedding', b='c.cv')}
+           AS d
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, label, cid FROM (
+    SELECT vec_id, label, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM p
+  ) WHERE rn = 1
+),
+ct AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+       FROM asg GROUP BY cid, label),
+nc AS (SELECT cid, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM ct GROUP BY cid),
+nl AS (SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM ct GROUP BY label),
+tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM ct),
+i AS (
+  SELECT CAST(SUM(n_cl * ({_QLOG.format(x='tot.n')} + {_QLOG.format(x='n_cl')}
+                          - {_QLOG.format(x='n_c')} - {_QLOG.format(x='n_l')}))
+              AS BIGINT) AS i_num
+  FROM ct JOIN nc USING (cid) JOIN nl USING (label) CROSS JOIN tot
+),
+hc AS (
+  SELECT CAST(tot.n * {_QLOG.format(x='tot.n')}
+              - SUM(n_c * {_QLOG.format(x='n_c')}) AS BIGINT) AS hc_num
+  FROM nc CROSS JOIN tot GROUP BY tot.n
+),
+hl AS (
+  SELECT CAST(tot.n * {_QLOG.format(x='tot.n')}
+              - SUM(n_l * {_QLOG.format(x='n_l')}) AS BIGINT) AS hl_num
+  FROM nl CROSS JOIN tot GROUP BY tot.n
+),
+pur AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS pure_n FROM (
+    SELECT cid, MAX(n_cl) AS mx FROM ct GROUP BY cid
+  )
+)
+SELECT (SELECT COUNT(*) FROM nc) AS n_clusters,
+       (SELECT COUNT(*) FROM nl) AS n_labels,
+       tot.n AS n_vectors,
+       pur.pure_n * 1000000 // tot.n AS purity_ppm,
+       i.i_num, hc.hc_num, hl.hl_num,
+       CAST(2 * i.i_num AS DOUBLE) / CAST(hc.hc_num + hl.hl_num AS DOUBLE)
+         AS nmi
+FROM tot CROSS JOIN pur CROSS JOIN i CROSS JOIN hc CROSS JOIN hl
+""",
+)
+def sim_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: PURITY (fraction of vectors whose
+    cluster's majority label is their own) and NMI (normalized mutual
+    information between the k-means assignment and the gold labels) — the
+    two standard external cluster-validity metrics, run after every
+    clustering/IVF-training pass before the index is trusted.
+
+    Identities keep it exact: N*I = SUM n_cl*(log2 N + log2 n_cl -
+    log2 n_c - log2 n_l) and N*H = N log2 N - SUM n log2 n, with every
+    log2-of-integer quantized to micro-bits (the module-shared
+    cross-engine log path) — so purity, I and both entropies are exact
+    BIGINTs and NMI is one fixed double division.
+
+    Scale: assignment is the broadcast-centroid map-side argmin of
+    sim_kmeans_assign; everything downstream operates on the K x L
+    contingency table (bounded metadata).
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", "label", _dot7("embedding", "embedding").alias("selfq")
+    )
+    c = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("selfq").alias("cselfq"),
+    )
+    p = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "label",
+        "cid",
+        (
+            F.col("selfq") + F.col("cselfq") - F.lit(2) * _dot7("embedding", "cv")
+        ).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    asg = (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "cid")
+    )
+    ct = asg.groupBy("cid", "label").agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
+    nc = ct.groupBy("cid").agg(F.sum("n_cl").cast("bigint").alias("n_c"))
+    nl = ct.groupBy("label").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
+    tot = ct.agg(F.sum("n_cl").cast("bigint").alias("n"))
+    qlog = lambda x: f"CAST(round(log2({x}) * 1000000) AS BIGINT)"
+    i = (
+        ct.join(F.broadcast(nc), "cid")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"n_cl * ({qlog('n')} + {qlog('n_cl')}"
+                    f" - {qlog('n_c')} - {qlog('n_l')})"
+                )
+            )
+            .cast("bigint")
+            .alias("i_num")
+        )
+    )
+    hc = (
+        nc.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.expr(f"CAST(n * {qlog('n')} - SUM(n_c * {qlog('n_c')}) AS BIGINT)").alias(
+                "hc_num"
+            )
+        )
+        .select("hc_num")
+    )
+    hl = (
+        nl.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.expr(f"CAST(n * {qlog('n')} - SUM(n_l * {qlog('n_l')}) AS BIGINT)").alias(
+                "hl_num"
+            )
+        )
+        .select("hl_num")
+    )
+    pur = (
+        ct.groupBy("cid")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("pure_n"))
+    )
+    kc = nc.agg(F.count(F.lit(1)).alias("n_clusters"))
+    kl = nl.agg(F.count(F.lit(1)).alias("n_labels"))
+    return (
+        tot.crossJoin(pur)
+        .crossJoin(i)
+        .crossJoin(hc)
+        .crossJoin(hl)
+        .crossJoin(kc)
+        .crossJoin(kl)
+        .select(
+            "n_clusters",
+            "n_labels",
+            F.col("n").alias("n_vectors"),
+            F.expr("pure_n * 1000000 div n").alias("purity_ppm"),
+            "i_num",
+            "hc_num",
+            "hl_num",
+            F.expr(
+                "CAST(2 * i_num AS DOUBLE) / CAST(hc_num + hl_num AS DOUBLE)"
+            ).alias("nmi"),
+        )
+    )
