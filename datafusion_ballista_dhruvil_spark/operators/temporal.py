@@ -294,3 +294,121 @@ def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
         ).alias("max_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "asof_nearest_alignment",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'click'),
+bwd AS (
+  SELECT event_id, prev_t FROM (
+    SELECT p.event_id, c.t AS prev_t,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.t DESC, c.event_id DESC) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+  ) WHERE rn = 1
+),
+fwd AS (
+  SELECT event_id, next_t FROM (
+    SELECT p.event_id, c.t AS next_t,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.t ASC, c.event_id ASC) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.t > p.t
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT p.event_id, p.t, bwd.prev_t, fwd.next_t,
+         CASE
+           WHEN bwd.prev_t IS NULL AND fwd.next_t IS NULL THEN NULL
+           WHEN fwd.next_t IS NULL THEN p.t - bwd.prev_t
+           WHEN bwd.prev_t IS NULL THEN fwd.next_t - p.t
+           WHEN p.t - bwd.prev_t <= fwd.next_t - p.t THEN p.t - bwd.prev_t
+           ELSE fwd.next_t - p.t END AS near_gap_us
+  FROM p JOIN bwd USING (event_id) JOIN fwd USING (event_id)
+)
+SELECT COUNT(*) AS n_purchases,
+       COUNT(near_gap_us) AS n_aligned,
+       COUNT(CASE WHEN near_gap_us <= 1800000000 THEN 1 END)
+         AS n_within_30m,
+       CAST(COALESCE(SUM(CASE WHEN near_gap_us <= 1800000000
+                              THEN near_gap_us END), 0) AS BIGINT)
+         AS sum_gap_us_within
+FROM m
+""",
+)
+def asof_nearest_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor temporal alignment (the third as-of direction after
+    backward and tolerance-bounded): each purchase aligns to its closest
+    click in EITHER direction, ties to the earlier side — the
+    sensor-fusion / feature-alignment join (pandas merge_asof
+    direction='nearest').
+
+    Implementation reuses asof_join twice: the forward pass IS the
+    backward pass on negated timestamps (no new machinery, same
+    union-window plan) — two user-keyed shuffles total, then an exact
+    integer comparison picks the nearer side. Summary output keeps the
+    gate on integer microsecond gaps.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = t.events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("cvalue")
+    )
+    bwd = asof_join(
+        p, c, on="user_id", ts="ts", payload=["ts"], tie="event_id", prefix="prev_"
+    ).select("event_id", F.unix_micros("ts").alias("t"), F.unix_micros("prev_ts").alias("prev_t"))
+    # forward pass = backward as-of on NEGATED time. Strictness (> not >=):
+    # the LEFT side shifts one microsecond further negative, so the match
+    # condition -t <= -pt-1 is exactly t > pt — shifting the right side
+    # instead would ADMIT t in {pt-1, pt} (over-inclusive and double-counts
+    # a click at the purchase instant on both passes).
+    p_neg = p.select(
+        "event_id",
+        "user_id",
+        F.expr("timestamp_micros(-unix_micros(ts) - 1)").alias("ts"),
+    )
+    c_neg = c.select(
+        "user_id",
+        F.expr("timestamp_micros(-unix_micros(ts))").alias("ts"),
+        F.unix_micros("ts").alias("orig_t"),
+        # tie must mirror the oracle's ASC event_id under negation
+        (-F.col("event_id")).alias("neg_id"),
+    )
+    fwd = asof_join(
+        p_neg,
+        c_neg,
+        on="user_id",
+        ts="ts",
+        payload=["orig_t"],
+        tie="neg_id",
+        prefix="next_",
+    ).select("event_id", F.col("next_orig_t").alias("next_t"))
+    gap_b = F.col("t") - F.col("prev_t")
+    gap_f = F.col("next_t") - F.col("t")
+    near = (
+        F.when(F.col("prev_t").isNull() & F.col("next_t").isNull(), F.lit(None))
+        .when(F.col("next_t").isNull(), gap_b)
+        .when(F.col("prev_t").isNull(), gap_f)
+        .when(gap_b <= gap_f, gap_b)
+        .otherwise(gap_f)
+    )
+    m = bwd.join(fwd, "event_id").select(near.alias("near_gap_us"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("near_gap_us").alias("n_aligned"),
+        F.count(F.when(F.col("near_gap_us") <= 1800000000, 1)).alias(
+            "n_within_30m"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("near_gap_us") <= 1800000000, F.col("near_gap_us"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_gap_us_within"),
+    )

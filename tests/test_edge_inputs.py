@@ -328,3 +328,45 @@ def test_distinct_on_rewrite_shapes():
     assert rewrite_sql("SELECT 'DISTINCT ON (x)' FROM t") == "SELECT 'DISTINCT ON (x)' FROM t"
     sub = "SELECT a FROM (SELECT DISTINCT ON (b) a FROM t) z"
     assert rewrite_sql(sub) == sub
+
+
+def test_asof_nearest_boundary_click_counts_once(spark, monkeypatch):
+    # A click at EXACTLY the purchase instant matches the backward pass
+    # only (<=); the forward pass is strict (>) — a wrongly-shifted
+    # negated-axis forward pass would double-match it (gap 0 both ways is
+    # fine, but a click at t-1us must NEVER appear as "next").
+    import datetime as dt
+
+    import datafusion_ballista_dhruvil_spark.operators.temporal as temporal
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = lambda n: base + dt.timedelta(microseconds=n)
+    events = spark.createDataFrame(
+        [
+            # user 1: click exactly at purchase time -> gap 0 via backward
+            (1, us(1000), 1, "purchase", 1.0, "{}"),
+            (2, us(1000), 1, "click", 1.0, "{}"),
+            # user 2: click 1us BEFORE purchase -> backward gap 1; the
+            # forward pass must NOT see it (strict >): next is +5000
+            (3, us(2000), 2, "purchase", 1.0, "{}"),
+            (4, us(1999), 2, "click", 1.0, "{}"),
+            (5, us(7000), 2, "click", 1.0, "{}"),
+            # user 3: only a later click -> aligned forward, gap 3000
+            (6, us(3000), 3, "purchase", 1.0, "{}"),
+            (7, us(6000), 3, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    class FakeTables:
+        def __init__(self, *_): self.events = events
+
+    monkeypatch.setattr(temporal, "Tables", FakeTables)
+    row = temporal.asof_nearest_alignment(spark, "unused").collect()[0]
+    assert row.n_purchases == 3
+    assert row.n_aligned == 3
+    assert row.n_within_30m == 3
+    # gaps: user1 0 (simultaneous, backward), user2 1 (prev at -1us
+    # beats next at +5000), user3 3000 (forward only)
+    assert row.sum_gap_us_within == 0 + 1 + 3000
