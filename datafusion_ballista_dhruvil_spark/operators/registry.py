@@ -68,7 +68,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: sim_hard_negatives, sim_mmr_rerank, sample_kcenter_coreset,
 #: text_rake_keyphrases, ev_survival_retention, ops_recursive_cte,
 #: sim_cluster_purity_nmi, ops_quantile_sketch_merge,
-#: text_winnowing_fingerprint, asof_nearest_alignment
+#: text_winnowing_fingerprint, asof_nearest_alignment,
+#: ev_markov_stationary, text_burstiness
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

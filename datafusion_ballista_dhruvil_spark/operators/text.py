@@ -2077,3 +2077,74 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_kgrams", "n_fps", "density_ppm", "fp_digest")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_burstiness",
+    oracle="""
+WITH tf AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok, doc_id
+),
+top AS (
+  SELECT tok, CAST(SUM(f) AS BIGINT) AS total_tf,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(f * f) AS BIGINT) AS sxx
+  FROM tf GROUP BY tok
+  ORDER BY total_tf DESC, tok LIMIT 20
+),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tok AS term, df, total_tf,
+       (d.n_docs * sxx - total_tf * total_tf) * 1000
+         // (d.n_docs * total_tf) AS burstiness_ppt
+FROM top CROSS JOIN d
+ORDER BY burstiness_ppt DESC, term
+""",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale: variance-to-mean ratio of per-doc
+    term counts, zeros included) for the corpus's top-20 terms — a
+    Poisson-distributed term scores ~1.0; bursty terms (topical words
+    that, when they appear, appear repeatedly) score higher; ~uniform
+    function words lower. The lexical-statistics complement to Zipf slope
+    for corpus fingerprinting, and the signal behind burstiness-aware
+    term weighting.
+
+    Zeros never materialize: with D docs, var/mean reduces to
+    (D*SUM(f^2) - SUM(f)^2) / (D*SUM(f)) over only the nonzero rows —
+    cleared-denominator exact BIGINTs, one integer ppt division. Scale:
+    one (term, doc) aggregate (partial agg), top-20 by TakeOrdered, a
+    1-row doc-count broadcast.
+    """
+    t = Tables(spark, sf_dir)
+    tf = (
+        t.documents.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    top = (
+        tf.groupBy("tok")
+        .agg(
+            F.sum("f").cast("bigint").alias("total_tf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum(F.col("f") * F.col("f")).cast("bigint").alias("sxx"),
+        )
+        .orderBy(F.desc("total_tf"), "tok")
+        .limit(20)
+    )
+    d = t.documents.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        top.crossJoin(F.broadcast(d))
+        .select(
+            F.col("tok").alias("term"),
+            "df",
+            "total_tf",
+            F.expr(
+                "(n_docs * sxx - total_tf * total_tf) * 1000"
+                " div (n_docs * total_tf)"
+            ).alias("burstiness_ppt"),
+        )
+        .orderBy(F.desc("burstiness_ppt"), "term")
+    )

@@ -2326,3 +2326,103 @@ def ev_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_markov_stationary",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                         event_id) AS next_type
+  FROM events
+),
+tm AS (
+  SELECT event_type AS src, next_type AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM nxt WHERE next_type IS NOT NULL GROUP BY src, dst
+),
+p AS (
+  SELECT src, dst,
+         n * 1000000 // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)
+           AS p_ppm
+  FROM tm
+),
+k AS (SELECT COUNT(DISTINCT src) AS nk FROM tm),
+pi0 AS (SELECT src AS state, 1000000 // nk AS pi FROM p, k GROUP BY src, nk),
+pi1 AS (
+  SELECT p.dst AS state, CAST(SUM(pi0.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+  FROM pi0 JOIN p ON p.src = pi0.state GROUP BY p.dst
+),
+pi2 AS (
+  SELECT p.dst AS state, CAST(SUM(pi1.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+  FROM pi1 JOIN p ON p.src = pi1.state GROUP BY p.dst
+),
+pi3 AS (
+  SELECT p.dst AS state, CAST(SUM(pi2.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+  FROM pi2 JOIN p ON p.src = pi2.state GROUP BY p.dst
+)
+SELECT pi3.state AS state, pi3.pi AS pi_ppm,
+       pi1.pi AS pi_ppm_iter1
+FROM pi3 JOIN pi1 ON pi1.state = pi3.state
+ORDER BY pi3.state
+""",
+)
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: three
+    unrolled power-iteration steps pi' = pi P from a uniform start — the
+    long-run traffic mix implied by the observed transition structure
+    (differs from raw frequencies when flows are asymmetric; the same
+    machinery as dedup_chunk_pagerank, on event metadata).
+
+    Integer fixed-point throughout: transition rows normalize to ppm, each
+    iteration is SUM(pi * p) // 1e6 over exact BIGINTs — identical
+    rounding in both engines, no float accumulation. Scale: the sequence
+    step (lead) is the single user-keyed shuffle; every iteration joins
+    the K-row state vector to the K^2-row matrix — bounded metadata.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    nxt = t.events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    tm = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wsrc = Window.partitionBy("src")
+    p = tm.select(
+        "src",
+        "dst",
+        F.expr("n * 1000000").cast("bigint").alias("n6"),
+        F.sum("n").over(wsrc).cast("bigint").alias("rowsum"),
+    ).select("src", "dst", F.expr("n6 div rowsum").alias("p_ppm"))
+    k = tm.select("src").distinct().agg(F.count(F.lit(1)).alias("nk"))
+    pi = (
+        tm.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(k))
+        .select(F.col("src").alias("state"), F.expr("1000000 div nk").alias("pi"))
+    )
+    pi1 = None
+    for i in range(3):
+        pi = (
+            pi.join(p, F.col("state") == F.col("src"))
+            .groupBy("dst")
+            .agg(
+                F.expr("CAST(SUM(pi * p_ppm) div 1000000 AS BIGINT)").alias("pi")
+            )
+            .select(F.col("dst").alias("state"), "pi")
+        )
+        if i == 0:
+            pi1 = pi
+    return (
+        pi.join(
+            pi1.select(F.col("state").alias("s1"), F.col("pi").alias("pi_ppm_iter1")),
+            F.col("state") == F.col("s1"),
+        )
+        .select("state", F.col("pi").alias("pi_ppm"), "pi_ppm_iter1")
+        .orderBy("state")
+    )
