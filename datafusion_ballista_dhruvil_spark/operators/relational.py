@@ -2104,3 +2104,99 @@ def ops_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_mix_rate_decomposition",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CASE WHEN o_orderdate < DATE '1995-01-01' THEN 1 ELSE 2 END AS period,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT seg, period, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_c
+  FROM base GROUP BY seg, period
+),
+tot AS (
+  SELECT period, CAST(SUM(n) AS BIGINT) AS big_n FROM s GROUP BY period
+),
+w AS (
+  SELECT s.seg,
+         MAX(CASE WHEN s.period = 1 THEN s.n * 1000000 // tot.big_n END) AS share1_ppm,
+         MAX(CASE WHEN s.period = 2 THEN s.n * 1000000 // tot.big_n END) AS share2_ppm,
+         MAX(CASE WHEN s.period = 1 THEN s.sum_c * 1000 // s.n END) AS aov1_mc,
+         MAX(CASE WHEN s.period = 2 THEN s.sum_c * 1000 // s.n END) AS aov2_mc
+  FROM s JOIN tot ON tot.period = s.period
+  GROUP BY s.seg
+)
+SELECT seg, share1_ppm, share2_ppm, aov1_mc, aov2_mc,
+       (share2_ppm - share1_ppm) * aov1_mc // 1000000 AS mix_effect_mc,
+       share1_ppm * (aov2_mc - aov1_mc) // 1000000 AS rate_effect_mc,
+       (share2_ppm - share1_ppm) * (aov2_mc - aov1_mc) // 1000000
+         AS interaction_mc
+FROM w ORDER BY seg
+""",
+)
+def ops_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix/rate decomposition of a metric change between two periods — the
+    "why did average order value move" answer every BI review asks:
+    per-segment change in the weighted average splits exactly into MIX
+    (segment share shifted x old rate), RATE (old share x rate change),
+    and the residual interaction term. Summing each column across segments
+    reconstructs the overall change.
+
+    All arithmetic is integer (ppm shares, milli-cent rates, identical
+    floor divisions in both engines). Scale: one scan into a
+    (segment x period) aggregate; everything after is a 5-row pivot.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"), 1)
+        .otherwise(2)
+        .alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = base.groupBy("seg", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_c"),
+    )
+    tot = s.groupBy("period").agg(F.sum("n").cast("bigint").alias("big_n"))
+    w = (
+        s.join(F.broadcast(tot), "period")
+        .groupBy("seg")
+        .agg(
+            F.max(
+                F.when(F.col("period") == 1, F.expr("n * 1000000 div big_n"))
+            ).alias("share1_ppm"),
+            F.max(
+                F.when(F.col("period") == 2, F.expr("n * 1000000 div big_n"))
+            ).alias("share2_ppm"),
+            F.max(
+                F.when(F.col("period") == 1, F.expr("sum_c * 1000 div n"))
+            ).alias("aov1_mc"),
+            F.max(
+                F.when(F.col("period") == 2, F.expr("sum_c * 1000 div n"))
+            ).alias("aov2_mc"),
+        )
+    )
+    return w.select(
+        "seg",
+        "share1_ppm",
+        "share2_ppm",
+        "aov1_mc",
+        "aov2_mc",
+        F.expr("(share2_ppm - share1_ppm) * aov1_mc div 1000000").alias(
+            "mix_effect_mc"
+        ),
+        F.expr("share1_ppm * (aov2_mc - aov1_mc) div 1000000").alias(
+            "rate_effect_mc"
+        ),
+        F.expr(
+            "(share2_ppm - share1_ppm) * (aov2_mc - aov1_mc) div 1000000"
+        ).alias("interaction_mc"),
+    ).orderBy("seg")
