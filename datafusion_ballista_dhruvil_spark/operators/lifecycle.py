@@ -789,3 +789,88 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_rowcount_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day_no,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day_no
+),
+w AS (
+  SELECT event_type, day_no, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_no
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS s7,
+         CAST(SUM(n * n) OVER (PARTITION BY event_type ORDER BY day_no
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS ss7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day_no
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k
+  FROM daily
+),
+f AS (
+  SELECT event_type, day_no, n,
+         7 * (7 * n - s7) * (7 * n - s7)
+           > 9 * (7 * ss7 - s7 * s7) AS anomalous
+  FROM w WHERE k = 7
+)
+SELECT event_type,
+       COUNT(*) AS n_days_checked,
+       CAST(COUNT(CASE WHEN anomalous THEN 1 END) AS BIGINT) AS n_anomalies,
+       MIN(CASE WHEN anomalous THEN day_no END) AS first_anomaly_day
+FROM f GROUP BY event_type ORDER BY event_type
+""",
+)
+def pipeline_rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: each day's row count per event type
+    vs its trailing 7-day window — flag when the squared deviation exceeds
+    (3 sigma)^2, entirely in cleared-denominator integers:
+    7*(7n - s)^2 > 9*(7*ss - s^2). This is the partition-freshness /
+    broken-producer alarm every ingestion pipeline runs before training
+    jobs consume a day's data (a half-empty day is a silent skew bomb).
+
+    Integer budget: safe to ~1e8 rows/day/type in int64; beyond that,
+    monitor counts in thousands (same formula). Scale: the corpus-sized
+    work is one (type, day) count aggregate with map-side partials; the
+    trailing windows run over the bounded daily summary.
+    """
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("day_no").rowsBetween(-7, -1)
+    w = daily.select(
+        "event_type",
+        "day_no",
+        "n",
+        F.sum("n").over(wt).cast("bigint").alias("s7"),
+        F.sum(F.col("n") * F.col("n")).over(wt).cast("bigint").alias("ss7"),
+        F.count(F.lit(1)).over(wt).alias("k"),
+    )
+    f = w.where(F.col("k") == 7).select(
+        "event_type",
+        "day_no",
+        F.expr(
+            "7 * (7 * n - s7) * (7 * n - s7) > 9 * (7 * ss7 - s7 * s7)"
+        ).alias("anomalous"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_checked"),
+            F.count(F.when(F.col("anomalous"), 1))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.min(F.when(F.col("anomalous"), F.col("day_no"))).alias(
+                "first_anomaly_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
