@@ -70,7 +70,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: sim_cluster_purity_nmi, ops_quantile_sketch_merge,
 #: text_winnowing_fingerprint, asof_nearest_alignment,
 #: ev_markov_stationary, text_burstiness, ops_mix_rate_decomposition,
-#: partitioned_roundtrip_agg, pipeline_rowcount_anomaly
+#: partitioned_roundtrip_agg, pipeline_rowcount_anomaly,
+#: ops_countmin_sketch
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

@@ -2200,3 +2200,111 @@ def ops_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(share2_ppm - share1_ppm) * (aov2_mc - aov1_mc) div 1000000"
         ).alias("interaction_mc"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_countmin_sketch",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+rows_h AS (
+  SELECT tok, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))
+              AS BIGINT) % 512 AS bucket
+  FROM toks, unnest([0, 1, 2, 3]) AS u(j)
+),
+cms AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rows_h GROUP BY j, bucket
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+  ORDER BY n DESC, tok LIMIT 10
+),
+probe AS (
+  SELECT e.tok, e.n, h.j,
+         CAST(('0x' || substr(md5(CAST(h.j AS VARCHAR) || ':' || e.tok), 1, 15))
+              AS BIGINT) % 512 AS bucket
+  FROM exact e, unnest([0, 1, 2, 3]) AS h(j)
+),
+est AS (
+  SELECT p.tok, p.n, CAST(MIN(cms.c) AS BIGINT) AS estimate
+  FROM probe p JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
+  GROUP BY p.tok, p.n
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM toks)
+SELECT tok AS term, n AS exact_tf, estimate,
+       estimate - n AS overestimate,
+       estimate - n <= big_n // 128 AS within_bound
+FROM est CROSS JOIN tot
+ORDER BY exact_tf DESC, term
+""",
+)
+def ops_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public): a 4x512
+    counter matrix — each token increments one md5-derived bucket per row,
+    the frequency estimate is the MIN across rows — completing this
+    engine's mergeable-sketch trio (HLL distinct rollup, quantile
+    histogram merge, CMS frequency). Like those, the sketch MERGES by
+    cell-wise addition across partitions/days, which is the whole point
+    at 100 TB: store 2k counters per shard, never the key space.
+
+    The CMS guarantee (estimate >= exact; overestimate <= ~N*e/w w.h.p.)
+    is computed, not asserted: both engines build the identical sketch
+    (md5 buckets, integer counters) so estimate/overestimate/bound-flag
+    all hash-match. Scale: one (row, bucket) aggregate with map-side
+    partials (4x token fan-out collapses to <= 2048 cells/partition
+    before the shuffle); probes join the top-10 terms to the 2048-cell
+    table.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 512
+    )
+    rows_h = toks.select("tok", j).select("tok", "j", bucket.alias("bucket"))
+    cms = rows_h.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(10)
+    )
+    probe = exact.select("tok", "n", j).select(
+        "tok", "n", "j", bucket.alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").cast("bigint").alias("estimate"))
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("big_n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tok").alias("term"),
+            F.col("n").alias("exact_tf"),
+            "estimate",
+            (F.col("estimate") - F.col("n")).alias("overestimate"),
+            (F.col("estimate") - F.col("n") <= F.expr("big_n div 128")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy(F.desc("exact_tf"), "term")
+    )
