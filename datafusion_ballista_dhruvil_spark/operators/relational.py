@@ -2308,3 +2308,44 @@ def ops_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_tf"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_listagg_within_group",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nk FROM customer
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(CAST(nk AS VARCHAR), ',' ORDER BY nk) AS nations_csv
+FROM d GROUP BY seg ORDER BY seg
+""",
+)
+def ops_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — ``LISTAGG ... WITHIN GROUP (ORDER BY)``,
+    new in Spark 4 (SQL:2016 T625) and spelled string_agg(... ORDER BY) in
+    DuckDB/Postgres: the deterministic CSV-per-group rollup report queries
+    use. The WITHIN GROUP ordering is what makes the aggregate a pure
+    function of the set — without it, concatenation order is partition-
+    dependent and the cross-engine hash gate would (rightly) fail.
+
+    Runs as native SQL on Spark (no collect_list + array_sort detour).
+    Scale: one distinct + one group aggregate; output strings are bounded
+    by group cardinality (25 nations).
+    """
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nk FROM customer
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       listagg(CAST(nk AS STRING), ',') WITHIN GROUP (ORDER BY nk)
+         AS nations_csv
+FROM d GROUP BY seg ORDER BY seg
+"""
+    )
