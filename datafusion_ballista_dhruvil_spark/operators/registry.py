@@ -71,7 +71,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: text_winnowing_fingerprint, asof_nearest_alignment,
 #: ev_markov_stationary, text_burstiness, ops_mix_rate_decomposition,
 #: partitioned_roundtrip_agg, pipeline_rowcount_anomaly,
-#: ops_countmin_sketch, ops_listagg_within_group
+#: ops_countmin_sketch, ops_listagg_within_group, ev_first_touch
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

@@ -2426,3 +2426,90 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("state", F.col("pi").alias("pi_ppm"), "pi_ppm_iter1")
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_first_touch",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, us,
+         MIN(CASE WHEN event_type = 'click' THEN us * 8 + 1
+                  WHEN event_type = 'view' THEN us * 8 + 2 END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+           AS first_src
+  FROM e
+),
+p AS (
+  SELECT CASE WHEN first_src IS NULL THEN 'organic'
+              WHEN first_src % 8 = 1 THEN 'click' ELSE 'view' END
+           AS attributed_type,
+         CASE WHEN first_src IS NOT NULL
+              THEN (us - first_src // 8) // 60000000 END AS gap_min
+  FROM s WHERE event_type = 'purchase'
+)
+SELECT attributed_type,
+       COUNT(*) AS n_purchases,
+       CAST(COALESCE(SUM(gap_min), 0) AS BIGINT) AS sum_gap_min,
+       MAX(gap_min) AS max_gap_min
+FROM p GROUP BY attributed_type ORDER BY attributed_type
+""",
+)
+def ev_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution (the complement of ev_attribution's
+    last-touch): each purchase credits the EARLIEST click/view inside a
+    7-day lookback — computed in one pass with a RANGE frame (time-bounded
+    window: ``RANGE 604800000000 PRECEDING`` over integer microseconds),
+    i.e. the as-of-with-horizon expressed declaratively, no join.
+
+    Determinism trick: RANGE frames order by the single numeric key only,
+    so equal-timestamp peers would make first_value() ambiguous — instead
+    the frame takes MIN(us*8 + typecode), which encodes (time, source
+    type) into one integer: earliest time wins, click (1) beats view (2)
+    on exact ties, and decode is % 8 / // 8. Scale: one user-keyed
+    shuffle, same as sessionization; 3-row rollup output.
+    """
+    t = Tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    first_src = F.min(
+        F.when(F.col("event_type") == "click", us * 8 + 1).when(
+            F.col("event_type") == "view", us * 8 + 2
+        )
+    ).over(w)
+    s = t.events.select(
+        "event_type", us.alias("us"), first_src.alias("first_src")
+    )
+    attributed = (
+        F.when(F.col("first_src").isNull(), "organic")
+        .when(F.col("first_src") % 8 == 1, "click")
+        .otherwise("view")
+    )
+    gap_min = F.when(
+        F.col("first_src").isNotNull(),
+        F.expr("(us - first_src div 8) div 60000000"),
+    )
+    p = s.where(F.col("event_type") == "purchase").select(
+        attributed.alias("attributed_type"), gap_min.alias("gap_min")
+    )
+    return (
+        p.groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum("gap_min"), F.lit(0)).cast("bigint").alias(
+                "sum_gap_min"
+            ),
+            F.max("gap_min").alias("max_gap_min"),
+        )
+        .orderBy("attributed_type")
+    )
