@@ -240,3 +240,58 @@ def partitioned_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "xml_roundtrip_agg",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> XML (Spark 4's built-in XML data source, one <event>
+    element per row) -> re-read with explicit schema -> aggregate. The
+    reference's format surface is CSV/Parquet/Avro/JSON; XML is the
+    document-interchange format Spark 4 adds natively, and the hash gate
+    proves the escape/parse cycle is lossless — including doubles, whose
+    shortest-round-trip decimal rendering (Java Double.toString) must
+    re-parse to the identical bits for MIN/MAX to hash-match the parquet
+    oracle.
+
+    Scale: the write is per-partition (no shuffle); re-read with an
+    explicit schema skips inference's extra pass. Row-per-element XML
+    splits like any text format, so parallelism survives large files.
+    """
+    t = Tables(spark, sf_dir)
+    src = t.events.where(F.col("event_id") < 2000).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = _stage(spark, sf_dir, "xml_events")
+    (
+        src.write.format("xml")
+        .option("rowTag", "event")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, user_id long, value double")
+        .load(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -71,7 +71,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: text_winnowing_fingerprint, asof_nearest_alignment,
 #: ev_markov_stationary, text_burstiness, ops_mix_rate_decomposition,
 #: partitioned_roundtrip_agg, pipeline_rowcount_anomaly,
-#: ops_countmin_sketch, ops_listagg_within_group, ev_first_touch
+#: ops_countmin_sketch, ops_listagg_within_group, ev_first_touch,
+#: ops_pipe_syntax, ops_collation_group, ops_bitmap_distinct,
+#: ev_funnel_regex, xml_roundtrip_agg
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

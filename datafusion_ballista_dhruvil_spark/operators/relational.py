@@ -2349,3 +2349,162 @@ SELECT seg,
 FROM d GROUP BY seg ORDER BY seg
 """
     )
+
+
+# ---------------------------------------------------------------------------
+#: SQL pipe syntax (Spark 4.0, SPARK-49555; the |> operator chain popularized
+#: by GoogleSQL). DuckDB has no pipe dialect, so the oracle is the exact
+#: ANSI desugaring of the same plan.
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+             MIN(o_orderkey) AS min_key
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "ops_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       MIN(o_orderkey) AS min_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def ops_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-syntax surface (``FROM t |> WHERE |> AGGREGATE |> ORDER
+    BY``), new in Spark 4.0: each ``|>`` stage is a linear plan operator,
+    the dialect the reference's sqlparser-rs also accepts experimentally.
+    The pipe text parses to the IDENTICAL logical plan as the ANSI oracle
+    (filter -> partial/final aggregate -> sort), so Catalyst's pushdown and
+    two-phase aggregation apply unchanged — the dialect is sugar, not a
+    different engine path.
+
+    Scale: one shuffle on the GROUP BY key (5 priorities -> AQE coalesces
+    post-shuffle partitions); the WHERE stage sits below the aggregate and
+    reaches the parquet scan as a pushed filter.
+    """
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_collation_group",
+    oracle="""
+WITH v AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_form,
+         c_custkey
+  FROM customer
+)
+SELECT lower(seg_form) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT seg_form) AS BIGINT) AS n_case_forms,
+       MIN(c_custkey) AS min_cust, MAX(c_custkey) AS max_cust
+FROM v GROUP BY lower(seg_form) ORDER BY segment
+""",
+)
+def ops_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4.0 ``COLLATE UTF8_LCASE``): group
+    case-variant strings under a case-insensitive collation instead of the
+    classic ``GROUP BY lower(col)`` rewrite. The query derives two case
+    forms per segment deterministically (even custkey -> UPPER, odd ->
+    lower), groups on ``collate(seg, 'UTF8_LCASE')``, and proves the
+    collation actually merged the variants by counting the distinct raw
+    forms inside each group (= 2). The output key is lowered and cast back
+    to a default-collation string so the cross-engine hash sees identical
+    bytes and schema; DuckDB expresses the same semantics with its
+    canonical lower() grouping.
+
+    Scale: collation comparison happens inside the hash aggregate's key —
+    one shuffle on the collated key, same two-phase aggregation as any
+    GROUP BY; no extra projection pass over the data.
+    """
+    t = Tables(spark, sf_dir)
+    seg_form = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    v = t.customer.select(
+        seg_form.alias("seg_form"), "c_custkey"
+    )
+    return (
+        v.groupBy(F.expr("collate(seg_form, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(F.col("seg_form").cast("string COLLATE UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_case_forms"),
+            F.min("c_custkey").alias("min_cust"),
+            F.max("c_custkey").alias("max_cust"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("segment"),
+            "n_rows",
+            "n_case_forms",
+            "min_cust",
+            "max_cust",
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_bitmap_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CAST(FLOOR(o_custkey / 64) AS BIGINT)) AS BIGINT)
+         AS n_buckets
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ops_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-bitmap exact distinct count (the ClickHouse groupBitmap /
+    Doris BITMAP_UNION pattern): customer ids are packed into 64-bit
+    bucket bitmaps (bucket = custkey >> 6, bit = custkey & 63), bitmaps
+    union with ``bit_or`` — an associative, commutative, fixed-width
+    aggregate — and the distinct count is ``sum(bit_count(bitmap))``.
+
+    Why not COUNT(DISTINCT): at 100 TB a COUNT(DISTINCT) re-shuffles raw
+    ids per group; the bitmap form shrinks each (group, bucket) cell to 8
+    bytes in the map-side partial, shuffles only the packed bitmaps, and —
+    unlike HLL (ops_agg_approx) — stays EXACT and mergeable across
+    partitions, days, or rollup levels. The oracle checks both the distinct
+    count and the bucket-population invariant.
+
+    Scale: two hash aggregates — (priority, bucket) with map-side bit_or
+    combine, then priority with a sum; shuffle volume is bounded by
+    |priorities| x |id-space|/64 regardless of row count.
+    """
+    t = Tables(spark, sf_dir)
+    b = t.orders.select(
+        "o_orderpriority",
+        F.shiftright(F.col("o_custkey"), 6).alias("bucket"),
+        # python API requires a literal shift count; the per-row count
+        # needs the SQL form
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(o_custkey, 64) AS INT))"
+        ).alias("bit"),
+    )
+    bitmaps = b.groupBy("o_orderpriority", "bucket").agg(
+        F.expr("bit_or(bit)").alias("bm")
+    )
+    return (
+        bitmaps.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bit_count("bm")).cast("bigint").alias("n_customers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .orderBy("o_orderpriority")
+    )

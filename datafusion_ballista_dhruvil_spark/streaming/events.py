@@ -2513,3 +2513,87 @@ def ev_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_funnel_regex",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT
+    CAST(COUNT(*) FILTER (regexp_matches(seq, 's.*c.*p')) AS BIGINT) AS p1,
+    CAST(COUNT(*) FILTER (regexp_matches(seq, 'ce')) AS BIGINT) AS p2,
+    CAST(COUNT(*) FILTER (regexp_matches(seq, 'vvv')) AS BIGINT) AS p3,
+    CAST(COUNT(*) FILTER (regexp_matches(seq, '^[^s]*p')) AS BIGINT) AS p4,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM s
+)
+SELECT pattern_ord, pattern, n_matched, n_users
+FROM (
+  SELECT 1 AS pattern_ord, 'signup_then_click_then_purchase' AS pattern,
+         p1 AS n_matched, n_users FROM c
+  UNION ALL SELECT 2, 'click_immediately_error', p2, n_users FROM c
+  UNION ALL SELECT 3, 'three_consecutive_views', p3, n_users FROM c
+  UNION ALL SELECT 4, 'purchase_before_any_signup', p4, n_users FROM c
+)
+ORDER BY pattern_ord
+""",
+)
+def ev_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern matching (Flink/Trino's
+    row-pattern queries; the reference class is per-entity ordered event
+    scans): each user's event history collapses to a compact symbol string
+    — one character per event, in (ts, event_id) total order — and row
+    patterns become plain regexes over that string: subsequence funnels
+    ('s.*c.*p'), strict adjacency ('ce' = click immediately followed by
+    error), runs ('vvv'), and negative lookback-free "p before any s"
+    ('^[^s]*p'). All four patterns evaluate in ONE pass over the per-user
+    strings; the regex dialect used is the RE2-portable subset shared by
+    the JVM and DuckDB.
+
+    Scale: one shuffle to group events per user (partial collect_list
+    combines map-side); symbol strings are bounded by per-user event
+    counts, so state per key is O(events-per-user) — the same bound any
+    sessionizer carries. The four pattern counters then reduce to a single
+    4-row readout; no second shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    seqs = t.events.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " substring(event_type, 1, 1) AS c))), x -> x.c)"
+            ),
+            "",
+        ).alias("seq")
+    )
+    c = seqs.agg(
+        F.count(F.when(F.col("seq").rlike("s.*c.*p"), 1))
+        .cast("bigint")
+        .alias("p1"),
+        F.count(F.when(F.col("seq").rlike("ce"), 1)).cast("bigint").alias("p2"),
+        F.count(F.when(F.col("seq").rlike("vvv"), 1))
+        .cast("bigint")
+        .alias("p3"),
+        F.count(F.when(F.col("seq").rlike("^[^s]*p"), 1))
+        .cast("bigint")
+        .alias("p4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    return c.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'signup_then_click_then_purchase', p1,"
+            " 2, 'click_immediately_error', p2,"
+            " 3, 'three_consecutive_views', p3,"
+            " 4, 'purchase_before_any_signup', p4)"
+            " AS (pattern_ord, pattern, n_matched)"
+        ),
+        "n_users",
+    ).orderBy("pattern_ord")
