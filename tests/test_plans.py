@@ -501,3 +501,44 @@ def test_kcenter_rounds_are_take_ordered_passes(spark):
     assert plan.count("TakeOrderedAndProject") >= 3
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan or plan.count("rows=1") >= 0
+
+
+def test_pipe_syntax_same_plan_as_ansi(spark):
+    # pipe |> stages must lower to the identical physical shape as ANSI:
+    # pushed filter at the scan, two-phase agg, <= 2 exchanges
+    df = QUERIES["ops_pipe_syntax"](spark, SF_DIR)
+    assert has_pushed_filters(df, "o_orderdate")
+    assert has_partial_final_agg(df)
+    assert exchange_count(df) <= 2  # group-by exchange + global sort
+
+
+def test_bitmap_distinct_two_phase_no_expand(spark):
+    # the bitmap form must plan as two plain hash aggregates (bit_or then
+    # sum) — if a COUNT(DISTINCT) Expand node sneaks in, the whole point
+    # (shuffling 8-byte bitmaps instead of raw ids) is lost
+    df = QUERIES["ops_bitmap_distinct"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan
+    assert has_partial_final_agg(df)
+
+
+def test_funnel_regex_single_data_shuffle(spark):
+    # one exchange groups events per user; the 4-pattern readout reduces
+    # to a single row (plus the final 4-row sort) — per-event data must
+    # not shuffle twice
+    df = QUERIES["ev_funnel_regex"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_collation_group_two_phase_sort_agg(spark):
+    # collated group keys are not hash-aggregable in Spark 4 — the planner
+    # picks SortAggregate — but the aggregation must still split into
+    # partial (map-side) and final phases so only per-group partials
+    # shuffle; this pins that shape (and documents the known scale cost:
+    # a per-partition sort instead of a hash table)
+    df = QUERIES["ops_collation_group"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortAggregate" in plan
+    assert "partial_" in plan and "merge_" in plan
+    assert exchange_count(df) <= 3  # distinct-forms phase + group + sort
