@@ -295,3 +295,59 @@ def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "schema_evolution_agg",
+    oracle="""
+WITH unioned AS (
+  SELECT event_id, event_type, NULL::DOUBLE AS value
+  FROM events WHERE event_id < 1000
+  UNION ALL
+  SELECT event_id, event_type, value
+  FROM events WHERE event_id >= 1000 AND event_id < 2000
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_with_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM unioned GROUP BY event_type ORDER BY event_type
+""",
+)
+def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: a dataset written in two schema versions
+    (v1 lacks the ``value`` column; v2 adds it) is read back as ONE table
+    with ``mergeSchema`` — old files surface NULL for the added column.
+    This is the lakehouse append-only evolution contract (the reference's
+    listing-table scan resolves a unified schema the same way); the oracle
+    reproduces it as an explicit UNION ALL with a NULL column, so the hash
+    gate proves NULL-fill, column alignment, and aggregate NULL-skipping
+    all behave.
+
+    Scale: mergeSchema's footer reconciliation is a driver-side metadata
+    pass (bounded by file count, not rows); per-file reads still prune and
+    push down. The aggregate itself is one shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    root = _stage(spark, sf_dir, "evolving_events")
+    v1 = t.events.where(F.col("event_id") < 1000).select(
+        "event_id", "event_type"
+    )
+    v2 = t.events.where(
+        (F.col("event_id") >= 1000) & (F.col("event_id") < 2000)
+    ).select("event_id", "event_type", "value")
+    v1.write.mode("overwrite").parquet(root + "/v=1")
+    v2.write.mode("overwrite").parquet(root + "/v=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        root + "/v=1", root + "/v=2"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("value").cast("bigint").alias("n_with_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2941,3 +2941,157 @@ def sim_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: Power-iteration constants: elements quantize at 1e3, the iterate vector
+#: renormalizes to max|v| = 128 each round, so with |q| <= ~2e3 the row
+#: projection s = q.v stays under 16*2e3*128 ~ 4e6 and the dim partial
+#: u = sum(q*s) under n*2e3*4e6 — int64-safe through ~1e9 rows; the final
+#: *128 rescale multiply bounds at 1e18 < 2^63. Larger corpora: drop the
+#: element scale to 1e2.
+_PI_DIMS = 16
+_PI_QSCALE = 1000
+_PI_VSCALE = 128
+
+
+def _pi_round_sql(u: str, m: str) -> str:
+    """Portable truncating rescale sign(u) * ((|u|*128) div m): Spark `div`
+    truncates toward zero but DuckDB `//` floors, so negatives route
+    through |u| where the two agree."""
+    return (
+        f"CASE WHEN {u} >= 0 THEN (({u} * {_PI_VSCALE}) DIV GREATEST({m}, 1))"
+        f" ELSE -(((-{u}) * {_PI_VSCALE}) DIV GREATEST({m}, 1)) END"
+    )
+
+
+@query(
+    "sim_pca_power_iteration",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, CAST(t.d AS INT) AS d,
+         CAST(round(CAST(embedding[t.d + 1] AS DOUBLE) * {_PI_QSCALE})
+              AS BIGINT) AS q
+  FROM embeddings, range(0, {_PI_DIMS}) t(d)
+),
+v0 AS (SELECT CAST(t.d AS INT) AS d, CAST({_PI_VSCALE} AS BIGINT) AS v
+       FROM range(0, {_PI_DIMS}) t(d)),
+s1 AS (SELECT q.vec_id, CAST(SUM(q.q * v0.v) AS BIGINT) AS s
+       FROM q JOIN v0 USING (d) GROUP BY q.vec_id),
+u1 AS (SELECT q.d, CAST(SUM(q.q * s1.s) AS BIGINT) AS u
+       FROM q JOIN s1 USING (vec_id) GROUP BY q.d),
+m1 AS (SELECT MAX(ABS(u)) AS m FROM u1),
+v1 AS (SELECT d, CAST(CASE WHEN u >= 0
+         THEN ((u * {_PI_VSCALE}) // GREATEST(m, 1))
+         ELSE -(((-u) * {_PI_VSCALE}) // GREATEST(m, 1)) END AS BIGINT) AS v
+       FROM u1, m1),
+s2 AS (SELECT q.vec_id, CAST(SUM(q.q * v1.v) AS BIGINT) AS s
+       FROM q JOIN v1 USING (d) GROUP BY q.vec_id),
+u2 AS (SELECT q.d, CAST(SUM(q.q * s2.s) AS BIGINT) AS u
+       FROM q JOIN s2 USING (vec_id) GROUP BY q.d),
+m2 AS (SELECT MAX(ABS(u)) AS m FROM u2),
+v2 AS (SELECT d, CAST(CASE WHEN u >= 0
+         THEN ((u * {_PI_VSCALE}) // GREATEST(m, 1))
+         ELSE -(((-u) * {_PI_VSCALE}) // GREATEST(m, 1)) END AS BIGINT) AS v
+       FROM u2, m2),
+s3 AS (SELECT q.vec_id, CAST(SUM(q.q * v2.v) AS BIGINT) AS s
+       FROM q JOIN v2 USING (d) GROUP BY q.vec_id),
+u3 AS (SELECT q.d, CAST(SUM(q.q * s3.s) AS BIGINT) AS u
+       FROM q JOIN s3 USING (vec_id) GROUP BY q.d),
+m3 AS (SELECT MAX(ABS(u)) AS m FROM u3),
+v3 AS (SELECT d, CAST(CASE WHEN u >= 0
+         THEN ((u * {_PI_VSCALE}) // GREATEST(m, 1))
+         ELSE -(((-u) * {_PI_VSCALE}) // GREATEST(m, 1)) END AS BIGINT) AS v
+       FROM u3, m3),
+nrm AS (SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nv FROM v3)
+SELECT d, v AS v_fixed,
+       CASE WHEN nv > 0 THEN CAST(v AS DOUBLE) / nv ELSE 0.0 END AS direction
+FROM v3, nrm ORDER BY d
+""",
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    X'X by DISTRIBUTED power iteration — the scale path to PCA/spectral
+    preprocessing when the dimension is too wide or the corpus too large to
+    ship X'X to the driver (sim_covariance_matrix is the K^2 co-moment
+    alternative; this one never materializes a matrix at all).
+
+    Each of the 3 unrolled iterations is two corpus passes: s_row = q.v
+    (broadcast 16-long v, map-only) and u_d = sum(q_d * s_row) (one 16-row
+    aggregate); the iterate then renormalizes to max|v|=128 by an exact
+    integer truncating rescale, so every engine computes bit-identical
+    fixed-point vectors — no float accumulation order anywhere until the
+    FINAL unit-norm projection of 16 exact integers. Convergence to the
+    dominant eigenvector is the classic power-method ratio |l2/l1|^t;
+    3 rounds is a fingerprint, not a research-grade eigensolver, and the
+    oracle checks the whole trajectory, not just a direction.
+
+    Scale: per iteration the shuffle carries 16 rows per partition
+    (map-side partials); v travels driver->executors as a broadcast 128-B
+    array. Row count only widens the map side. Reference analogue: the
+    same unrolled-fixed-point pattern as dedup_chunk_pagerank.
+    """
+    t = Tables(spark, sf_dir)
+    qv = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_PI_DIMS - 1}), d ->"
+            f" CAST(round(CAST(embedding[d] AS DOUBLE) * {_PI_QSCALE})"
+            " AS BIGINT))"
+        ).alias("qv"),
+    )
+
+    def iterate(v_row: DataFrame) -> DataFrame:
+        """One power step: v (1-row array) -> next v (1-row array)."""
+        s = qv.crossJoin(F.broadcast(v_row)).select(
+            "vec_id",
+            "qv",
+            F.expr(
+                "aggregate(zip_with(qv, vv, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("s"),
+        )
+        u = (
+            s.select(F.posexplode("qv").alias("d", "q"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        return (
+            u.crossJoin(F.broadcast(m))
+            .select("d", F.expr(_pi_round_sql("u", "m")).alias("v"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, v))),"
+                    " x -> x.v)"
+                ).alias("vv")
+            )
+        )
+
+    v = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {_PI_DIMS - 1}),"
+            f" d -> CAST({_PI_VSCALE} AS BIGINT))"
+        ).alias("vv")
+    )
+    for _ in range(3):
+        v = iterate(v)
+    out = v.select(F.posexplode("vv").alias("d", "v_fixed"))
+    nrm = out.agg(
+        F.sqrt(F.sum(F.col("v_fixed") * F.col("v_fixed")).cast("double")).alias(
+            "nv"
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(nrm))
+        .select(
+            "d",
+            "v_fixed",
+            F.when(
+                F.col("nv") > 0, F.col("v_fixed").cast("double") / F.col("nv")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("direction"),
+        )
+        .orderBy("d")
+    )
