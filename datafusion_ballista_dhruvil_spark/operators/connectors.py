@@ -351,3 +351,52 @@ def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> ORC (Spark's native columnar source alongside Parquet;
+    the reference's listing-table format surface,
+    ballista/client/src/context.rs:217-341) -> re-read -> aggregate. The
+    hash gate proves the ORC write/read cycle is lossless for longs,
+    strings, doubles AND timestamps — ORC's timestamp encoding is the
+    historically tz-fragile one, so min/max ts hash-matching the parquet
+    oracle under the pinned-UTC session is the point of the query. Doubles
+    are summed as floor(value*100) cents: IEEE multiply + floor is
+    bit-deterministic in both engines, where a raw double SUM is
+    accumulation-order-dependent.
+
+    Scale: per-partition write (no shuffle), vectorized ORC reader with
+    predicate pushdown on re-read; one shuffle for the aggregate.
+    """
+    t = Tables(spark, sf_dir)
+    src = t.events.where(F.col("event_id") < 2000).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = _stage(spark, sf_dir, "orc_events")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )

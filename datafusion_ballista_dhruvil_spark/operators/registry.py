@@ -74,7 +74,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ops_countmin_sketch, ops_listagg_within_group, ev_first_touch,
 #: ops_pipe_syntax, ops_collation_group, ops_bitmap_distinct,
 #: ev_funnel_regex, xml_roundtrip_agg, schema_evolution_agg,
-#: sim_pca_power_iteration
+#: sim_pca_power_iteration, orc_roundtrip_agg, ops_try_arithmetic,
+#: ops_calendar_intervals
 #: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
 #: never driver-verdicted) — then any query whose code changed in r4.
 EXPORT_PRIORITY: list[str] = [

@@ -2508,3 +2508,130 @@ def ops_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ops_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+  o_orderkey + 1 AS add_ok,
+  TRY_CAST(CAST(9223372036854775800 AS HUGEINT) + o_orderkey AS BIGINT)
+    AS add_ovf,
+  TRY_CAST(CAST(9223372036854775807 AS HUGEINT) * o_orderkey AS BIGINT)
+    AS mul_ovf,
+  o_totalprice / NULLIF(o_orderkey % 3, 0) AS div_zero,
+  o_orderkey % NULLIF(o_orderkey % 5, 0) AS mod_zero,
+  list_extract(string_split(o_orderpriority, '-'), 1) AS elem_first,
+  list_extract(string_split(o_orderpriority, '-'), 5) AS elem_oob,
+  CAST(NULL AS TIMESTAMP) AS ts_bad
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+)
+def ops_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` arithmetic family: overflow, divide-by-zero,
+    mod-by-zero, out-of-range element access, and unparseable timestamps
+    all yield NULL instead of a runtime error — DataFusion's default
+    (non-ANSI) arithmetic NULL/error contract re-expressed through Spark's
+    explicit try_ functions, which keep the safety without globally
+    disabling ANSI mode. The oracle reproduces overflow via HUGEINT
+    arithmetic + TRY_CAST back to BIGINT (DuckDB errors on BIGINT overflow
+    even in non-taken CASE branches — vectorized evaluation is eager) and
+    zero-division via NULLIF.
+
+    Scale: pure map-side projection; nothing shuffles but the final sort.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.expr("try_add(o_orderkey, CAST(1 AS BIGINT))").alias("add_ok"),
+            F.expr(
+                "try_add(CAST(9223372036854775800 AS BIGINT), o_orderkey)"
+            ).alias("add_ovf"),
+            F.expr(
+                "try_multiply(CAST(9223372036854775807 AS BIGINT),"
+                " o_orderkey)"
+            ).alias("mul_ovf"),
+            F.expr("try_divide(o_totalprice, o_orderkey % 3)").alias(
+                "div_zero"
+            ),
+            F.expr("try_mod(o_orderkey, o_orderkey % 5)").alias("mod_zero"),
+            F.expr(
+                "try_element_at(split(o_orderpriority, '-'), 1)"
+            ).alias("elem_first"),
+            F.expr(
+                "try_element_at(split(o_orderpriority, '-'), 5)"
+            ).alias("elem_oob"),
+            F.expr("try_to_timestamp(o_orderpriority)").alias("ts_bad"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "ops_calendar_intervals",
+    oracle="""
+SELECT o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+    AS VARCHAR) AS plus_months,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+  CAST(CAST(CAST(o_orderdate AS DATE) + to_days(CAST(CASE
+        WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+        ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END AS INT))
+    AS DATE) AS VARCHAR) AS next_monday,
+  CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-17')
+    AS INT) AS days_to_mid95,
+  o_orderdate + INTERVAL 90 MINUTE AS ts_plus90m,
+  CAST(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+    AS VARCHAR) AS quarter_start,
+  CAST(make_date(CAST(year(o_orderdate) AS INT),
+            CAST(month(o_orderdate) AS INT), 1) AS VARCHAR) AS month_start
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+""",
+)
+def ops_calendar_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic family (DataFusion date_part/interval
+    surface, SURVEY §2.4 date/time): month addition with end-of-month
+    clamping (Jan 31 + 1 month = Feb 28 in BOTH engines — the classic
+    calendar-math divergence point), last_day, next_day (DuckDB lacks it;
+    the oracle derives it from isodow, proving Spark's day-name semantics
+    are exactly strictly-after-next-ISO-monday), ISO week numbers, day
+    diffs, fixed-width timestamp intervals, quarter truncation, and
+    make_date construction. Date columns render as ISO strings at the
+    boundary (the repo-wide date convention, tests/driver_diff.py).
+
+    Scale: map-only projection; only the sort shuffles.
+    """
+    t = Tables(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t.orders.where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.date_format(d, "yyyy-MM-dd").alias("d"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias(
+                "plus_months"
+            ),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.next_day(d, "MO"), "yyyy-MM-dd").alias(
+                "next_monday"
+            ),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            F.datediff(F.lit("1995-06-17").cast("date"), d)
+            .cast("int")
+            .alias("days_to_mid95"),
+            F.expr("o_orderdate + INTERVAL 90 MINUTE").alias("ts_plus90m"),
+            F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+                "quarter_start"
+            ),
+            F.date_format(
+                F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
+            ).alias("month_start"),
+        )
+        .orderBy("o_orderkey")
+    )
