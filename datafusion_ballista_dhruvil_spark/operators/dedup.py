@@ -1649,3 +1649,117 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), "probe_doc", "host_doc")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+def _sql_kcore_round(edges_in: str, alive_out: str, edges_out: str) -> str:
+    """One k=2 peeling round as CTEs: degree over surviving edges, keep
+    nodes with degree >= 2, keep edges whose BOTH endpoints survive."""
+    return f"""
+{alive_out} AS (
+  SELECT d1 AS u FROM {edges_in} GROUP BY d1 HAVING COUNT(*) >= 2
+),
+{edges_out} AS (
+  SELECT e.d1, e.d2 FROM {edges_in} e
+  JOIN {alive_out} x ON x.u = e.d1
+  JOIN {alive_out} y ON y.u = e.d2
+)"""
+
+
+@query(
+    "dedup_kcore_peel",
+    oracle=f"""
+WITH {_SQL_CHUNK_CTES},
+grp AS (
+  SELECT h, list_sort(list(DISTINCT doc_id)) AS ids
+  FROM chunks GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+),
+prpairs AS (
+  SELECT DISTINCT a.d1, b.d2
+  FROM grp, unnest(ids) a(d1), unnest(ids) b(d2)
+  WHERE a.d1 <> b.d2
+),
+d0 AS (SELECT d1 AS u, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM prpairs GROUP BY 1),
+{_sql_kcore_round('prpairs', 'a1', 'e1')},
+{_sql_kcore_round('e1', 'a2', 'e2')},
+{_sql_kcore_round('e2', 'a3', 'e3')},
+dcore AS (SELECT d1 AS u, CAST(COUNT(*) AS BIGINT) AS deg_core
+          FROM e3 GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT dcore.u AS doc_id, d0.deg AS deg_initial, dcore.deg_core
+FROM dcore JOIN d0 ON d0.u = dcore.u
+ORDER BY doc_id
+""",
+)
+def dedup_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the shared-chunk graph by 3 unrolled peeling rounds —
+    the graph-density complement to dedup_chunk_pagerank on the SAME edge
+    relation: peeling strips docs that hang off the template web by a
+    single shared chunk (pairwise accidents), and what survives is the
+    densely mutually-duplicated CORE a dedup pipeline should cluster
+    first. Classic k-core semantics: iteratively delete nodes of degree
+    < k; 3 rounds is the unrolled fixed-depth variant (same contract as
+    the 5-iteration PageRank — a fingerprint, not a full fixpoint; deep
+    peel chains longer than 3 rounds survive with deg_core < 2 absent).
+
+    Exactness: pure integer degrees over a DISTINCT edge set — nothing to
+    quantize; the hash gate pins the surviving node set and both degree
+    columns.
+
+    Scale: each round is one partial-agg degree count + one semi-join-
+    shaped edge filter on the SAME d1/d2 partitioning (AQE reuses the
+    exchange); the 64-doc group cap bounds edge fanout exactly as in
+    PageRank. No driver-side convergence loop — fixed 3 stages.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.text import chunk_hashes
+
+    t = Tables(spark, sf_dir)
+    chunks = chunk_hashes(t.documents)
+    grp = (
+        chunks.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.array_size("ids").between(2, 64))
+    )
+    pairs = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(x AS d1, y AS d2)))), p -> p.d1 != p.d2)"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+    deg0 = pairs.groupBy(F.col("d1").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    edges = pairs
+    for _ in range(3):
+        alive = (
+            edges.groupBy(F.col("d1").alias("u"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= 2)
+            .select("u")
+        )
+        edges = (
+            edges.join(alive.withColumnRenamed("u", "d1"), "d1")
+            .join(alive.withColumnRenamed("u", "d2"), "d2")
+            .select("d1", "d2")
+        )
+    dcore = (
+        edges.groupBy(F.col("d1").alias("u"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_core"))
+        .where(F.col("deg_core") >= 2)
+    )
+    return (
+        dcore.join(deg0, "u")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("deg").alias("deg_initial"),
+            "deg_core",
+        )
+        .orderBy("doc_id")
+    )

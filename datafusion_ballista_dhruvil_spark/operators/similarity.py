@@ -3095,3 +3095,102 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "sim_silhouette",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_QDOT.format(a='embedding', b='embedding')} AS selfq
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, selfq AS cselfq
+      FROM e WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.cid,
+         e.selfq + c.cselfq - 2 * {_SQL_QDOT.format(a='e.embedding', b='c.cv')}
+           AS d
+  FROM e CROSS JOIN c
+),
+r AS (SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM p),
+ab AS (
+  SELECT a.vec_id, a.cid AS cluster, a.d AS a_q, b.d AS b_q,
+         ((b.d - a.d) * 10000) // GREATEST(b.d, 1) AS si_fixed
+  FROM (SELECT * FROM r WHERE rn = 1) a
+  JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(si_fixed) AS BIGINT) AS sum_si_fixed,
+       CAST(SUM(si_fixed) AS DOUBLE) / (10000.0 * COUNT(*)) AS mean_sil,
+       CAST(MIN(si_fixed) AS BIGINT) AS min_si_fixed,
+       CAST(MAX(si_fixed) AS BIGINT) AS max_si_fixed
+FROM ab GROUP BY cluster ORDER BY cluster
+""",
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette — the standard
+    clustering-quality readout where a = squared distance to the assigned
+    centroid and b = squared distance to the runner-up centroid;
+    s = (b-a)/max(a,b) in [0,1] here since b >= a by construction. The
+    medoid-free simplification is THE scale form: full silhouette is
+    all-pairs within/between clusters (O(N^2)); this is one broadcast pass.
+
+    Exactness: a and b are exact scale-14 integer squared L2 distances
+    (same <a,a>+<c,c>-2<a,c> identity as sim_kmeans_assign); s quantizes
+    to si_fixed = ((b-a)*10000) div max(b,1) — truncating integer division
+    on nonnegative operands, where Spark's `div` and DuckDB's `//` agree —
+    and only the final mean divides as a double on exact integer sums.
+
+    Scale: K=8 centroids broadcast, corpus never shuffles; per-vector
+    best/runner-up come from one sort_array over the 8 collected
+    candidates (bounded by K, not corpus); the exchange carries one row
+    per vector, then per-cluster partial aggregation.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", _dot7("embedding", "embedding").alias("selfq")
+    )
+    c = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("selfq").alias("cselfq"),
+    )
+    d = (
+        F.col("selfq") + F.col("cselfq") - F.lit(2) * _dot7("embedding", "cv")
+    ).alias("d")
+    ranked = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", F.struct(d, F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list("dc")).alias("ds"))
+        .select(
+            "vec_id",
+            F.col("ds")[0]["cid"].alias("cluster"),
+            F.col("ds")[0]["d"].alias("a_q"),
+            F.col("ds")[1]["d"].alias("b_q"),
+        )
+    )
+    si = ranked.select(
+        "cluster",
+        F.expr("((b_q - a_q) * 10000) div GREATEST(b_q, CAST(1 AS BIGINT))")
+        .cast("bigint")
+        .alias("si_fixed"),
+    )
+    return (
+        si.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("si_fixed").cast("bigint").alias("sum_si_fixed"),
+            (
+                F.sum("si_fixed").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)))
+            ).alias("mean_sil"),
+            F.min("si_fixed").cast("bigint").alias("min_si_fixed"),
+            F.max("si_fixed").cast("bigint").alias("max_si_fixed"),
+        )
+        .orderBy("cluster")
+    )

@@ -2597,3 +2597,118 @@ def ev_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_users",
     ).orderBy("pattern_ord")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, day, d, cnt,
+         (SUM(cnt) OVER (PARTITION BY event_type) * 100)
+           // COUNT(*) OVER (PARTITION BY event_type) AS mean100
+  FROM daily
+),
+psum AS (
+  SELECT event_type, day, d, cnt, mean100,
+         SUM(cnt * 100 - mean100 - mean100 // 20) OVER w AS p
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pfx AS (
+  SELECT event_type, day, cnt, mean100, p, MIN(p) OVER w AS minp
+  FROM psum
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       CAST(p - LEAST(minp, 0) AS BIGINT) AS cusum_fixed,
+       p - LEAST(minp, 0) > 3 * mean100 AS shifted
+FROM pfx ORDER BY event_type, day
+""",
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift (changepoint) detection on daily event volume —
+    the streaming-monitoring classic for catching sustained rate drifts
+    that per-day z-scores miss. The textbook recursion
+    S_t = max(0, S_{t-1} + (x_t - mu - slack)) looks inherently
+    sequential, but equals P_t - min(0, min_{j<=t} P_j) over the prefix
+    sums P of the slack-adjusted deviations — two stacked window
+    functions, no recursion, no iteration.
+
+    Exactness: deviations live at scale-100 integers (mu and the 5% slack
+    via truncating integer division — nonnegative operands, so Spark `div`
+    and DuckDB `//` agree); prefix sum, running min, and the 3*mu
+    threshold all stay in exact BIGINT. No doubles anywhere.
+
+    Scale: one shuffle to daily grain (map-side partial count), then one
+    window sort per event_type; day count per type is bounded (~years),
+    so the window partition never skews. The shift threshold is the
+    standard h = 3*mu rate-scale heuristic, hash-verified not asserted.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        normalize_events_ts(t.events)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "event_type",
+            "day",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+            "cnt",
+        )
+    )
+    wtype = Window.partitionBy("event_type")
+    base = daily.select(
+        "event_type",
+        "day",
+        "d",
+        "cnt",
+        F.expr(
+            "(sum(cnt * 100) OVER (PARTITION BY event_type))"
+            " div (count(*) OVER (PARTITION BY event_type))"
+        ).alias("mean100"),
+    )
+    wpfx = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col("cnt") * 100 - F.col("mean100") - F.expr("mean100 div 20")
+    psum = base.select(
+        "event_type",
+        "day",
+        "d",
+        "cnt",
+        "mean100",
+        F.sum(dev).over(wpfx).alias("p"),
+    )
+    pfx = psum.select(
+        "event_type",
+        "day",
+        "cnt",
+        "mean100",
+        "p",
+        F.min("p").over(wpfx).alias("minp"),
+    )
+    cusum = F.col("p") - F.least(F.col("minp"), F.lit(0))
+    return pfx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        cusum.cast("bigint").alias("cusum_fixed"),
+        (cusum > 3 * F.col("mean100")).alias("shifted"),
+    ).orderBy("event_type", "day")
