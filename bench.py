@@ -126,6 +126,71 @@ def skewtest(rows: int = 20_000_000) -> int:
     return 0
 
 
+def solo_one(name: str) -> int:
+    """Run ONE query in this fresh JVM and print its median timing."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from datafusion_ballista_dhruvil_spark.operators import load_all
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+    from datafusion_ballista_dhruvil_spark.session import create_session
+
+    load_all()
+    spark = create_session(app_name=f"solo_{name}")
+    samples = []
+    # iters+1 runs, first discarded: a fresh JVM's first run carries JIT
+    # and page-cache warmup that the in-suite numbers never see — without
+    # the discard, solo medians read SLOWER than suite ones and the
+    # regression gate compares apples to oranges
+    for _ in range(iters + 1):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        samples.append(time.perf_counter() - t0)
+    print(json.dumps({"query": name, "sec": round(statistics.median(samples[1:]), 4)}))
+    spark.stop()
+    return 0
+
+
+def solo(names: list[str]) -> int:
+    """Run-alone benchmark: each query in its OWN subprocess/JVM, so the
+    timing is free of same-JVM suite contention (GC pressure, shuffle-dir
+    litter, code-cache) — the contention-free signal cross-round
+    regression gating needs (VERDICT r3 item 5). With no names given,
+    re-times the slowest 10 from the last suite run (bench_queries.json).
+    Writes BENCH_SOLO.json next to this file."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not names:
+        with open(os.path.join(here, "bench_queries.json")) as f:
+            suite = json.load(f)["queries"]
+        names = [k for k, _ in sorted(suite.items(), key=lambda kv: -kv[1])[:10]]
+    out: dict[str, float] = {}
+    for name in names:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py"), "--solo-one", name],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            print(f"{name}: FAILED\n{r.stderr[-2000:]}", file=sys.stderr)
+            return 1
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        out[rec["query"]] = rec["sec"]
+        print(f"{name}: {rec['sec']}s", file=sys.stderr)
+    payload = {
+        "metric": "solo_query_sec",
+        "unit": "sec",
+        "queries": out,
+        "iters": int(os.environ.get("BENCH_ITERS", "3")),
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    }
+    with open(os.path.join(here, "BENCH_SOLO.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1:
         if sys.argv[1] == "--loadtest":
@@ -135,9 +200,14 @@ def main() -> int:
             )
         if sys.argv[1] == "--skewtest":
             return skewtest(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000)
+        if sys.argv[1] == "--solo-one":
+            return solo_one(sys.argv[2])
+        if sys.argv[1] == "--solo":
+            return solo(sys.argv[2:])
         print(
             f"unknown argument {sys.argv[1]!r}; usage: bench.py [--loadtest "
-            "[requests] [concurrency] | --skewtest [rows]]",
+            "[requests] [concurrency] | --skewtest [rows] | --solo [names...]"
+            " | --solo-one name]",
             file=sys.stderr,
         )
         return 2

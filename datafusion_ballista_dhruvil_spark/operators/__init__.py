@@ -26,3 +26,11 @@ def load_all() -> None:
         tpch,
     )
     from datafusion_ballista_dhruvil_spark.streaming import events  # noqa: F401
+
+    from datafusion_ballista_dhruvil_spark.operators import registry
+
+    # export_ordered silently keeps only names present in QUERIES, so a
+    # typo in EXPORT_PRIORITY would cost a driver-verdict slot with no
+    # error. Fail loudly instead.
+    unknown = set(registry.EXPORT_PRIORITY) - set(registry.QUERIES)
+    assert not unknown, f"EXPORT_PRIORITY names not in QUERIES: {sorted(unknown)}"

@@ -447,34 +447,40 @@ FROM bits
 ORDER BY doc_id
 """.format(
         bit_exprs=",\n    ".join(
-            f"CASE WHEN SUM(CASE WHEN substring(md5({j} || ':' || t), 1, 1) "
+            f"CASE WHEN SUM(CASE WHEN substring(h, {j + 1}, 1) "
             f"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
             f"THEN '1' ELSE '0' END AS b{j}"
             for j in range(16)
         ),
         concat_expr=" || ".join(f"b{j}" for j in range(16)),
+    ).replace(
+        "FROM toks GROUP BY doc_id",
+        "FROM (SELECT doc_id, md5(t) AS h FROM toks) GROUP BY doc_id",
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) document signatures.
 
-    Bit j of a token's hash = top bit of md5(j:token) (engine-portable);
-    the document bit is the sign of the +/-1 sum over distinct tokens.
-    Near-dup candidates are then signatures within small Hamming distance —
-    at scale, bucketed by bit-segments (same banding trick as LSH).
-    Map-explode + one groupBy(doc) with 16 conditional sums.
+    Bit j of a token's hash = top bit of hex nibble j+1 of ONE md5(token)
+    (engine-portable; r4 rewrite — the old form hashed each token 16
+    times, md5(j:token) per bit, the exact anti-pattern PERF.md #9
+    measured at 2.5x; dedup_simhash_pairs already derived all 60 bits
+    from a single digest). The document bit is the sign of the +/-1 sum
+    over distinct tokens. Near-dup candidates are then signatures within
+    small Hamming distance — at scale, bucketed by bit-segments (same
+    banding trick as LSH). Map-explode + one md5 per distinct token + one
+    groupBy(doc) with 16 conditional sums.
     """
     t = Tables(spark, sf_dir)
     toks = (
         t.documents.where(F.col("doc_id") < 200)
         .select("doc_id", F.explode(F.array_distinct(_tokens())).alias("t"))
+        .select("doc_id", F.md5(F.col("t")).alias("h"))
     )
     top_hex = ["8", "9", "a", "b", "c", "d", "e", "f"]
     aggs = []
     for j in range(16):
-        bit_on = F.substring(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("t"))), 1, 1
-        ).isin(top_hex)
+        bit_on = F.substring(F.col("h"), j + 1, 1).isin(top_hex)
         aggs.append(
             F.when(F.sum(F.when(bit_on, 1).otherwise(-1)) > 0, "1")
             .otherwise("0")

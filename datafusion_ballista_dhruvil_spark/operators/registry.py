@@ -34,106 +34,96 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 3). The driver's correctness gate
+#: Driver-facing export order (round 4). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. r1 checked 50, r2 a different 50 (union 94 of 141); the 47
-#: below have NEVER received a driver verdict — they fill the first 47
-#: slots so CORRECTNESS_r03 reaches 141/141 driver-verified. The last 3
-#: slots re-verify queries materially changed this round (bounded
-#: ops_agg_approx oracle, real mm_decode_features decoder, sim_cosine_topk
-#: after the perf re-measure).
+#: coverage. Cumulative record: r1+r2+r3 driver-verified 141/141 of the
+#: r2-era surface; the 96 queries added in r3 are all local-green
+#: (tests/driver_diff.py, judge re-ran 96/96 green) but have NO driver
+#: verdict. The 50 below are the first rotation tranche: connectors,
+#: pipeline/lifecycle, text r3, dedup r3, multimodal, plus the three
+#: queries materially CHANGED this round (sim_ivf_topk map-side argmax
+#: rewrite, sim_knn_label_agreement bounded-candidate rewrite,
+#: dedup_simhash single-digest rewrite) and seven sim/PQ queries.
 #:
-#: ROUND-4 ROTATION NOTE: put the queries ADDED in r3 first — sim_pq_adc,
-#: text_quality_classifier, mm_image_ahash, mm_audio_features,
-#: dedup_incremental_lsh, ops_agg_regression, ops_agg_boolean,
-#: text_heavy_hitters, dedup_substring_span, text_dsir_weights,
-#: dedup_incremental_minhash streaming variant, sim_ann_recall,
-#: ops_agg_hll_rollup, pipeline_clean_corpus, pipeline_version_diff,
-#: pipeline_merge_upsert, pipeline_tombstone_purge, pipeline_split_leakage,
-#: text_bloom_decontam, ops_zorder_pruning, ops_winsorize, text_pmi_pairs,
-#: pipeline_data_expectations, ev_attribution, ev_rfm_segments,
-#: sim_centroid_drift, sim_ivf_pq, pipeline_ks_drift, dedup_minhash_accuracy,
-#: ev_path_topk, ops_mad_outliers, ops_join_cardinality, dedup_graph_triangles,
-#: sim_pq_code_dedup, ev_forecast_naive, text_source_overlap_matrix,
-#: ev_hopping_window, ops_distinct_on, sim_matryoshka_recall,
-#: snapshot_timetravel_agg, sim_knn_label_agreement, text_zipf_slope,
-#: ev_interarrival_profile, text_ngram_diversity, pipeline_source_balance,
-#: udf_grouped_map_normalize, ev_time_to_convert, ops_qualify_rewrite,
-#: ev_ab_chisquare, dedup_entity_blocking, pipeline_benford_audit,
-#: sim_covariance_matrix, sample_pps_systematic, ev_decay_weighted,
-#: pipeline_compaction_plan, sim_ndcg_eval, text_classifier_calibration,
-#: ev_activity_streaks, sim_triplet_margin, ev_pareto_share,
-#: ev_chisquare_matrix, text_source_entropy_kl, mm_scene_cuts,
-#: ev_bot_detection, dedup_containment, asof_tolerance_attribution,
-#: sim_hard_negatives, sim_mmr_rerank, sample_kcenter_coreset,
-#: text_rake_keyphrases, ev_survival_retention, ops_recursive_cte,
-#: sim_cluster_purity_nmi, ops_quantile_sketch_merge,
-#: text_winnowing_fingerprint, asof_nearest_alignment,
-#: ev_markov_stationary, text_burstiness, ops_mix_rate_decomposition,
-#: partitioned_roundtrip_agg, pipeline_rowcount_anomaly,
-#: ops_countmin_sketch, ops_listagg_within_group, ev_first_touch,
-#: ops_pipe_syntax, ops_collation_group, ops_bitmap_distinct,
-#: ev_funnel_regex, xml_roundtrip_agg, schema_evolution_agg,
-#: sim_pca_power_iteration, orc_roundtrip_agg, ops_try_arithmetic,
-#: ops_calendar_intervals
-#: (all local-green via tests/driver_diff.py + tools/drive_contract.py but
-#: never driver-verdicted) — then any query whose code changed in r4.
+#: ROUND-5 ROTATION NOTE: the remaining never-verdicted r3 queries —
+#: sim_centroid_drift, sim_matryoshka_recall, sim_ndcg_eval,
+#: sim_triplet_margin, sim_hard_negatives, sim_mmr_rerank,
+#: sim_cluster_purity_nmi, sim_silhouette, asof_tolerance_attribution,
+#: asof_nearest_alignment, sample_pps_systematic, ev_hll_partition_merge,
+#: ev_attribution, ev_rfm_segments, ev_path_topk, ev_forecast_naive,
+#: ev_hopping_window, ev_interarrival_profile, ev_time_to_convert,
+#: ev_ab_chisquare, ev_decay_weighted, ev_activity_streaks,
+#: ev_pareto_share, ev_chisquare_matrix, ev_bot_detection,
+#: ev_survival_retention, ev_markov_stationary, ev_first_touch,
+#: ev_funnel_regex, ev_cusum_changepoint, ops_agg_regr, ops_agg_boolean,
+#: ops_winsorize, ops_mad_outliers, ops_join_cardinality, ops_distinct_on,
+#: ops_qualify_rewrite, ops_recursive_cte, ops_quantile_sketch_merge,
+#: ops_mix_rate_decomposition, ops_countmin_sketch,
+#: ops_listagg_within_group, ops_pipe_syntax, ops_collation_group,
+#: ops_bitmap_distinct, ops_try_arithmetic, ops_calendar_intervals,
+#: ops_zorder_pruning — then queries ADDED in r4 (see the r4 additions in
+#: the modules' git log), then anything whose code changed in r5. All
+#: names above are asserted against QUERIES at import (see bottom of
+#: load_all in __init__); a typo here raises instead of silently
+#: dropping a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # temporal / sampling / splits (7)
-    "range_recent_clicks",
-    "split_hash_assign",
-    "sample_stratified_hash",
-    "sample_topk_per_group",
-    "pack_token_bins",
-    "mix_resample_sources",
-    "sample_negative_pairs",
-    # text analysis (16)
-    "text_tokens_quality",
-    "text_regex_tokens",
-    "text_langid",
-    "text_fingerprint",
-    "text_ngram_profile",
-    "text_vocab_topk",
-    "text_tfidf_topterms",
-    "text_repetition_filter",
-    "text_decontam_overlap",
-    "text_bm25_topk",
-    "text_pii_redact",
-    "text_chunk_windows",
-    "text_bigram_lm_score",
-    "text_chunk_crossdup",
-    "dedup_chunk_pagerank",
-    "dedup_editdist_verify",
-    # event analytics (16)
-    "ev_tumbling_window",
-    "ev_rollup_multires",
-    "ev_session_window",
-    "ev_sessionize",
-    "ev_date_bin",
-    "ev_type_pivot",
-    "ev_gapfill_series",
-    "ev_props_json",
-    "ev_cohort_retention",
-    "ev_funnel_stages",
-    "ev_props_variant",
-    "ev_transition_matrix",
-    "ev_scd2_intervals",
-    "ev_anomaly_zscore",
-    "ev_watermark_audit",
-    "ev_dau_wau_mau",
-    # relational leftovers (8)
-    "ops_empty_relation",
-    "ops_unpivot",
-    "yoy_sales_growth",
-    "ops_sort_null_order",
-    "ops_array_hof",
-    "ops_lateral_explode",
-    "ops_explode_outer",
-    "ops_lateral_join",
+    # connectors / formats / snapshots (6)
+    "udf_grouped_map_normalize",
+    "snapshot_timetravel_agg",
+    "partitioned_roundtrip_agg",
+    "xml_roundtrip_agg",
+    "schema_evolution_agg",
+    "orc_roundtrip_agg",
+    # corpus lifecycle / pipeline (11)
+    "pipeline_clean_corpus",
+    "pipeline_version_diff",
+    "pipeline_merge_upsert",
+    "pipeline_tombstone_purge",
+    "pipeline_split_leakage",
+    "pipeline_data_expectations",
+    "pipeline_ks_drift",
+    "pipeline_source_balance",
+    "pipeline_benford_audit",
+    "pipeline_compaction_plan",
+    "pipeline_rowcount_anomaly",
+    # text analysis, r3 batch (13)
+    "text_quality_classifier",
+    "text_heavy_hitters",
+    "text_dsir_weights",
+    "text_bloom_decontam",
+    "text_pmi_pairs",
+    "text_source_overlap_matrix",
+    "text_zipf_slope",
+    "text_ngram_diversity",
+    "text_classifier_calibration",
+    "text_source_entropy_kl",
+    "text_rake_keyphrases",
+    "text_winnowing_fingerprint",
+    "text_burstiness",
+    # dedup, r3 batch (7)
+    "dedup_incremental_lsh",
+    "dedup_substring_spans",
+    "dedup_minhash_accuracy",
+    "dedup_graph_triangles",
+    "dedup_entity_blocking",
+    "dedup_containment",
+    "dedup_kcore_peel",
+    # multimodal, r3 batch (3)
+    "mm_image_ahash",
+    "mm_audio_features",
+    "mm_scene_cuts",
+    # similarity / PQ, r3 batch (7)
+    "sim_ivf_pq",
+    "sim_pq_adc",
+    "sim_ann_recall",
+    "sim_pq_code_dedup",
+    "sim_covariance_matrix",
+    "sim_pca_power_iteration",
+    "sample_kcenter_coreset",
     # changed this round — need fresh verdicts (3)
-    "ops_agg_approx",
-    "mm_decode_features",
-    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_knn_label_agreement",
+    "dedup_simhash",
 ]
 
 

@@ -2656,8 +2656,7 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     daily = (
-        normalize_events_ts(t.events)
-        .groupBy(
+        t.events.groupBy(
             "event_type",
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
         )

@@ -125,11 +125,37 @@ def test_temporal_joins_never_nested_loop(spark):
     assert "Union" in asof and "Window" in asof
 
 
-def test_ivf_assignment_broadcasts_centroids(spark):
+def test_ivf_assignment_is_map_side(spark):
+    """r4 rewrite (VERDICT r3 item 2): centroid assignment must be the
+    map-side broadcast-matrix kernel, NOT a crossJoin + row_number window
+    over N*K rows. Exactly one Window survives (the final bounded top-3
+    over probe candidates); no nested-loop join anywhere."""
     plan = formatted_plan(QUERIES["sim_ivf_topk"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    # the assignment itself is Arrow mapInPandas (MapInPandas / ArrowEval)
+    assert "MapInPandas" in plan
     # probing is an equi-join on centroid_id -> must be a hash join
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_knn_label_agreement_is_bounded_candidate_join(spark):
+    """r4 rewrite (VERDICT r3 item 3): neighbors come from the IVF
+    candidate equi-join, not a full-corpus driver collect. The plan must
+    show the map-side assignment kernel feeding an equi-join — never a
+    nested-loop over all pairs."""
+    plan = formatted_plan(QUERIES["sim_knn_label_agreement"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "MapInPandas" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
 
 
 def test_per_group_topk_uses_window_group_limit(spark):
