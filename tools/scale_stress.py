@@ -45,6 +45,14 @@ QUERIES_TO_RUN = [
     "ev_ab_chisquare",         # user-keyed shuffle + 4-counter agg
     "sim_covariance_matrix",   # 136x explode collapsed by partial agg
     "text_classifier_calibration",
+    # r4 (VERDICT r3 item 7): the r3 heavy additions without a growth curve
+    "dedup_substring_spans",       # 3 shuffle-bounded digest stages
+    "text_source_overlap_matrix",  # B-row broadcast profile join
+    "sim_mmr_rerank",              # brute candidate gen + bounded greedy
+    "sample_kcenter_coreset",      # TakeOrdered greedy rounds
+    # r4 rewrites — growth curve for the new plans
+    "sim_ivf_topk",                # map-side codebook assignment
+    "sim_knn_label_agreement",     # IVF candidate join
 ]
 
 
@@ -82,9 +90,10 @@ def main() -> int:
     build(spark, out_dir)
     print(f"build: {time.perf_counter() - t0:.1f}s -> {out_dir}")
 
+    only = sys.argv[2:]  # optional query-name filter after out_dir
     print("| query | sf0.1 | sf1 (10x) | growth |")
     print("|---|---|---|---|")
-    for name in QUERIES_TO_RUN:
+    for name in (only or QUERIES_TO_RUN):
         fn = QUERIES[name]
         fn(spark, SRC).collect()  # warm both paths
         t0 = time.perf_counter()
