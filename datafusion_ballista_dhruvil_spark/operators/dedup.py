@@ -1769,3 +1769,204 @@ def dedup_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[CAST(i AS INTEGER) + 1] AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+       LATERAL (SELECT unnest(range(0, len(tk))) AS i) g
+),
+marked AS (
+  SELECT doc_id, pos, t,
+         CASE WHEN substring(md5(t), 1, 1) IN ('0', '8') THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, t,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, chunk_id, md5(string_agg(t, ' ' ORDER BY pos)) AS h
+  FROM chunked GROUP BY doc_id, chunk_id
+),
+shared AS (
+  SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(s.h) AS BIGINT) AS n_shared,
+       COUNT(s.h) * 1000000 // COUNT(*) AS shared_ppm
+FROM chunks c LEFT JOIN shared s USING (h)
+GROUP BY c.doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup: split every document into
+    variable-size chunks at CONTENT-determined boundaries (a token ends a
+    chunk when its hash falls in 2 of 16 nibble values, p=1/8, ~8-token
+    average chunks), hash each chunk, and report per-document how many of
+    its chunks also appear in other documents.
+
+    Why content-defined beats fixed-size chunking for dedup: inserting one
+    token shifts every downstream FIXED chunk boundary (no chunk after the
+    edit ever matches again), while CDC boundaries re-synchronize at the
+    next boundary token — the rsync/LBFS/backup-dedup insight, applied to
+    near-identical training documents.
+
+    Scale: boundary marking is map-only (one md5 per token); chunk_id is a
+    per-doc running sum (doc-bounded window); chunk assembly is one
+    groupBy(doc, chunk) with an ordered listagg; the shared-chunk test
+    shuffles ONLY 32-byte chunk digests (groupBy h + equi-join back), the
+    exact-dedup posture. No pair is ever materialized.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t")
+    )
+    b = F.when(F.substring(F.md5("t"), 1, 1).isin("0", "8"), 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum(b).over(w), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(F.expr("listagg(t, ' ') WITHIN GROUP (ORDER BY pos)")).alias("h")
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    return (
+        chunks.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count("is_shared").cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.expr("n_shared * 1000000 div n_chunks").alias("shared_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+#: sorted-neighborhood window width: compare each doc to the next w-1 docs
+SNM_W = 3
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         array_to_string(string_split(text, ' ')[1:4], ' ') AS sk
+  FROM documents
+),
+nbr AS (
+  SELECT doc_id AS d1, lang,
+         LEAD(doc_id, 1) OVER w AS n1,
+         LEAD(doc_id, 2) OVER w AS n2
+  FROM keyed
+  WINDOW w AS (PARTITION BY lang ORDER BY sk, doc_id)
+),
+cand AS (
+  SELECT d1, n1 AS d2 FROM nbr WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT d1, n2 FROM nbr WHERE n2 IS NOT NULL
+),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.d1, c.d2, COUNT(*) AS common
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2
+                       AND a.s = b.s
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2, common, s1.n AS n1, s2.n AS n2,
+       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+FROM verified JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+ORDER BY jaccard DESC, d1, d2
+LIMIT 100
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution: sort documents by a cheap
+    blocking key (first-3-token prefix), compare each document ONLY to its
+    next ``SNM_W - 1`` neighbors in sort order, then exact-verify the
+    candidates with trigram-shingle Jaccard.
+
+    The classic alternative to hash blocking (dedup_entity_blocking) and
+    LSH (dedup_minhash_lsh): candidate count is exactly (W-1) * N —
+    LINEAR, no bucket-skew failure mode at all; the trade-off is that
+    near-dups must sort adjacently. At 100 TB the sort is
+    repartitionByRange on the key (Spark's sort machinery, no single-node
+    sort); the window is partitioned by lang here and by (lang,
+    range-bucket) at scale — neighborhoods crossing partition edges lose
+    at most W-2 pairs per boundary, the documented SNM property.
+
+    Verification reuses the shared shingle-set arrays (one
+    array_intersect per candidate, no shingle re-explode).
+    """
+    t = Tables(spark, sf_dir)
+    keyed = t.documents.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ").alias(
+            "sk"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
+    nbr = keyed.select(
+        F.col("doc_id").alias("d1"),
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    cand = (
+        nbr.where(F.col("n1").isNotNull())
+        .select("d1", F.col("n1").alias("d2"))
+        .unionAll(
+            nbr.where(F.col("n2").isNotNull()).select(
+                "d1", F.col("n2").alias("d2")
+            )
+        )
+    )
+    arrs = shingle_arrays_of(t.documents)
+    a = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
+    bb = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
+    joined = cand.join(a, "d1").join(bb, "d2")
+    common = F.array_size(F.array_intersect("ss1", "ss2")).cast("bigint")
+    n1 = F.array_size("ss1").cast("bigint")
+    n2 = F.array_size("ss2").cast("bigint")
+    return (
+        joined.select(
+            "d1",
+            "d2",
+            common.alias("common"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+            (
+                common.cast("double")
+                / (n1 + n2 - common).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("common") > 0)
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(100)
+    )

@@ -874,3 +874,105 @@ def pipeline_rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_incremental_agg",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events WHERE ts < TIMESTAMP '1995-07-01 00:00:00'
+  GROUP BY event_type
+),
+delta AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events WHERE ts >= TIMESTAMP '1995-07-01 00:00:00'
+  GROUP BY event_type
+),
+merged AS (
+  SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+         COALESCE(b.n, 0) AS base_n,
+         COALESCE(d.n, 0) AS delta_n,
+         COALESCE(b.n, 0) + COALESCE(d.n, 0) AS merged_n,
+         COALESCE(b.v_cents, 0) + COALESCE(d.v_cents, 0) AS merged_cents
+  FROM base b FULL OUTER JOIN delta d USING (event_type)
+),
+full_recompute AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type, m.base_n, m.delta_n, m.merged_n, m.merged_cents,
+       (m.merged_n = f.n AND m.merged_cents = f.v_cents) AS consistent
+FROM merged m JOIN full_recompute f USING (event_type)
+ORDER BY event_type
+""",
+)
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view delta update):
+    merge a stored BASE aggregate with the aggregate of only the NEW
+    batch via the sum/count merge algebra, and assert the merged state
+    equals a full recompute — the pattern that turns a 100 TB daily
+    rescan into an O(delta) update (counts and exact integer-cent sums
+    are commutative monoids, so partial states compose; the same algebra
+    the HLL/quantile sketch-merge queries exercise for approximate
+    state).
+
+    Scale: base state is (event_type)-sized — tiny; only the delta
+    partition is scanned + aggregated (one partial-agg shuffle of k
+    rows); the merge is a full-outer join of two k-row relations. The
+    full recompute here exists only to PROVE consistency.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.sum(
+        F.round(F.col("value") * 100).cast("bigint")
+    ).cast("bigint")
+    cut = F.lit("1995-07-01 00:00:00").cast("timestamp")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            cents.alias("v_cents"),
+        )
+
+    base = agg_of(t.events.where(F.col("ts") < cut))
+    delta = agg_of(t.events.where(F.col("ts") >= cut))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce(F.col("b.n"), F.lit(0)).alias("base_n"),
+            F.coalesce(F.col("d.n"), F.lit(0)).alias("delta_n"),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("merged_n"),
+            (
+                F.coalesce(F.col("b.v_cents"), F.lit(0))
+                + F.coalesce(F.col("d.v_cents"), F.lit(0))
+            ).alias("merged_cents"),
+        )
+    )
+    full = agg_of(t.events)
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            "base_n",
+            "delta_n",
+            "merged_n",
+            "merged_cents",
+            (
+                (F.col("merged_n") == F.col("n"))
+                & (F.col("merged_cents") == F.col("v_cents"))
+            ).alias("consistent"),
+        )
+        .orderBy("event_type")
+    )

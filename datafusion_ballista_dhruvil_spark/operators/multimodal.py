@@ -715,3 +715,103 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts_batch,
         schema="doc_id long, n_frames long, n_cuts long, longest_static long",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_dhash",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         ((octet_length(encode(text)) % 64) + 1)
+           * ((octet_length(encode(text)) % 48) + 1) * 3 AS npix
+  FROM documents WHERE doc_id < 200
+), sized AS (
+  SELECT doc_id, n, npix,
+         CASE WHEN n > 0
+              THEN list_transform(string_split(text, ''), c -> ord(c))
+              ELSE NULL END AS bl
+  FROM base
+), hashed AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 64), i ->
+           CASE WHEN (CASE WHEN n = 0 THEN 127
+                      ELSE bl[CAST(((i * npix // 65) % n) + 1 AS INT)] END)
+                >
+                (CASE WHEN n = 0 THEN 127
+                      ELSE bl[CAST((((i + 1) * npix // 65) % n) + 1 AS INT)] END)
+                THEN '1' ELSE '0' END), '') AS dhash
+  FROM sized
+)
+SELECT doc_id, dhash,
+       CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+FROM hashed
+ORDER BY doc_id
+""",
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint over DECODED image
+    pixels: bit i = sample[i] > sample[i+1] across 65 evenly-spaced pixel
+    samples — the gradient-based sibling of mm_image_ahash (public dHash
+    scheme). Gradients are robust to global brightness shifts that flip
+    every aHash bit at once, so real image-dedup pipelines bucket on BOTH
+    hashes; this completes the pair.
+
+    Same proven plumbing: deterministic BMP encode -> REAL decode (header
+    parse + padding strip) -> pure integer bit derivation, all map-only
+    over the binary column; only (doc_id, 64-bit hash) ever shuffles for
+    the collision-count window.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+        encode_bmp as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                w, h = (n % 64) + 1, (n % 48) + 1
+                npix = w * h * 3
+                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                images.append(_enc(w, h, px.tobytes()))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
+
+    def dhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        idx = _np.arange(65, dtype=_np.int64)
+        for pdf in it:
+            hashes = []
+            for b in pdf["image"]:
+                _, _, px = _dec(bytes(b))
+                flat = px.reshape(-1).astype(_np.int64)
+                npix = flat.size
+                pos = idx * npix // 65
+                samples = flat[pos]
+                bits = samples[:-1] > samples[1:]
+                hashes.append("".join("1" if v else "0" for v in bits))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    hashed = (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, image binary")
+        .mapInPandas(dhash_batch, schema="doc_id long, dhash string")
+    )
+    from pyspark.sql.window import Window as _W
+
+    return hashed.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1)).over(_W.partitionBy("dhash")).cast("bigint").alias(
+            "n_same_hash"
+        ),
+    ).orderBy("doc_id")

@@ -61,8 +61,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ops_mix_rate_decomposition, ops_countmin_sketch,
 #: ops_listagg_within_group, ops_pipe_syntax, ops_collation_group,
 #: ops_bitmap_distinct, ops_try_arithmetic, ops_calendar_intervals,
-#: ops_zorder_pruning — then queries ADDED in r4 (see the r4 additions in
-#: the modules' git log), then anything whose code changed in r5. All
+#: ops_zorder_pruning — then the queries ADDED in r4 (also never
+#: verdicted): dedup_cdc_chunks, dedup_sorted_neighborhood,
+#: sim_dbscan_core, ops_group_order_by_all, ops_session_variables,
+#: ops_execute_immediate, ev_entropy_rate, ops_hll_sketch_union,
+#: ops_approx_top_k, mm_image_dhash, text_crosslingual_confusion,
+#: pipeline_incremental_agg — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently
 #: dropping a verdict slot.

@@ -2635,3 +2635,208 @@ def ops_calendar_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_group_order_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY ALL
+ORDER BY ALL
+""",
+)
+def ops_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4 + DuckDB shared
+    dialect): grouping keys inferred from the non-aggregate select items,
+    ordering over every output column. The SAME SQL text runs on both
+    engines — the oracle string is passed to Spark verbatim, proving the
+    dialect overlap rather than translating it.
+
+    Scale: resolves to the identical partial/final hash aggregate as an
+    explicit GROUP BY — inference happens at analysis time, the physical
+    plan is unchanged.
+    """
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_session_variables",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def ops_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET VAR``,
+    SQL/PSM): parameters held in session state and referenced from query
+    text — the reference's prepared-statement/parameterized-SQL surface
+    (PREPARE in plans; flight_sql.rs prepared statements) expressed
+    through the catalog instead of the wire. The variables fold to
+    literals at analysis time, so the filter still pushes down to the
+    scan; the oracle is the equivalent constant-folded ANSI SQL.
+    """
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE date_floor STRING DEFAULT '1990-01-01'")
+    spark.sql("SET VAR price_floor = 150000.0")
+    spark.sql("SET VAR date_floor = '1996-01-01 00:00:00'")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice > price_floor
+  AND o_orderdate >= CAST(date_floor AS TIMESTAMP)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_execute_immediate",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_nationkey = 7
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def ops_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` with a named parameter (Spark 4): SQL text
+    built/held as data and executed with bound arguments — the dynamic-SQL
+    face of the reference's PREPARE surface. The bound parameter arrives
+    as a literal in the resolved plan, so predicate pushdown is intact.
+    """
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    stmt = (
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+        "CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(18,0))) AS BIGINT) AS bal_cents "
+        "FROM customer WHERE c_nationkey = :nk "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt_text STRING")
+    spark.sql("SET VAR stmt_text = ?", args=[stmt])
+    return spark.sql("EXECUTE IMMEDIATE stmt_text USING 7 AS nk")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_hll_sketch_union",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS within_bound,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN o_custkey END) AS BIGINT)
+         AS exact_urgent_custs,
+       TRUE AS within_bound_urgent
+FROM orders
+""",
+)
+def ops_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Apache DataSketches HLL: per-priority partial sketches
+    (``hll_sketch_agg``) merged with ``hll_union_agg`` — the rollup
+    pattern that makes distinct counts REUSABLE at 100 TB (store one
+    sketch per partition/day, answer any union without rescanning). The
+    reference's approx_distinct is the same HLL idea but non-mergeable
+    across result sets (DataFusion datafusion.proto:529-549); Spark 4's
+    sketch functions expose the merge algebra directly.
+
+    Oracle contract (the ops_agg_approx pattern): sketch estimates are
+    engine-specific, so the query emits the EXACT distinct counts plus
+    booleans asserting the merged-sketch estimate lands within its
+    documented bound (lgConfigK=12 -> rsd ~1.6%; asserted at 5%, ~3
+    sigma), and the oracle emits the exact counts with literal TRUEs.
+    """
+    t = Tables(spark, sf_dir)
+    parts = t.orders.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = parts.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est_all"),
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg("
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN sk END))"
+        ).alias("_est_urgent"),
+    )
+    exact = t.orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        )
+        .cast("bigint")
+        .alias("exact_urgent_custs"),
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "exact_custs",
+        (
+            F.abs(F.col("_est_all") - F.col("exact_custs"))
+            <= 0.05 * F.col("exact_custs")
+        ).alias("within_bound"),
+        "exact_urgent_custs",
+        (
+            F.abs(F.col("_est_urgent") - F.col("exact_urgent_custs"))
+            <= 0.05 * F.col("exact_urgent_custs")
+        ).alias("within_bound_urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_approx_top_k",
+    oracle="""
+SELECT l_returnflag AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_returnflag
+ORDER BY cnt DESC, item
+LIMIT 2
+""",
+)
+def ops_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4 frequent-items sketch): heavy hitters
+    without a full group-by — the built-in counterpart of the hand-rolled
+    Misra-Gries operator (text_heavy_hitters). With the column's distinct
+    cardinality (3 return flags) far below maxItemsTracked, the sketch is
+    EXACT by construction, so the exploded (item, count) rows hash-match
+    the exact group-by oracle directly — same contract the reference's
+    sketch tests use (exactness in the no-eviction regime).
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.agg(
+            F.expr("approx_top_k(l_returnflag, 2)").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )

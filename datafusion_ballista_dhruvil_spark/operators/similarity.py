@@ -3262,3 +3262,115 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+#: DBSCAN-style density parameters: eps on cosine similarity, minPts core
+_DBSCAN_EPS = 0.25
+_DBSCAN_MINPTS = 3
+
+
+@query(
+    "sim_dbscan_core",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label, embedding, {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+nb AS (
+  SELECT a.vec_id AS v, b.vec_id AS u
+  FROM base a JOIN base b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+        >= {_DBSCAN_EPS}
+),
+deg AS (SELECT v, COUNT(*) AS n_nb FROM nb GROUP BY v),
+core AS (SELECT v FROM deg WHERE n_nb >= {_DBSCAN_MINPTS}),
+border AS (
+  SELECT DISTINCT nb.v FROM nb JOIN core c ON nb.u = c.v
+  WHERE nb.v NOT IN (SELECT v FROM core)
+)
+SELECT b.vec_id, CAST(b.label AS BIGINT) AS label,
+       CAST(COALESCE(d.n_nb, 0) AS BIGINT) AS n_nb,
+       CASE WHEN c.v IS NOT NULL THEN 'core'
+            WHEN br.v IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM base b
+LEFT JOIN deg d ON d.v = b.vec_id
+LEFT JOIN core c ON c.v = b.vec_id
+LEFT JOIN border br ON br.v = b.vec_id
+ORDER BY vec_id
+""",
+)
+def sim_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification over embeddings: every vector becomes
+    ``core`` (>= minPts eps-neighbors), ``border`` (not core, but adjacent
+    to a core), or ``noise`` — the pre-clustering density audit that tells
+    a curation pipeline which embedding regions are dense duplicates vs
+    isolated outliers before running the full cluster expansion
+    (dedup_cluster_cc supplies the connected-components step).
+
+    The eps-neighbor graph is built inside label blocks (the
+    sim_embedding_neardup posture: all-pairs only within a partition key;
+    at scale the block key is an LSH/IVF bucket, same join shape). Degree
+    counting and the border test are equi-joins on vec_id — the pair table
+    never leaves the block-bounded cardinality.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("u"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    nb = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("v") != F.col("u")))
+        .where(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= _DBSCAN_EPS
+        )
+        .select("v", "u")
+    )
+    deg = nb.groupBy("v").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = deg.where(F.col("n_nb") >= _DBSCAN_MINPTS).select("v")
+    border = (
+        nb.join(core.withColumnRenamed("v", "u"), "u")
+        .select("v")
+        .join(core, "v", "left_anti")
+        .distinct()
+    )
+    return (
+        base.select("vec_id", F.col("label").cast("bigint").alias("label"))
+        .join(deg.withColumnRenamed("v", "vec_id"), "vec_id", "left")
+        .join(
+            core.select(F.col("v").alias("vec_id"), F.lit(1).alias("is_core")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("v").alias("vec_id"), F.lit(1).alias("is_border")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_nb"), F.lit(0)).cast("bigint").alias("n_nb"),
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+        .orderBy("vec_id")
+    )

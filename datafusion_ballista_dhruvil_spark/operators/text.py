@@ -2148,3 +2148,117 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("burstiness_ppt"), "term")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_crosslingual_confusion",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang AS doc_lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+prof AS (
+  SELECT doc_lang AS lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY doc_lang, tok
+),
+ltot AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS tot FROM prof GROUP BY lang),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM prof),
+langs AS (SELECT DISTINCT lang FROM ltot),
+cand AS (
+  SELECT t.doc_id, t.doc_lang, l.lang AS cand_lang, t.tok,
+         CAST(round(log2(COALESCE(p.f, 0) + 1) * 1000000) AS BIGINT)
+           - CAST(round(log2(lt.tot + vb.v) * 1000000) AS BIGINT) AS y
+  FROM toks t
+  CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.tok = t.tok
+  JOIN ltot lt ON lt.lang = l.lang
+  CROSS JOIN vocab vb
+),
+scores AS (
+  SELECT doc_id, doc_lang, cand_lang, CAST(SUM(y) AS BIGINT) AS ll_q6
+  FROM cand GROUP BY doc_id, doc_lang, cand_lang
+),
+best AS (
+  SELECT doc_id, doc_lang, cand_lang AS best_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY ll_q6 DESC, cand_lang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT doc_lang, best_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best GROUP BY doc_lang, best_lang
+ORDER BY doc_lang, best_lang
+""",
+)
+def text_crosslingual_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned language-mislabel audit: build per-language unigram
+    profiles FROM the corpus itself, score every document's tokens under
+    every language's add-one-smoothed log-likelihood, and report the
+    (labeled lang x argmax lang) confusion matrix — off-diagonal mass is
+    the mislabeled/code-switched slice to re-route before per-language
+    training mixes are drawn. Unlike text_langid's fixed marker tokens,
+    the profiles here are data-derived (the fastText/langid.py posture).
+
+    Exactness: the quantized-log path — log2(f+1) and log2(tot+V) round
+    to micro-bits as INTEGERS before the per-doc sum, so accumulation is
+    exact BIGINT and argmax ties break on lang order. Scale: profiles are
+    a (vocab x 5-lang) relation — broadcast; scoring joins each exploded
+    token to the broadcast profile map-side; only (doc, lang, sum) rows
+    shuffle for the per-doc argmax.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.col("lang").alias("doc_lang"),
+        F.explode(_toks()).alias("tok"),
+    )
+    prof = toks.groupBy(F.col("doc_lang").alias("lang"), "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    ltot = prof.groupBy("lang").agg(F.sum("f").cast("bigint").alias("tot"))
+    vocab = prof.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    langs = ltot.select("lang")
+    q6 = lambda c: F.round(F.log2(c) * 1000000).cast("bigint")  # noqa: E731
+    cand = (
+        toks.crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand_lang")))
+        .join(
+            F.broadcast(
+                prof.select(
+                    F.col("lang").alias("cand_lang"), "tok", "f"
+                )
+            ),
+            ["cand_lang", "tok"],
+            "left",
+        )
+        .join(
+            F.broadcast(ltot.withColumnRenamed("lang", "cand_lang")),
+            "cand_lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "doc_lang",
+            "cand_lang",
+            (
+                q6(F.coalesce(F.col("f"), F.lit(0)) + 1)
+                - q6(F.col("tot") + F.col("v"))
+            ).alias("y"),
+        )
+    )
+    scores = cand.groupBy("doc_id", "doc_lang", "cand_lang").agg(
+        F.sum("y").cast("bigint").alias("ll_q6")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("ll_q6"), F.asc("cand_lang")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_lang", F.col("cand_lang").alias("best_lang"))
+    )
+    return (
+        best.groupBy("doc_lang", "best_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("doc_lang", "best_lang")
+    )

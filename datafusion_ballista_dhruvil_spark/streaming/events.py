@@ -2711,3 +2711,76 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.cast("bigint").alias("cusum_fixed"),
         (cusum > 3 * F.col("mean100")).alias("shifted"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_entropy_rate",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(c_st) AS BIGINT) AS c_s,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types,
+         CAST(SUM(c_st * CAST(round(log2(c_st) * 1000000) AS BIGINT))
+              AS BIGINT) AS sum_cy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, c_s AS n_transitions, n_next_types,
+       c_s * CAST(round(log2(c_s) * 1000000) AS BIGINT) - sum_cy
+         AS ent_num_q6,
+       CAST(c_s * CAST(round(log2(c_s) * 1000000) AS BIGINT) - sum_cy
+            AS DOUBLE) / CAST(c_s AS DOUBLE) / 1000000.0 AS entropy_bits
+FROM s ORDER BY event_type
+""",
+)
+def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state transition entropy of the user-journey Markov chain: for
+    each event_type, the Shannon entropy (bits) of its next-event
+    distribution — near-zero entropy states are deterministic funnels,
+    high-entropy states are exploration points. Completes the Markov
+    family (ev_transition_matrix gives P, ev_markov_stationary gives pi;
+    this gives H(next | state)).
+
+    Exactness: the module's quantized-log path — every log2 of an INTEGER
+    transition count rounds to micro-bits, the entropy numerator
+    c_s*log2(c_s) - SUM(c_st*log2(c_st)) accumulates in exact BIGINTs
+    (associativity-proof), and the only float op is one final division
+    chain. Scale: one user_id shuffle for lead(), then aggregates over the
+    tiny (types x types) relation.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = t.events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    y = F.round(F.log2("c_st") * 1000000).cast("bigint")
+    s = c.groupBy("event_type").agg(
+        F.sum("c_st").cast("bigint").alias("c_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next_types"),
+        F.sum(F.col("c_st") * y).cast("bigint").alias("sum_cy"),
+    )
+    ys = F.round(F.log2("c_s") * 1000000).cast("bigint")
+    ent_num = F.col("c_s") * ys - F.col("sum_cy")
+    return s.select(
+        "event_type",
+        F.col("c_s").alias("n_transitions"),
+        "n_next_types",
+        ent_num.alias("ent_num_q6"),
+        (
+            ent_num.cast("double") / F.col("c_s").cast("double") / 1000000.0
+        ).alias("entropy_bits"),
+    ).orderBy("event_type")
