@@ -568,3 +568,43 @@ def test_collation_group_two_phase_sort_agg(spark):
     assert "SortAggregate" in plan
     assert "partial_" in plan and "merge_" in plan
     assert exchange_count(df) <= 3  # distinct-forms phase + group + sort
+
+
+def test_cdc_chunks_shuffles_digests_only(spark):
+    """dedup_cdc_chunks: chunking is window+agg inside the doc, the
+    shared-chunk test is a hash equi-join on the 32-byte digest — never a
+    pair join, never a nested loop."""
+    plan = formatted_plan(QUERIES["dedup_cdc_chunks"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_sorted_neighborhood_candidates_are_window_not_join(spark):
+    """dedup_sorted_neighborhood: candidates come from lead() over the
+    sort order (linear), and verification is equi-joins on doc_id against
+    the shingle arrays — no all-pairs shape anywhere."""
+    plan = formatted_plan(QUERIES["dedup_sorted_neighborhood"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_dbscan_pairs_stay_block_bounded(spark):
+    """sim_dbscan_core: the eps-neighbor graph joins on the label block
+    key (hash join); degree/core/border are equi-joins on vec_id."""
+    plan = formatted_plan(QUERIES["sim_dbscan_core"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_crosslingual_profiles_broadcast(spark):
+    """text_crosslingual_confusion: the (vocab x langs) profile tables
+    must broadcast — scoring stays map-side; only per-(doc, lang) sums
+    shuffle for the argmax."""
+    plan = formatted_plan(QUERIES["text_crosslingual_confusion"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_agg_pushes_partition_predicates(spark):
+    """pipeline_incremental_agg: the base/delta split predicates must
+    reach the scans — at scale these are partition prunes, not filters."""
+    df = QUERIES["pipeline_incremental_agg"](spark, SF_DIR)
+    assert has_pushed_filters(df, "ts")
