@@ -400,3 +400,54 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "snapshot_pysource_agg",
+    oracle="""
+WITH v0 AS (SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+v1 AS (SELECT lang, n_chars FROM documents)
+SELECT 'v0' AS version, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v0 GROUP BY lang
+UNION ALL
+SELECT 'latest', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM v1 GROUP BY lang
+ORDER BY version, lang
+""",
+)
+def snapshot_pysource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom TableProvider end-to-end under the hash gate: the snapshot
+    manifest-log table is read back through the registered Python
+    DataSource (``format("snapshot_log")`` — sources/pysource.py, the
+    Spark 4 pluggable-provider API), once at an explicit version and once
+    at latest, then aggregated. One input partition per immutable data
+    file, Arrow-batch ingest on the executors — the PySpark-native
+    counterpart of the reference's Iceberg TableProvider scan
+    (core/src/serde/mod.rs:90).
+    """
+    import shutil
+
+    from datafusion_ballista_dhruvil_spark.sources.pysource import register
+    from datafusion_ballista_dhruvil_spark.sources.snapshots import commit
+
+    t = Tables(spark, sf_dir)
+    register(spark)
+    root = _stage(spark, sf_dir, "snap_pysource")
+    shutil.rmtree(root, ignore_errors=True)  # re-runnable within a session
+    docs = t.documents.select("doc_id", "lang", "n_chars")
+    commit(docs.where(F.col("doc_id") % 2 == 0), root, "append")
+    commit(docs, root, "overwrite")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(tag).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select("version", "lang", "n_docs", "sum_chars")
+
+    v0 = spark.read.format("snapshot_log").option("version", 0).load(root)
+    latest = spark.read.format("snapshot_log").load(root)
+    return agg(v0, "v0").unionAll(agg(latest, "latest")).orderBy(
+        "version", "lang"
+    )

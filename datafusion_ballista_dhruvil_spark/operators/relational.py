@@ -2840,3 +2840,39 @@ def ops_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_identifier_clause",
+    oracle="""
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def ops_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` (Spark 4, SQL:2023-adjacent): table and
+    column names supplied as DATA, resolved injection-safely at analysis
+    time — the dynamic-catalog face of the parameterized-SQL surface
+    (PREPARE / EXECUTE IMMEDIATE family). A templated pipeline selects
+    its target table per run without string-splicing SQL.
+    """
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation_ident")
+    return spark.sql(
+        """
+SELECT IDENTIFIER(:keycol), CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(IDENTIFIER(:namecol)) AS first_name
+FROM IDENTIFIER(:tbl)
+GROUP BY IDENTIFIER(:keycol)
+ORDER BY IDENTIFIER(:keycol)
+""",
+        args={
+            "tbl": "nation_ident",
+            "keycol": "n_regionkey",
+            "namecol": "n_name",
+        },
+    )

@@ -94,9 +94,21 @@ def commit(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
     new_files = _stage_files(df, root)
-    schema_json = df.schema.json()
+    return publish(root, new_files, mode, df.schema.json(), max_retries)
+
+
+def publish(
+    root: str,
+    new_files: list[str],
+    mode: str,
+    schema_json: str,
+    max_retries: int = 10,
+) -> int:
+    """Publish already-staged immutable data files as the next snapshot
+    (the atomic half of ``commit`` — also the commit step of the Python
+    DataSource writer, sources/pysource.py)."""
+    os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
     for _ in range(max_retries):
         snaps = _list_snapshots(root)
         head = snaps[-1] if snaps else -1

@@ -1,0 +1,75 @@
+"""Per-round bench regression gate (VERDICT r3 item 5).
+
+Compares the CURRENT per-query suite timings (bench_queries.json, written
+by ``python bench.py``) against a PREVIOUS round's file, flags >1.5x
+regressions above a floor, then RE-MEASURES every flagged query run-alone
+(``bench.py --solo`` — fresh JVM per query, warmup discarded) so same-JVM
+suite contention can't masquerade as a code regression. The solo result
+is the verdict: a query is only a real regression if it is ALSO slow when
+run alone against the solo baseline (or, with no solo baseline yet,
+slower than its previous suite time — conservative).
+
+Usage: python tools/bench_gate.py PREV_bench_queries.json [CUR.json]
+Writes BENCH_SOLO.json via bench.py --solo; exits 1 on confirmed
+regressions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+FLOOR_SEC = 0.3
+RATIO = 1.5
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    prev_path = sys.argv[1]
+    cur_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        _REPO, "bench_queries.json"
+    )
+    with open(prev_path) as f:
+        prev = json.load(f)["queries"]
+    with open(cur_path) as f:
+        cur = json.load(f)["queries"]
+    flagged = sorted(
+        (n, prev[n], cur[n])
+        for n in cur
+        if n in prev and prev[n] > FLOOR_SEC and cur[n] > RATIO * prev[n]
+    )
+    if not flagged:
+        print(json.dumps({"metric": "bench_gate", "regressions": [],
+                          "flagged": 0}))
+        return 0
+    names = [n for n, _, _ in flagged]
+    print(f"suite-flagged (>{RATIO}x, prev>{FLOOR_SEC}s): "
+          + ", ".join(f"{n} {p}->{c}" for n, p, c in flagged),
+          file=sys.stderr)
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"), "--solo", *names],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        print(r.stderr[-2000:], file=sys.stderr)
+        return 1
+    solo = json.loads(r.stdout.strip().splitlines()[-1])["queries"]
+    confirmed = [
+        {"query": n, "prev_suite": p, "cur_suite": c, "solo": solo[n]}
+        for n, p, c in flagged
+        if solo[n] > RATIO * p
+    ]
+    print(json.dumps({
+        "metric": "bench_gate",
+        "flagged": len(flagged),
+        "solo": solo,
+        "regressions": confirmed,
+    }))
+    return 1 if confirmed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
