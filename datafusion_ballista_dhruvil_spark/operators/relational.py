@@ -2876,3 +2876,29 @@ ORDER BY IDENTIFIER(:keycol)
             "namecol": "n_name",
         },
     )
+
+
+# ---------------------------------------------------------------------------
+_LCA_SQL = """
+SELECT l_quantity + l_linenumber AS adj_qty,
+       adj_qty * 2 AS dbl_qty,
+       dbl_qty - l_quantity AS spread,
+       l_orderkey
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, adj_qty, dbl_qty
+"""
+
+
+@query("ops_lateral_column_alias", oracle=_LCA_SQL)
+def ops_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+/DuckDB shared dialect): a select
+    item referencing an alias defined EARLIER in the same select list —
+    the incremental-expression sugar heavy analytics SQL leans on. The
+    identical text runs on both engines; Catalyst inlines the alias
+    chain, so the plan is one projection (no self-join, no CTE
+    materialization).
+    """
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_LCA_SQL)

@@ -493,3 +493,70 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_weighted_expjump",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_chars,
+         (CAST(round(ln(1152921504606846976.0) * 1000000) AS BIGINT)
+          - CAST(round(ln(CAST(h + 1 AS DOUBLE)) * 1000000) AS BIGINT))
+           * 1000000 // n_chars AS ekey
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, ekey
+FROM scored
+ORDER BY ekey, doc_id
+LIMIT 20
+""",
+)
+def sample_weighted_expjump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis-Spirakis A-Res, the exp-jump family): each item draws a
+    deterministic pseudo-uniform u from its id hash and competes on
+    -ln(u)/weight — the global top-k IS a weighted sample without
+    replacement, computable as one distributed TakeOrdered with zero
+    coordination (the distributed-reservoir answer at 100 TB; heavier
+    documents, weight = n_chars, are proportionally likelier).
+
+    Exactness: u = (h+1)/2^60 with h the 60-bit id hash; the key is
+    (ln(2^60) - ln(h+1)) quantized to micro-nats as BIGINT, then integer-
+    divided by the weight — all-integer ordering, so both engines select
+    the identical sample with identical keys, ties broken on doc_id.
+    """
+    t = Tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ln_max_q6 = F.round(
+        F.log(F.lit(1152921504606846976.0)) * 1000000
+    ).cast("bigint")
+    ln_h_q6 = F.round(
+        F.log((h + 1).cast("double")) * 1000000
+    ).cast("bigint")
+    return (
+        t.documents.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            ((ln_max_q6 - ln_h_q6) * 1000000)
+            .cast("bigint")
+            .alias("_num"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("_num div n_chars").alias("ekey"),
+        )
+        .orderBy("ekey", "doc_id")
+        .limit(20)
+    )

@@ -311,7 +311,11 @@ def _ivf_codebook(t: Tables):
 
 
 def _ivf_assigned(
-    side: DataFrame, codebook, max_rank: int, carry: tuple[str, ...] = ()
+    side: DataFrame,
+    codebook,
+    max_rank: int,
+    carry: tuple[str, ...] = (),
+    emit_rank: bool = False,
 ) -> DataFrame:
     """Map-side IVF cell assignment (r4, VERDICT r3 item 2): ONE
     mapInPandas pass quantizes each row once, scores all K centroids with
@@ -350,11 +354,15 @@ def _ivf_assigned(
                 "nrm": nrm[rep],
                 "centroid_id": cent_ids[order.ravel()],
             }
+            if emit_rank:
+                out["arn"] = np.tile(np.arange(1, k + 1), n)
             for c in carry:
                 out[c] = pdf[c].to_numpy()[rep]
             yield pd.DataFrame(out)
 
     schema = "vec_id long, embedding array<float>, nrm double, centroid_id long"
+    if emit_rank:
+        schema += ", arn long"
     for c in carry:
         schema += f", {c} long"
     return side.select("vec_id", "embedding", *carry).mapInPandas(
@@ -2046,33 +2054,66 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     codebook = _ivf_codebook(t)
     base = t.embeddings
-    corpus = _ivf_assigned(base, codebook, 1, carry=("label",)).select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-        "centroid_id",
-        F.col("label").alias("b_label"),
+    # EVERY vector is both corpus member and probe here, so run the
+    # assignment kernel ONCE at rank<=nprobe and persist: corpus = rank-1
+    # rows, probes = all rows — halves the O(N*K) matmul work vs two
+    # independent passes (bench_gate r4)
+    assigned = _ivf_assigned(
+        base, codebook, _IVF_NPROBE, carry=("label",), emit_rank=True
     )
-    probes = _ivf_assigned(base, codebook, _IVF_NPROBE, carry=("label",)).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("centroid_id").alias("pcent"),
-        F.col("label").alias("a_label"),
+
+    # cell-local matmul (bench_gate r4): score each cell's probes against
+    # its corpus members with ONE int64 matmul inside applyInPandas and
+    # emit only per-(probe, cell) top-3 — pair rows are never
+    # materialized or shuffled; the only shuffle is the groupBy(cell) of
+    # the assigned rows themselves, and cell size is bounded by
+    # construction (balanced k-means at scale)
+    def cell_topk(pdf):
+        cor = pdf[pdf["arn"] == 1]
+        if len(cor) == 0 or len(pdf) == 0:
+            return pd.DataFrame(
+                {"a_id": [], "a_label": [], "b_id": [], "b_label": [],
+                 "cosine": []}
+            )
+        ci = _round_half_away(
+            np.stack(cor["embedding"].to_numpy()).astype(np.float64) * _SCALE
+        )
+        cn = cor["nrm"].to_numpy()
+        c_ids = cor["vec_id"].to_numpy()
+        c_lbl = cor["label"].to_numpy()
+        pi = _round_half_away(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _SCALE
+        )
+        pn = pdf["nrm"].to_numpy()
+        p_ids = pdf["vec_id"].to_numpy()
+        p_lbl = pdf["label"].to_numpy()
+        cos = (pi @ ci.T) / _SCALE_SQ / (pn[:, None] * cn[None, :])
+        out_a, out_al, out_b, out_bl, out_c = [], [], [], [], []
+        for i in range(len(pdf)):
+            mask = c_ids != p_ids[i]
+            pick = np.lexsort((c_ids[mask], -cos[i, mask]))[:3]
+            mids, mlbl, mcos = c_ids[mask], c_lbl[mask], cos[i, mask]
+            out_a.extend([p_ids[i]] * len(pick))
+            out_al.extend([p_lbl[i]] * len(pick))
+            out_b.extend(mids[pick])
+            out_bl.extend(mlbl[pick])
+            out_c.extend(mcos[pick])
+        return pd.DataFrame(
+            {
+                "a_id": pd.Series(out_a, dtype="int64"),
+                "a_label": pd.Series(out_al, dtype="int64"),
+                "b_id": pd.Series(out_b, dtype="int64"),
+                "b_label": pd.Series(out_bl, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    scored = assigned.groupBy("centroid_id").applyInPandas(
+        cell_topk,
+        schema="a_id long, a_label long, b_id long, b_label long, "
+        "cosine double",
     )
-    scored = probes.join(
-        corpus,
-        (F.col("pcent") == F.col("centroid_id"))
-        & (F.col("a_id") != F.col("b_id")),
-    ).select(
-        "a_id",
-        "a_label",
-        "b_id",
-        "b_label",
-        (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-            "cosine"
-        ),
-    )
+    # global top-3 per probe over its <= nprobe*3 surviving candidates
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     nn = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
     return (
@@ -3310,67 +3351,48 @@ def sim_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolated outliers before running the full cluster expansion
     (dedup_cluster_cc supplies the connected-components step).
 
-    The eps-neighbor graph is built inside label blocks (the
-    sim_embedding_neardup posture: all-pairs only within a partition key;
-    at scale the block key is an LSH/IVF bucket, same join shape). Degree
-    counting and the border test are equi-joins on vec_id — the pair table
-    never leaves the block-bounded cardinality.
+    The eps-neighbor graph lives entirely inside label blocks (the
+    sim_embedding_neardup posture: density only against same-block
+    members; at scale the block key is an LSH/IVF bucket), and DBSCAN's
+    whole classification — degree, core test, border test — depends only
+    on the block, so ONE grouped-map pass per block computes it with a
+    single int64 matmul: no pair row is ever materialized or shuffled
+    (the same cell-local kernel as sim_knn_label_agreement). The only
+    shuffle is groupBy(label) of the vectors themselves; block size is
+    bounded by the blocking key's design.
     """
     t = Tables(spark, sf_dir)
-    base = t.embeddings.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    a = base.select(
-        F.col("vec_id").alias("v"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("u"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    nb = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("v") != F.col("u")))
-        .where(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            >= _DBSCAN_EPS
+
+    def block_roles(pdf):
+        ai = _round_half_away(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _SCALE
         )
-        .select("v", "u")
-    )
-    deg = nb.groupBy("v").agg(F.count(F.lit(1)).alias("n_nb"))
-    core = deg.where(F.col("n_nb") >= _DBSCAN_MINPTS).select("v")
-    border = (
-        nb.join(core.withColumnRenamed("v", "u"), "u")
-        .select("v")
-        .join(core, "v", "left_anti")
-        .distinct()
-    )
+        nrm = np.sqrt(np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+        cos = (ai @ ai.T) / _SCALE_SQ / (nrm[:, None] * nrm[None, :])
+        adj = cos >= _DBSCAN_EPS
+        np.fill_diagonal(adj, False)
+        n_nb = adj.sum(axis=1).astype(np.int64)
+        is_core = n_nb >= _DBSCAN_MINPTS
+        # border: not core, but adjacent to at least one core
+        has_core_nb = (adj & is_core[None, :]).any(axis=1)
+        role = np.where(
+            is_core, "core", np.where(has_core_nb, "border", "noise")
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int64"),
+                "n_nb": pd.Series(n_nb, dtype="int64"),
+                "role": role,
+            }
+        )
+
     return (
-        base.select("vec_id", F.col("label").cast("bigint").alias("label"))
-        .join(deg.withColumnRenamed("v", "vec_id"), "vec_id", "left")
-        .join(
-            core.select(F.col("v").alias("vec_id"), F.lit(1).alias("is_core")),
-            "vec_id",
-            "left",
-        )
-        .join(
-            border.select(
-                F.col("v").alias("vec_id"), F.lit(1).alias("is_border")
-            ),
-            "vec_id",
-            "left",
-        )
-        .select(
-            "vec_id",
-            "label",
-            F.coalesce(F.col("n_nb"), F.lit(0)).cast("bigint").alias("n_nb"),
-            F.when(F.col("is_core") == 1, "core")
-            .when(F.col("is_border") == 1, "border")
-            .otherwise("noise")
-            .alias("role"),
+        t.embeddings.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            block_roles,
+            schema="vec_id long, label long, n_nb long, role string",
         )
         .orderBy("vec_id")
     )

@@ -104,10 +104,13 @@ def publish(
     mode: str,
     schema_json: str,
     max_retries: int = 10,
+    extra: dict | None = None,
 ) -> int:
     """Publish already-staged immutable data files as the next snapshot
     (the atomic half of ``commit`` — also the commit step of the Python
-    DataSource writer, sources/pysource.py)."""
+    DataSource writer, sources/pysource.py). ``extra`` records
+    application metadata in the manifest (e.g. the streaming sink's
+    ``batch_id`` idempotence key — Delta's txn appId/version)."""
     os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
     for _ in range(max_retries):
         snaps = _list_snapshots(root)
@@ -123,6 +126,7 @@ def publish(
             "op": mode,
             "files": files,
             "schema": schema_json,
+            **(extra or {}),
         }
         try:
             fd = os.open(

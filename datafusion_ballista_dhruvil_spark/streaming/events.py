@@ -2784,3 +2784,54 @@ def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent_num.cast("double") / F.col("c_s").cast("double") / 1000000.0
         ).alias("entropy_bits"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+_HOLT_SQL = """
+WITH RECURSIVE daily0 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS INTEGER) AS d, day, v
+  FROM daily0
+),
+holt AS (
+  SELECT d, day, v, v AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM daily WHERE d = 0
+  UNION ALL
+  SELECT nd.d, nd.day, nd.v,
+         0.5 * nd.v + 0.5 * (h.level + h.trend),
+         0.25 * ((0.5 * nd.v + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.75 * h.trend
+  FROM holt h JOIN daily nd ON nd.d = h.d + 1
+  WHERE h.d < 59
+)
+SELECT d, CAST(day AS STRING) AS day, v AS observed, level, trend,
+       level + trend AS forecast_next
+FROM holt ORDER BY d
+"""
+
+
+@query("ev_forecast_holt", oracle=_HOLT_SQL)
+def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend double exponential smoothing over the daily event
+    series, run as a RECURSIVE CTE — a genuine linear recurrence (level
+    and trend each depend on yesterday's smoothed state), which no window
+    frame can express; Spark 4's recursive CTEs make it pure SQL, and the
+    IDENTICAL text runs on DuckDB, so the recurrence is hash-verified
+    bit-for-bit (same IEEE ops in the same order; alpha=1/2, beta=1/4 are
+    exact binary fractions). Complements ev_forecast_naive (seasonal
+    carry-forward) with an actual trend model.
+
+    Scale posture: the recursion runs over the AGGREGATED daily series
+    (one row per day — 60 steps here, bounded by the recursion guard),
+    never over raw events; the only big-data work is the one
+    groupBy(day) shuffle that builds the series. State-space models at
+    1e6-series scale shard by series key with applyInPandas; this is the
+    single-series SQL-native form.
+    """
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return spark.sql(_HOLT_SQL)

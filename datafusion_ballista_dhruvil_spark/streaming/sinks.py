@@ -132,3 +132,48 @@ def cdc_merge_view(
             .alias("origin"),
         )
     )
+
+
+def committed_stream_batches(root: str) -> set[int]:
+    """Streaming batch ids already published to the snapshot table."""
+    from datafusion_ballista_dhruvil_spark.sources import snapshots as _snap
+
+    out = set()
+    for n in _snap._list_snapshots(root):
+        m = _snap._read_manifest(root, n)
+        if "batch_id" in m:
+            out.add(int(m["batch_id"]))
+    return out
+
+
+def start_snapshot_log_sink(
+    stream_df: DataFrame, root: str, checkpoint: str
+) -> StreamingQuery:
+    """Land a stream into a snapshot manifest-log table exactly-once:
+    each micro-batch commits as ONE transactional snapshot carrying its
+    ``batch_id`` in the manifest, and a replayed batch (same checkpoint,
+    after failure/restart) is SKIPPED because its id is already
+    committed — Delta's ``txn`` appId/version idempotence on the repo's
+    own table format (sources/snapshots.py). Readers always see a
+    consistent snapshot: a batch is either fully visible or absent.
+    """
+    from datafusion_ballista_dhruvil_spark.sources import snapshots as _snap
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_stream_batches(root):
+            return  # replay of an already-committed batch: exactly-once
+        files = _snap._stage_files(batch_df, root)
+        _snap.publish(
+            root,
+            files,
+            "append",
+            batch_df.schema.json(),
+            extra={"batch_id": int(epoch_id)},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

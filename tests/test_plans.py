@@ -143,19 +143,18 @@ def test_ivf_assignment_is_map_side(spark):
     )
 
 
-def test_knn_label_agreement_is_bounded_candidate_join(spark):
-    """r4 rewrite (VERDICT r3 item 3): neighbors come from the IVF
-    candidate equi-join, not a full-corpus driver collect. The plan must
-    show the map-side assignment kernel feeding an equi-join — never a
-    nested-loop over all pairs."""
+def test_knn_label_agreement_is_cell_local(spark):
+    """r4 rewrite (VERDICT r3 item 3): neighbors come from cell-local
+    matmul over the IVF assignment, not a full-corpus driver collect and
+    not a materialized pair join. The plan must show the map-side
+    assignment kernel (MapInPandas) feeding a grouped-map top-k
+    (FlatMapGroupsInPandas on centroid_id) — no join of pair rows, no
+    nested loop anywhere."""
     plan = formatted_plan(QUERIES["sim_knn_label_agreement"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "MapInPandas" in plan
-    assert (
-        "BroadcastHashJoin" in plan
-        or "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_per_group_topk_uses_window_group_limit(spark):
@@ -587,11 +586,14 @@ def test_sorted_neighborhood_candidates_are_window_not_join(spark):
     assert "Window" in plan
 
 
-def test_dbscan_pairs_stay_block_bounded(spark):
-    """sim_dbscan_core: the eps-neighbor graph joins on the label block
-    key (hash join); degree/core/border are equi-joins on vec_id."""
+def test_dbscan_is_one_grouped_pass(spark):
+    """sim_dbscan_core: the whole classification (degree, core, border)
+    runs as ONE grouped-map matmul per label block — no pair rows, no
+    joins at all; the only shuffle is groupBy(label)."""
     plan = formatted_plan(QUERIES["sim_dbscan_core"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_crosslingual_profiles_broadcast(spark):

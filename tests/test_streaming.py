@@ -341,3 +341,54 @@ def test_streaming_hopping_window_matches_batch(spark):
     )
     assert len(stream_rows) == len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_streaming_snapshot_log_sink_exactly_once(spark, tmp_path):
+    """Streaming into the transactional snapshot table: each micro-batch
+    is one atomic snapshot carrying its batch_id; a checkpoint replay
+    commits NOTHING new, and the landed table equals the batch read."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_dhruvil_spark.session import normalize_events_ts
+    from datafusion_ballista_dhruvil_spark.sources.snapshots import (
+        history,
+        read_snapshot,
+    )
+    from datafusion_ballista_dhruvil_spark.streaming.sinks import (
+        committed_stream_batches,
+        start_snapshot_log_sink,
+    )
+
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    root, ck = str(tmp_path / "snap_tbl"), str(tmp_path / "ck")
+
+    def start():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+        )
+        ev = normalize_events_ts(stream).select("event_id", "event_type")
+        return start_snapshot_log_sink(ev, root, ck)
+
+    q = start()
+    q.awaitTermination(120)
+    first_hist = history(root)
+    assert len(first_hist) >= 1
+    batches = committed_stream_batches(root)
+    assert batches  # every committed snapshot carries its batch id
+
+    # restart from the same checkpoint: replay must add NO snapshot
+    q2 = start()
+    q2.awaitTermination(120)
+    assert history(root) == first_hist
+
+    landed = read_snapshot(spark, root)
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    assert landed.count() == batch.count()
+    assert (
+        landed.agg(F.sum("event_id")).first()[0]
+        == batch.agg(F.sum("event_id")).first()[0]
+    )
