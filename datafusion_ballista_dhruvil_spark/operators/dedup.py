@@ -1107,7 +1107,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
     )
-    hits = wins.join(shared, "h").select("doc_id", "s", "nd")
+    # the shared-digest set is DATA-DEPENDENT (boilerplate-heavy corpora
+    # make it huge): hint a shuffle-hash join so Spark never tries to
+    # broadcast it — the salted 10x stress corpus OOM'd the driver when
+    # AQE's post-agg size estimate undershot (PERF.md r4)
+    hits = wins.join(shared.hint("shuffle_hash"), "h").select(
+        "doc_id", "s", "nd"
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("s")
     run = (
         Window.partitionBy("doc_id")
@@ -1850,7 +1856,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h", F.lit(1).alias("is_shared"))
     )
     return (
-        chunks.join(shared, "h", "left")
+        # same data-dependent-size reasoning as dedup_substring_spans:
+        # never broadcast the shared-chunk set
+        chunks.join(shared.hint("shuffle_hash"), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

@@ -976,3 +976,68 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars, n_langs, total_tokens,
+       n_docs - n_unique AS n_exact_dups,
+       total_tokens * 1000 // n_docs AS tokens_per_doc_milli,
+       (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm
+FROM per_src
+ORDER BY source
+""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (datasheets-for-datasets): one row per source
+    with document/char/token volume, language spread, and the exact-dup
+    rate — the provenance table a corpus release publishes and a mixing
+    job reads to set per-source sampling rates (cf.
+    mix_resample_sources). ONE scan, one groupBy(source) with a
+    count-distinct on the 32-byte content hash; every figure exact
+    integers.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.countDistinct("h").cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            "total_tokens",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+            F.expr("total_tokens * 1000 div n_docs").alias(
+                "tokens_per_doc_milli"
+            ),
+            F.expr("(n_docs - n_unique) * 1000000 div n_docs").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

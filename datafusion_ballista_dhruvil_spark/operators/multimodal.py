@@ -815,3 +815,133 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_hash"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+#: VAD framing: 64 samples/frame; a frame is ACTIVE when its sum of squared
+#: sample deviations (pre-scaling, i.e. (byte-128)^2 units) exceeds this
+_VAD_FRAME = 64
+_VAD_SE_THRESH = 25000
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) = 0 THEN [0]
+              ELSE list_transform(string_split(text, ''), c -> ord(c) - 128)
+         END AS a
+  FROM documents WHERE doc_id < 200
+),
+frames AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS f,
+         list_sum(list_transform(
+           a[CAST(f * {_VAD_FRAME} + 1 AS INT)
+             : CAST((f + 1) * {_VAD_FRAME} AS INT)], x -> x * x)) AS se
+  FROM base, LATERAL (
+    SELECT unnest(range(0, (GREATEST(n, 1) + {_VAD_FRAME - 1})
+                           // {_VAD_FRAME})) AS f
+  ) g
+),
+active AS (SELECT doc_id, f FROM frames WHERE se > {_VAD_SE_THRESH}),
+isl AS (
+  SELECT doc_id, f,
+         SUM(CASE WHEN prev_f IS NULL OR f - prev_f > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING)
+           AS seg
+  FROM (SELECT doc_id, f,
+               LAG(f) OVER (PARTITION BY doc_id ORDER BY f) AS prev_f
+        FROM active)
+),
+segs AS (
+  SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM isl GROUP BY doc_id, seg
+)
+SELECT b.doc_id,
+       CAST((GREATEST(b.n, 1) + {_VAD_FRAME - 1}) // {_VAD_FRAME} AS BIGINT)
+         AS n_frames,
+       CAST(COALESCE(SUM(s.seg_len), 0) AS BIGINT) AS n_active,
+       CAST(COUNT(s.seg) AS BIGINT) AS n_segments,
+       CAST(COALESCE(MAX(s.seg_len), 0) AS BIGINT) AS longest_seg
+FROM base b LEFT JOIN segs s USING (doc_id)
+GROUP BY b.doc_id, b.n
+ORDER BY b.doc_id
+""",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over DECODED audio: frame the PCM stream
+    (64 samples/frame), mark frames whose short-time energy exceeds a
+    threshold, and merge consecutive active frames into segments
+    (gaps-and-islands) — the speech-segmentation front end an audio
+    training pipeline runs before transcription/captioning, reported as
+    per-clip frame/segment statistics.
+
+    Same proven plumbing as mm_audio_features: deterministic PCM16 WAV
+    synthesis -> REAL RIFF chunk-walk decode -> pure integer energy math
+    (sum of squared deviations per frame), so the DuckDB oracle recomputes
+    the decoded framing arithmetically. Map-only per clip: audio bytes
+    never shuffle; each clip's segments resolve inside its own row.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_audio as _dec,
+        encode_wav as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            wavs = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                if len(tb):
+                    samples = (tb.astype(_np.int64) - 128) * 256
+                else:
+                    samples = _np.zeros(1, dtype=_np.int64)
+                wavs.append(_enc(16000, samples.astype("<i2")))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "audio": wavs})
+
+    def vad_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_active": [],
+                   "n_segments": [], "longest_seg": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["audio"]):
+                _, samples = _dec(bytes(b))
+                dev = (samples.astype(_np.int64) // 256)  # back to byte-128
+                n = dev.size
+                n_frames = (n + _VAD_FRAME - 1) // _VAD_FRAME
+                starts = _np.arange(0, n, _VAD_FRAME)
+                se = _np.add.reduceat(dev * dev, starts)
+                active = se > _VAD_SE_THRESH
+                idx = _np.flatnonzero(active)
+                if idx.size:
+                    breaks = _np.diff(idx) > 1
+                    n_segments = 1 + int(breaks.sum())
+                    seg_ids = _np.concatenate(([0], _np.cumsum(breaks)))
+                    longest = int(_np.bincount(seg_ids).max())
+                else:
+                    n_segments, longest = 0, 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_active"].append(int(idx.size))
+                out["n_segments"].append(n_segments)
+                out["longest_seg"].append(longest)
+            yield _pd.DataFrame(out)
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, audio binary")
+        .mapInPandas(
+            vad_batch,
+            schema="doc_id long, n_frames long, n_active long, "
+            "n_segments long, longest_seg long",
+        )
+        .orderBy("doc_id")
+    )

@@ -1452,10 +1452,16 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # the distinct gram set is DATA-DEPENDENT (grows with corpus): hint
+    # the self-join to SORT-MERGE — broadcast OOM'd the driver on the
+    # salted 10x stress corpus (AQE's post-distinct size estimate
+    # undershot), and shuffle-hash OOM'd the per-partition build map;
+    # merge is the only fully spillable shape for two large sides
+    # (PERF.md r4)
     p = (
         g.alias("a")
         .join(
-            g.alias("b"),
+            g.alias("b").hint("merge"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") < F.col("b.source")),
         )
@@ -2262,3 +2268,216 @@ def text_crosslingual_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("doc_lang", "best_lang")
     )
+
+
+# --------------------------------------------------------------------------
+#: BPE rounds to learn; each is one corpus-wide pair count + greedy merge
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round over the double-spaced corpus string d{r}.s:
+    count adjacent token pairs, pick the (count DESC, t1, t2) winner,
+    apply the greedy left-to-right merge via non-overlapping replace."""
+    return f"""
+tk{r} AS (SELECT doc_id, string_split(trim(s), '  ') AS tk FROM d{r}),
+p{r} AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT tk[CAST(i AS INT) + 1] AS t1, tk[CAST(i AS INT) + 2] AS t2
+    FROM tk{r}, LATERAL (SELECT unnest(range(0, len(tk) - 1)) AS i) g
+  ) GROUP BY t1, t2
+),
+b{r} AS (SELECT t1, t2, c FROM p{r} ORDER BY c DESC, t1, t2 LIMIT 1),
+d{r + 1} AS (
+  SELECT doc_id,
+         replace(d{r}.s, ' ' || b{r}.t1 || '  ' || b{r}.t2 || ' ',
+                 ' ' || b{r}.t1 || '_' || b{r}.t2 || ' ') AS s
+  FROM d{r}, b{r}
+)"""
+
+
+@query(
+    "text_bpe_merges",
+    oracle="WITH d0 AS (SELECT doc_id, ' ' || array_to_string("
+    "string_split(text, ' '), '  ') || ' ' AS s FROM documents),"
+    + ",".join(_bpe_round_sql(r) for r in range(_BPE_ROUNDS))
+    + f"""
+SELECT m.rank, m.t1, m.t2, m.pair_count, f.corpus_tokens_after
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT {r + 1} AS rank, t1, t2, c AS pair_count FROM b{r}"
+      for r in range(_BPE_ROUNDS)
+  )}
+) m,
+(SELECT CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
+   AS corpus_tokens_after FROM d{_BPE_ROUNDS}) f
+ORDER BY m.rank
+""",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first k BPE merges from the corpus — the data-side half of
+    tokenizer training (Sennrich et al.): each round counts every adjacent
+    token pair corpus-wide, picks the most frequent (ties: lexicographic),
+    and greedily merges its non-overlapping left-to-right occurrences
+    before the next round recounts. Output: the learned merge table plus
+    the corpus token count after applying all merges.
+
+    Greedy-merge parity trick: documents are held as DOUBLE-spaced token
+    strings with single-space pads, so one literal ``replace`` of
+    ``' t1  t2 '`` with ``' t1_t2 '`` implements exactly BPE's
+    left-to-right non-overlapping merge in both engines (consecutive
+    occurrences re-match because each consumes only one flank space;
+    overlapping ones like ``a a a`` merge once — the BPE rule), and the
+    double-space invariant survives for the next round's split.
+
+    Scale: each round is one map-side pair explode + a (t1,t2) partial-agg
+    shuffle + ONE collected winner row (bounded by construction) + a
+    map-only replace — k rounds of the exact-dedup shuffle shape. Real
+    tokenizer training runs thousands of merges with the same dataflow,
+    batching the recount per round exactly like this.
+    """
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("text"), " "), "  "),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        tk = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            docs.select(tk.alias("tk"))
+            .where(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(tk, 1, size(tk) - 1), "
+                        "(x, i) -> struct(x AS t1, tk[i + 1] AS t2))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.t1", "p.t2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "t1", "t2").limit(1).collect()[0]
+        merges.append((r + 1, best.t1, best.t2, best.c))
+        docs = docs.select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best.t1}  {best.t2} "),
+                F.lit(f" {best.t1}_{best.t2} "),
+            ).alias("s"),
+        )
+    total = docs.select(
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("n")
+    ).agg(F.sum("n").cast("bigint").alias("corpus_tokens_after"))
+    mdf = spark.createDataFrame(
+        merges, "rank int, t1 string, t2 string, pair_count bigint"
+    )
+    return mdf.crossJoin(F.broadcast(total)).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_gopher_filters",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'to')))
+              AS BIGINT) AS n_stop
+  FROM toks
+),
+topf AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c FROM (
+    SELECT doc_id, t, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+    GROUP BY doc_id, t
+  ) GROUP BY doc_id
+),
+scored AS (
+  SELECT s.doc_id, s.n_tokens,
+         s.sum_len * 1000 // s.n_tokens AS mean_len_milli,
+         t.top_c * 1000 // s.n_tokens AS top_tok_permille,
+         s.n_stop,
+         (s.n_tokens BETWEEN 50 AND 100000) AS ok_length,
+         (s.sum_len * 1000 // s.n_tokens BETWEEN 3000 AND 10000)
+           AS ok_mean_len,
+         (t.top_c * 1000 // s.n_tokens <= 200) AS ok_repetition,
+         (s.n_stop >= 2) AS ok_stopwords
+  FROM stats s JOIN topf t USING (doc_id)
+)
+SELECT doc_id, n_tokens, mean_len_milli, top_tok_permille, n_stop,
+       ok_length, ok_mean_len, ok_repetition, ok_stopwords,
+       (ok_length AND ok_mean_len AND ok_repetition AND ok_stopwords)
+         AS passes
+FROM scored ORDER BY doc_id
+""",
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al., the public
+    rule set large-scale corpora actually apply): token-count bounds,
+    mean-token-length bounds, repetition cap (most frequent token's
+    per-mille share), and minimum stop-word presence — each surfaced as
+    its own flag plus the conjunctive pass, so a pipeline can audit WHICH
+    rule kills which slice before filtering (the difference between
+    debuggable curation and a silent 30% corpus loss).
+
+    All-integer scoring (milli/permille ratios via integer division) —
+    exact across engines. Map-only per doc except one per-doc top-token
+    aggregate; at 100 TB every rule is a projection over the token array
+    and the filter composes with pipeline_clean_corpus.
+    """
+    t = Tables(spark, sf_dir)
+    tk = _toks()
+    stats = t.documents.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))"
+            " AS BIGINT)"
+        ).alias("sum_len"),
+        F.size(
+            F.filter(tk, lambda x: x.isin("the", "a", "of", "to"))
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    topf = (
+        t.documents.select("doc_id", F.explode(tk).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_c"))
+    )
+    mean_len = F.expr("sum_len * 1000 div n_tokens")
+    top_pm = F.expr("top_c * 1000 div n_tokens")
+    scored = stats.join(topf, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        mean_len.alias("mean_len_milli"),
+        top_pm.alias("top_tok_permille"),
+        "n_stop",
+        F.col("n_tokens").between(50, 100000).alias("ok_length"),
+        mean_len.between(3000, 10000).alias("ok_mean_len"),
+        (top_pm <= 200).alias("ok_repetition"),
+        (F.col("n_stop") >= 2).alias("ok_stopwords"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("ok_length")
+            & F.col("ok_mean_len")
+            & F.col("ok_repetition")
+            & F.col("ok_stopwords")
+        ).alias("passes"),
+    ).orderBy("doc_id")

@@ -70,6 +70,15 @@ def create_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local-mode tasks all live in the driver JVM, whose Spark default
+        # is a 1 GiB heap — 32 concurrent tasks' join/agg hash maps OOM'd
+        # the salted 10x stress corpus there (PERF.md r4). Size the heap
+        # like the executor fleet it stands in for; overridable via env
+        # or extra_conf, ignored when a real cluster sets it externally.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # Runtime re-planning: partition coalescing, skew-join splitting,
         # broadcast-join demotion/promotion. Core of the 100 TB posture.
         .config("spark.sql.adaptive.enabled", "true")

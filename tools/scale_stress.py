@@ -56,7 +56,12 @@ QUERIES_TO_RUN = [
 ]
 
 
-def build(spark, out_dir: str) -> None:
+def build(spark, out_dir: str, salted: bool = False) -> None:
+    """Materialize the 10x corpus. ``salted`` suffixes every documents
+    token with its copy index, so copies share NO n-gram/window/shingle —
+    the dup RATE stays that of the base corpus while volume grows 10x,
+    isolating kernel scaling from output-pair growth (the >2x rows in
+    PERF.md's copy-based stress are pair growth, not kernel growth)."""
     from pyspark.sql import functions as F
 
     for name, keys in TABLES.items():
@@ -69,6 +74,14 @@ def build(spark, out_dir: str) -> None:
             d = src
             for k in keys:
                 d = d.withColumn(k, F.col(k) + i * OFFSET)
+            if salted and name == "documents":
+                d = d.withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(transform(split(text, ' '), "
+                        f"t -> concat(t, '_c{i}')), ' ')"
+                    ),
+                )
             parts.append(d)
         big = parts[0]
         for p in parts[1:]:
@@ -77,7 +90,11 @@ def build(spark, out_dir: str) -> None:
 
 
 def main() -> int:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    args = [a for a in sys.argv[1:] if a != "--salted"]
+    salted = "--salted" in sys.argv[1:]
+    out_dir = args[0] if args else (
+        "/tmp/spark_graft_sf1_salted" if salted else "/tmp/spark_graft_sf1"
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from datafusion_ballista_dhruvil_spark.operators import load_all
@@ -87,10 +104,11 @@ def main() -> int:
     spark = create_session(app_name="scale-stress")
     load_all()
     t0 = time.perf_counter()
-    build(spark, out_dir)
-    print(f"build: {time.perf_counter() - t0:.1f}s -> {out_dir}")
+    build(spark, out_dir, salted=salted)
+    print(f"build: {time.perf_counter() - t0:.1f}s -> {out_dir}"
+          + (" (salted)" if salted else ""))
 
-    only = sys.argv[2:]  # optional query-name filter after out_dir
+    only = args[1:]  # optional query-name filter after out_dir
     print("| query | sf0.1 | sf1 (10x) | growth |")
     print("|---|---|---|---|")
     for name in (only or QUERIES_TO_RUN):
