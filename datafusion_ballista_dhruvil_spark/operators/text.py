@@ -2481,3 +2481,104 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ok_stopwords")
         ).alias("passes"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_bpe_tokenize",
+    oracle="WITH d0 AS (SELECT doc_id, ' ' || array_to_string("
+    "string_split(text, ' '), '  ') || ' ' AS s FROM documents),"
+    + ",".join(_bpe_round_sql(r) for r in range(_BPE_ROUNDS))
+    + f""",
+src AS (SELECT doc_id, source FROM documents),
+before AS (
+  SELECT doc_id, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n
+  FROM d0
+),
+after AS (
+  SELECT doc_id, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n
+  FROM d{_BPE_ROUNDS}
+)
+SELECT src.source,
+       CAST(SUM(b.n) AS BIGINT) AS tokens_before,
+       CAST(SUM(a.n) AS BIGINT) AS tokens_after,
+       CAST(SUM(b.n) - SUM(a.n) AS BIGINT) AS tokens_saved,
+       CAST((CAST(SUM(b.n) AS BIGINT) - CAST(SUM(a.n) AS BIGINT)) * 1000000
+            // CAST(SUM(b.n) AS BIGINT) AS BIGINT) AS saved_ppm
+FROM src JOIN before b USING (doc_id) JOIN after a USING (doc_id)
+GROUP BY src.source
+ORDER BY src.source
+""",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table (text_bpe_merges' training half)
+    to re-tokenize the corpus and report per-source compression — the
+    inference half of tokenizer training, and the number a data-mixing
+    job actually budgets on (tokens AFTER merges, not whitespace words).
+
+    Same double-spaced replace machinery: the k learned merges replay in
+    rank order as literal replaces (greedy left-to-right, engine-exact),
+    then one count per doc. Scale: learning collects k bounded winner
+    rows; application is k map-only passes over the corpus — at 32k
+    merges production tokenizers batch this (longest-match tries), but
+    the dataflow (broadcast merge table, map-side apply) is identical.
+    """
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("text"), " "), "  "),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    before = F.size(F.split(F.trim(F.col("s")), "  ")).cast("bigint")
+    docs = docs.withColumn("n_before", before)
+    cur = docs
+    for r in range(_BPE_ROUNDS):
+        tk = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            cur.select(tk.alias("tk"))
+            .where(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(tk, 1, size(tk) - 1), "
+                        "(x, i) -> struct(x AS t1, tk[i + 1] AS t2))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.t1", "p.t2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "t1", "t2").limit(1).collect()[0]
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best.t1}  {best.t2} "),
+                F.lit(f" {best.t1}_{best.t2} "),
+            ),
+        )
+    after = F.size(F.split(F.trim(F.col("s")), "  ")).cast("bigint")
+    return (
+        cur.select("source", "n_before", after.alias("n_after"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_before").cast("bigint").alias("tokens_before"),
+            F.sum("n_after").cast("bigint").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "tokens_before",
+            "tokens_after",
+            (F.col("tokens_before") - F.col("tokens_after")).alias(
+                "tokens_saved"
+            ),
+            F.expr(
+                "(tokens_before - tokens_after) * 1000000 div tokens_before"
+            ).alias("saved_ppm"),
+        )
+        .orderBy("source")
+    )
