@@ -1041,3 +1041,51 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, n_chars // 200 AS size_band,
+         CAST(COUNT(*) AS BIGINT) AS grp
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CAST(LEAST(grp, 5) AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+         AS reidentifiable_docs
+FROM qi
+GROUP BY 1 ORDER BY k_bucket
+""",
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: bucket every
+    (lang, source, size-band) equivalence class by its size (capped at
+    k=5) and count how many documents sit in classes smaller than k —
+    the re-identification risk figure a privacy review asks for before a
+    corpus ships, and the gate that decides which quasi-identifier
+    columns must be generalized or suppressed.
+
+    One groupBy over the quasi-identifier tuple, then a k-row rollup —
+    the audit costs one shuffle of (tuple, count) however large the
+    corpus. ``reidentifiable_docs`` in the k_bucket<5 rows is the
+    actionable number; k_bucket=5 aggregates all safe classes.
+    """
+    t = Tables(spark, sf_dir)
+    qi = t.documents.groupBy(
+        "lang", "source", F.expr("n_chars div 200").alias("size_band")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("grp"))
+    return (
+        qi.groupBy(F.least(F.col("grp"), F.lit(5)).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("grp").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+            .cast("bigint")
+            .alias("reidentifiable_docs"),
+        )
+        .orderBy("k_bucket")
+    )

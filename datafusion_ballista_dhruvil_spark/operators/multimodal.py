@@ -945,3 +945,145 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+#: dHash near-dup banding: 4 bands x 16 bits -> exact candidate recall
+#: at Hamming radius 8 by pigeonhole (callers threshold at their radius)
+_DHASH_INT_SQL = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         ((octet_length(encode(text)) % 64) + 1)
+           * ((octet_length(encode(text)) % 48) + 1) * 3 AS npix,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN list_transform(string_split(text, ''), c -> ord(c))
+              ELSE NULL END AS bl
+  FROM documents WHERE doc_id < 200
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 64), i ->
+           CASE WHEN (CASE WHEN n = 0 THEN 127
+                      ELSE bl[CAST(((i * npix // 65) % n) + 1 AS INT)] END)
+                >
+                (CASE WHEN n = 0 THEN 127
+                      ELSE bl[CAST((((i + 1) * npix // 65) % n) + 1 AS INT)]
+                 END)
+                THEN CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                          ELSE 1 << i END
+                ELSE 0 END)) AS BIGINT) AS h
+  FROM base
+)
+"""
+
+
+@query(
+    "mm_image_neardup_pairs",
+    oracle=_DHASH_INT_SQL
+    + f"""
+SELECT d1, d2, hamming FROM (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+  FROM hashed a, hashed b,
+       (SELECT unnest(range(0, 4)) AS band) bands
+  WHERE a.doc_id < b.doc_id
+    AND ((a.h >> CAST(band * 16 AS INT)) & 65535)
+        = ((b.h >> CAST(band * 16 AS INT)) & 65535)
+)
+ORDER BY hamming, d1, d2
+LIMIT 100
+""",
+)
+def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate PAIRS from perceptual-hash banding: the
+    64-bit dHash splits into 4x16-bit bands; images sharing ANY band
+    become candidates (equi-join per band — by pigeonhole, any pair
+    within Hamming <= 8 of each other shares an untouched band, so
+    candidate recall at that radius is EXACT), each scored by full
+    Hamming distance; callers threshold at their dedup radius.
+    Completes the image-dedup pipeline: decode -> dHash
+    (mm_image_dhash) -> banded candidates -> verified pairs — the LSH
+    banding trick applied to perceptual hashes.
+
+    Scale: hashes are 8 bytes/image; the band join shuffles (band,
+    16-bit-key, id) rows only — image bytes never move; per-bucket
+    fan-out is bounded by hash-collision rates exactly like MinHash-LSH
+    bands (cap with MAX_BUCKET_DOCS machinery if a degenerate corpus
+    demands it).
+    """
+    from pyspark.sql.window import Window as _W  # noqa: F401
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+        encode_bmp as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                w, h = (n % 64) + 1, (n % 48) + 1
+                npix = w * h * 3
+                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                images.append(_enc(w, h, px.tobytes()))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
+
+    def dhash_int_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        idx = _np.arange(65, dtype=_np.int64)
+        pow2 = 1 << _np.arange(64, dtype=_np.int64)
+        for pdf in it:
+            hs = []
+            for b in pdf["image"]:
+                _, _, px = _dec(bytes(b))
+                flat = px.reshape(-1).astype(_np.int64)
+                npix = flat.size
+                samples = flat[idx * npix // 65]
+                bits = samples[:-1] > samples[1:]
+                hs.append(int((pow2[bits]).sum()))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "h": _pd.Series(hs, dtype="int64")}
+            )
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    hashed = (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, image binary")
+        .mapInPandas(dhash_int_batch, schema="doc_id long, h long")
+    )
+    bands = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "band -> struct(band, shiftright(h, band * 16) & 65535 AS k))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "h", "b.band", "b.k")
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "band", "k"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "band", "k"
+    )
+    return (
+        a.join(bb, ["band", "k"])
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.expr("bit_count(h1 ^ h2)").cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("hamming", "d1", "d2")
+        .limit(100)
+    )

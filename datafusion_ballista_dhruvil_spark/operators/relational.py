@@ -2902,3 +2902,109 @@ def ops_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(_LCA_SQL)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_agg_mode_deterministic",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+m AS (
+  SELECT l_returnflag, v, cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, v ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, CAST(v AS BIGINT) AS mode_qty, cnt AS mode_count
+FROM m WHERE rn = 1
+ORDER BY l_returnflag
+""",
+)
+def ops_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode(expr, deterministic := true)`` (Spark 4): the most frequent
+    value per group with the DOCUMENTED lowest-value tie-break — the form
+    that can sit under a hash gate at all (plain ``mode()`` is free to
+    return any modal value; DuckDB's returns an arbitrary one, so the
+    oracle derives the same deterministic choice from counts +
+    row_number). Native sketch-free mode completes the central-tendency
+    family next to median/percentile_cont.
+    """
+    t = Tables(spark, sf_dir)
+    modes = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("mode(l_quantity, true)").cast("bigint").alias("mode_qty")
+    )
+    counts = t.lineitem.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("mode_qty")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("mode_count"))
+    return modes.join(counts, ["l_returnflag", "mode_qty"]).orderBy(
+        "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_skyline_pareto",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS price_cents,
+         CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS d
+  FROM orders WHERE o_orderkey < 20000
+),
+ranked AS (
+  SELECT *,
+         MAX(d) OVER (ORDER BY price_cents DESC, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_d_above
+  FROM pts
+)
+SELECT o_orderkey, price_cents, CAST(d AS BIGINT) AS day_index
+FROM ranked
+WHERE best_d_above IS NULL OR d > best_d_above
+ORDER BY price_cents DESC, day_index DESC, o_orderkey
+""",
+)
+def ops_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (price, recency) — no other order is >= on both and > on one. The
+    multi-criteria "best trade-offs" operator (SKYLINE OF clause in
+    research SQLs; no engine ships it natively, so it is derived):
+    after sorting by price DESC, a point is on the skyline iff its date
+    beats the running max date of everything priced above it — the
+    classic sort-filter-skyline algorithm as ONE window, no self-join
+    (the naive NOT EXISTS dominance test is a quadratic nested loop).
+
+    Ties: sorting (price DESC, d DESC) makes the running max include
+    equal-price rows seen earlier, so among equal-price points only the
+    max-date one survives — strict dominance semantics. Scale: one
+    global sort (range-partitioned at 100 TB); the window's running max
+    is O(1) memory per partition with the standard parallel
+    prefix-merge.
+    """
+    t = Tables(spark, sf_dir)
+    pts = t.orders.where(F.col("o_orderkey") < 20000).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).alias("d"),
+    )
+    w = (
+        Window.orderBy(F.desc("price_cents"), F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # single unpartitioned window: bounded here (20k rows after the
+    # pushdown filter); at scale the skyline runs per partition key or
+    # via the range-partitioned prefix-merge noted in the docstring
+    return (
+        pts.withColumn("best_d_above", F.max("d").over(w))
+        .where(F.col("best_d_above").isNull() | (F.col("d") > F.col("best_d_above")))
+        .select(
+            "o_orderkey",
+            "price_cents",
+            F.col("d").cast("bigint").alias("day_index"),
+        )
+        .orderBy(F.desc("price_cents"), F.desc("day_index"), "o_orderkey")
+    )

@@ -560,3 +560,79 @@ def sample_weighted_expjump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ekey", "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+sd AS (
+  SELECT source, n_h,
+         sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+              / CAST(n_h AS DOUBLE) / CAST(n_h - 1 AS DOUBLE)) AS s_h
+  FROM s WHERE n_h > 1
+),
+tot AS (SELECT SUM(CAST(n_h AS DOUBLE) * s_h) AS denom FROM sd)
+SELECT source, n_h,
+       CAST(round(s_h * 1000) AS BIGINT) AS s_h_milli,
+       CAST(floor(1000.0 * (CAST(n_h AS DOUBLE) * s_h) / denom) AS BIGINT)
+         AS alloc
+FROM sd, tot
+ORDER BY source
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling: given a total
+    budget of 1000 draws, allocate to each stratum (source) in proportion
+    to N_h * S_h (size times within-stratum std) — the design that
+    minimizes estimator variance for a fixed budget, and the principled
+    version of the per-source quotas mix_resample_sources applies.
+
+    Variance comes from the exact integer co-moments (n*sxx - sx^2, the
+    cleared-denominator form used across the engine), so the only floats
+    are one sqrt and one division chain per stratum — same IEEE ops both
+    engines. Scale: one partial-agg shuffle of 3 integers per stratum;
+    the allocation math runs on the k-row stratum table.
+    """
+    t = Tables(spark, sf_dir)
+    s = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    sd = s.where(F.col("n_h") > 1).select(
+        "source",
+        "n_h",
+        F.sqrt(
+            (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / F.col("n_h").cast("double")
+            / (F.col("n_h") - 1).cast("double")
+        ).alias("s_h"),
+    )
+    tot = sd.agg(
+        F.sum(F.col("n_h").cast("double") * F.col("s_h")).alias("denom")
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_h",
+            F.round(F.col("s_h") * 1000).cast("bigint").alias("s_h_milli"),
+            F.floor(
+                1000.0 * (F.col("n_h").cast("double") * F.col("s_h"))
+                / F.col("denom")
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )

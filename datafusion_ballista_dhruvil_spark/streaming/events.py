@@ -2884,3 +2884,147 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_linear_interpolate",
+    oracle="""
+WITH grid AS (
+  SELECT event_type,
+         TIMESTAMP '2024-01-15 00:00:00' + to_hours(CAST(h AS BIGINT)) AS g
+  FROM (SELECT DISTINCT event_type FROM events),
+       (SELECT unnest(range(0, 24)) AS h)
+),
+u AS (
+  SELECT event_type, ts, 0 AS is_grid, event_id,
+         epoch_us(ts) AS t_us, value
+  FROM events
+  UNION ALL
+  SELECT event_type, g, 1, NULL, epoch_us(g), NULL FROM grid
+),
+fwd AS (
+  SELECT *,
+         last_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+           OVER w AS t_prev,
+         last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+           OVER w AS v_prev
+  FROM u
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY ts, is_grid, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+bwd AS (
+  SELECT *,
+         first_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+           OVER w2 AS t_next,
+         first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+           OVER w2 AS v_next
+  FROM fwd
+  WINDOW w2 AS (PARTITION BY event_type
+                ORDER BY ts, is_grid, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, CAST(ts AS STRING) AS grid_ts,
+       CASE WHEN t_next = t_prev THEN v_prev
+            ELSE (v_prev * CAST(t_next - t_us AS DOUBLE)
+                  + v_next * CAST(t_us - t_prev AS DOUBLE))
+                 / CAST(t_next - t_prev AS DOUBLE) END AS v_interp
+FROM bwd
+WHERE is_grid = 1 AND t_prev IS NOT NULL AND t_next IS NOT NULL
+ORDER BY event_type, grid_ts
+""",
+)
+def ev_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of an event-stream metric onto a fixed hourly
+    grid — the time-series resampling primitive (gap-FILLING carries the
+    last value; interpolation blends both neighbors), used to align
+    irregular telemetry onto model-ready fixed-step series.
+
+    The union-window shape shared with the as-of joins: grid points and
+    events union into ONE relation, a backward window (ROWS ... 1
+    PRECEDING) carries the previous real observation and a forward
+    window the next, so each grid point finds both neighbors in a single
+    sort per event_type — no join, no per-grid-point probe. The blend
+    ((v1*(t2-g) + v2*(g-t1))/(t2-t1) on microsecond integers cast to
+    double) is the same IEEE expression in both engines. Grid rows sort
+    AFTER real events at identical timestamps ((ts, is_grid, event_id)
+    total order), pinning the boundary semantics.
+    """
+    t = Tables(spark, sf_dir)
+    grid = (
+        t.events.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(24).select(
+                    (
+                        F.lit("2024-01-15 00:00:00").cast("timestamp")
+                        + F.make_interval(hours=F.col("id").cast("int"))
+                    ).alias("ts")
+                )
+            )
+        )
+        .select(
+            "event_type",
+            "ts",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("t_us"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    ev = t.events.select(
+        "event_type",
+        "ts",
+        F.lit(0).alias("is_grid"),
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+    )
+    u = ev.unionAll(grid)
+    order = [F.col("ts"), F.col("is_grid"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    real_t = F.when(F.col("is_grid") == 0, F.col("t_us"))
+    real_v = F.when(F.col("is_grid") == 0, F.col("value"))
+    d = u.select(
+        "event_type",
+        "ts",
+        "is_grid",
+        "t_us",
+        F.last(real_t, ignorenulls=True).over(wb).alias("t_prev"),
+        F.last(real_v, ignorenulls=True).over(wb).alias("v_prev"),
+        F.first(real_t, ignorenulls=True).over(wf).alias("t_next"),
+        F.first(real_v, ignorenulls=True).over(wf).alias("v_next"),
+    )
+    interp = F.when(
+        F.col("t_next") == F.col("t_prev"), F.col("v_prev")
+    ).otherwise(
+        (
+            F.col("v_prev") * (F.col("t_next") - F.col("t_us")).cast("double")
+            + F.col("v_next") * (F.col("t_us") - F.col("t_prev")).cast("double")
+        )
+        / (F.col("t_next") - F.col("t_prev")).cast("double")
+    )
+    return (
+        d.where(
+            (F.col("is_grid") == 1)
+            & F.col("t_prev").isNotNull()
+            & F.col("t_next").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").cast("string").alias("grid_ts"),
+            interp.alias("v_interp"),
+        )
+        .orderBy("event_type", "grid_ts")
+    )

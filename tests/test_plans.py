@@ -610,3 +610,27 @@ def test_incremental_agg_pushes_partition_predicates(spark):
     reach the scans — at scale these are partition prunes, not filters."""
     df = QUERIES["pipeline_incremental_agg"](spark, SF_DIR)
     assert has_pushed_filters(df, "ts")
+
+
+def test_image_neardup_bands_are_equi_join(spark):
+    """mm_image_neardup_pairs: candidates come from the banded equi-join
+    on (band, 16-bit key) — 8-byte hashes shuffle, image bytes never do;
+    no nested loop anywhere."""
+    plan = formatted_plan(QUERIES["mm_image_neardup_pairs"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_linear_interpolate_is_union_window(spark):
+    """ev_linear_interpolate: the union-window shape — no join; both
+    neighbors resolve in one sort per event_type."""
+    plan = formatted_plan(QUERIES["ev_linear_interpolate"](spark, SF_DIR))
+    # grid construction broadcasts the 24-row hourly range (its nested
+    # loop is over a constant relation); the DATA path (events) must not
+    # join — neighbors come from the two windows over the union
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan and "Union" in plan

@@ -23,6 +23,10 @@ import sys
 
 FLOOR_SEC = 0.3
 RATIO = 1.5
+#: a confirmed regression must also be at least this much slower in
+#: absolute terms — sub-second queries swing ~0.1-0.3s from JVM/heap/
+#: scheduling alone (PERF.md r4), which a pure ratio misreads as real
+DELTA_SEC = 0.5
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -60,7 +64,7 @@ def main() -> int:
     confirmed = [
         {"query": n, "prev_suite": p, "cur_suite": c, "solo": solo[n]}
         for n, p, c in flagged
-        if solo[n] > RATIO * p
+        if solo[n] > RATIO * p and solo[n] - p > DELTA_SEC
     ]
     print(json.dumps({
         "metric": "bench_gate",
