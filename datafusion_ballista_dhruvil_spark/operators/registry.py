@@ -71,7 +71,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: text_bpe_merges, mm_audio_vad_segments, text_gopher_filters,
 #: pipeline_dataset_card, text_bpe_tokenize, mm_image_neardup_pairs,
 #: ops_agg_mode_deterministic, ev_linear_interpolate, ops_skyline_pareto,
-#: sample_neyman_allocation, pipeline_k_anonymity
+#: sample_neyman_allocation, pipeline_k_anonymity, ev_new_vs_returning,
+#: text_feature_hashing
 #: — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently

@@ -2582,3 +2582,73 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_feature_hashing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT tok,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY tok
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(f) AS BIGINT) AS total_count,
+       CAST(MAX(f) AS BIGINT) AS top_token_count,
+       (CAST(SUM(f) AS BIGINT) - CAST(MAX(f) AS BIGINT)) * 1000000
+         // CAST(SUM(f) AS BIGINT) AS collision_mass_ppm
+FROM hashed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer audit: hash the vocabulary into 64
+    buckets (the fixed-width feature space a hashed bag-of-words model
+    trains on) and report per-bucket load and COLLISION MASS — the
+    fraction of a bucket's count not owned by its dominant token, i.e.
+    the signal smearing the hashing trick trades for its O(1) memory.
+    This is the table that decides the feature-space width before
+    training (vs a learned vocabulary's unbounded state).
+
+    One token-count aggregate (vocab-sized), then a 64-row rollup —
+    md5-derived buckets make the assignment engine-exact and
+    partition-stable, the same contract as the split/sampling hashes.
+    """
+    t = Tables(spark, sf_dir)
+    hashed = (
+        t.documents.select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .select(
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+                % 64
+            ).alias("bucket"),
+            "f",
+        )
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("f").cast("bigint").alias("total_count"),
+            F.max("f").cast("bigint").alias("top_token_count"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "total_count",
+            "top_token_count",
+            F.expr(
+                "(total_count - top_token_count) * 1000000 div total_count"
+            ).alias("collision_mass_ppm"),
+        )
+        .orderBy("bucket")
+    )

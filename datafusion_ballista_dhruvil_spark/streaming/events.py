@@ -3028,3 +3028,71 @@ def ev_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "grid_ts")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_new_vs_returning",
+    oracle="""
+WITH fd AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS dau,
+         CAST(COUNT(DISTINCT CASE WHEN f.first_day
+                    = CAST(date_trunc('day', e.ts) AS DATE)
+                    THEN e.user_id END) AS BIGINT) AS new_users
+  FROM events e JOIN fd f USING (user_id)
+  GROUP BY 1
+)
+SELECT CAST(day AS STRING) AS day, dau, new_users,
+       dau - new_users AS returning_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily ORDER BY day
+""",
+)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily actives split into NEW (first-ever day)
+    vs RETURNING, plus the cumulative distinct-user curve — the
+    day-over-day decomposition every growth dashboard leads with, and
+    the denominator series for the retention/survival queries.
+
+    Each user's first day computes once (one user_id shuffle); the daily
+    split joins events back to that k-per-user row, and the cumulative
+    curve is a running sum over the BOUNDED daily summary (days, not
+    events — the unpartitioned window rides on ~30 rows here, ~years at
+    most in production).
+    """
+    t = Tables(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    fd = t.events.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = (
+        t.events.join(fd, "user_id")
+        .select(
+            day.alias("day"),
+            "user_id",
+            (day == F.col("first_day")).alias("is_new"),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("dau"),
+            F.countDistinct(F.when(F.col("is_new"), F.col("user_id")))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).alias("returning_users"),
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

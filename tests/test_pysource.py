@@ -125,3 +125,28 @@ def test_writer_values_roundtrip_exactly(spark, tmp_path):
     got = sorted(map(tuple, _load(spark, root).collect()))
     want = sorted(map(tuple, docs.collect()))
     assert got == want
+
+
+def test_empty_table_dir_raises_cleanly(spark, tmp_path):
+    register(spark)
+    with pytest.raises(Exception, match="no snapshots"):
+        _load(spark, str(tmp_path / "nothing_here")).collect()
+
+
+def test_old_version_schema_preserved_after_evolution(spark, tmp_path):
+    """Each snapshot records ITS schema: reading an old version after a
+    differently-shaped overwrite must return the old shape."""
+    root = str(tmp_path / "evolve")
+    docs = Tables(spark, SF_DIR).documents
+    register(spark)
+    docs.select("doc_id", "lang").write.format("snapshot_log").mode(
+        "append"
+    ).save(root)
+    docs.select("doc_id", "lang", "n_chars").write.format(
+        "snapshot_log"
+    ).mode("overwrite").save(root)
+    v0 = _load(spark, root, version=0)
+    v1 = _load(spark, root)
+    assert [f.name for f in v0.schema] == ["doc_id", "lang"]
+    assert [f.name for f in v1.schema] == ["doc_id", "lang", "n_chars"]
+    assert v0.count() == v1.count()

@@ -74,6 +74,12 @@ def test_results_partition_invariant(spark):
         "ops_table_checksum",
         "text_bigram_lm_score",
         "text_chunk_crossdup",
+        # r4: hash/window determinism of the new operators under
+        # re-partitioning
+        "dedup_cdc_chunks",
+        "sample_weighted_expjump",
+        "text_feature_hashing",
+        "dedup_sorted_neighborhood",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}

@@ -74,6 +74,17 @@ subset = [
             "mm_resize_thumbnail",
             "mm_image_ahash",
             "mm_audio_features",
+            # r4 kernels: cell-local grouped-map matmuls, perceptual-hash
+            # banding, VAD framing, the Python DataSource read path, and
+            # the driver-collect-then-replace BPE loop
+            "sim_knn_label_agreement",
+            "sim_dbscan_core",
+            "mm_image_dhash",
+            "mm_image_neardup_pairs",
+            "mm_audio_vad_segments",
+            "snapshot_pysource_agg",
+            "text_bpe_merges",
+            "udf_grouped_map_normalize",
         )
     )
 ]
