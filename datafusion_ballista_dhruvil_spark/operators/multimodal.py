@@ -1087,3 +1087,112 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "d1", "d2")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_entropy",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         ((octet_length(encode(text)) % 64) + 1)
+           * ((octet_length(encode(text)) % 48) + 1) * 3 AS npix,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN list_transform(string_split(text, ''), c -> ord(c))
+              ELSE NULL END AS bl
+  FROM documents WHERE doc_id < 200
+),
+px AS (
+  SELECT doc_id, npix,
+         CASE WHEN n = 0 THEN 127
+              ELSE bl[CAST((i % n) + 1 AS INT)] END AS v
+  FROM base, LATERAL (SELECT unnest(range(0, npix)) AS i) g
+),
+hist AS (
+  SELECT doc_id, npix, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM px GROUP BY doc_id, npix, v
+),
+ent AS (
+  SELECT doc_id, npix,
+         CAST(COUNT(*) AS BIGINT) AS n_levels,
+         CAST(npix AS BIGINT)
+           * CAST(round(log2(CAST(npix AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(SUM(c * CAST(round(log2(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS ent_num_q6
+  FROM hist GROUP BY doc_id, npix
+)
+SELECT doc_id, n_levels, ent_num_q6,
+       CAST(ent_num_q6 AS DOUBLE) / CAST(npix AS DOUBLE) / 1000000.0
+         AS entropy_bits
+FROM ent ORDER BY doc_id
+""",
+)
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-histogram Shannon entropy per DECODED image — the
+    blank/low-complexity image detector (near-zero entropy = flat or
+    synthetic fill; the image-side analogue of the text repetition
+    filters) an image-curation pipeline thresholds on before captioning.
+
+    Pipeline: deterministic BMP encode -> REAL decode -> 256-bin pixel
+    histogram -> the engine's quantized-log entropy identity
+    (N*log2(N) - SUM(c*log2(c)) in exact micro-bit BIGINTs, one final
+    double division). The kernel computes the histogram with one
+    np.bincount per image, map-only; only (doc_id, histogram-derived
+    integers) leave the executor — pixels never shuffle.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+        encode_bmp as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                w, h = (n % 64) + 1, (n % 48) + 1
+                npix = w * h * 3
+                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                images.append(_enc(w, h, px.tobytes()))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
+
+    def entropy_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            out = {"doc_id": [], "n_levels": [], "ent_num_q6": [],
+                   "entropy_bits": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["image"]):
+                _, _, px = _dec(bytes(b))
+                flat = px.reshape(-1)
+                npix = flat.size
+                c = _np.bincount(flat, minlength=256).astype(_np.int64)
+                c = c[c > 0]
+                logs = _np.round(
+                    _np.log2(c.astype(_np.float64)) * 1000000
+                ).astype(_np.int64)
+                log_n = int(round(_np.log2(float(npix)) * 1000000))
+                ent_num = npix * log_n - int((c * logs).sum())
+                out["doc_id"].append(doc_id)
+                out["n_levels"].append(int(c.size))
+                out["ent_num_q6"].append(ent_num)
+                out["entropy_bits"].append(ent_num / npix / 1000000.0)
+            yield _pd.DataFrame(out)
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, image binary")
+        .mapInPandas(
+            entropy_batch,
+            schema="doc_id long, n_levels long, ent_num_q6 long, "
+            "entropy_bits double",
+        )
+        .orderBy("doc_id")
+    )

@@ -3008,3 +3008,71 @@ def ops_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("price_cents"), F.desc("day_index"), "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_not_in_null_semantics",
+    oracle="""
+WITH probe AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 2000
+),
+keys AS (
+  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_custkey < 300
+)
+SELECT 'not_in' AS variant, CAST(COUNT(*) AS BIGINT) AS n FROM probe
+WHERE o_custkey NOT IN (SELECT k FROM keys)
+UNION ALL
+SELECT 'not_exists', CAST(COUNT(*) AS BIGINT) FROM probe p
+WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = p.o_custkey)
+UNION ALL
+SELECT 'except_keys', CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT o_custkey FROM probe
+  EXCEPT
+  SELECT k FROM keys
+)
+ORDER BY variant
+""",
+)
+def ops_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, hash-pinned: against a subquery whose result
+    CONTAINS A NULL, ``NOT IN`` returns ZERO rows (three-valued logic:
+    x <> NULL is UNKNOWN, so the conjunction never reaches TRUE), while
+    ``NOT EXISTS`` — the anti-join — returns the intuitive complement,
+    and ``EXCEPT`` a third distinct answer (set semantics, NULL-safe).
+    All three variants run on both engines and must agree exactly — the
+    classic migration-breaking semantics difference pinned under the
+    hash gate (the reference's decorrelation layer handles the same
+    null-aware anti-join, q16's NOT IN path).
+
+    Scale: null-aware anti-join is the expensive plan shape (Spark must
+    broadcast-null-check); the query keeps the subquery bounded the way
+    production rewrites should.
+    """
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+WITH probe AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 2000
+),
+keys AS (
+  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_custkey < 300
+)
+SELECT 'not_in' AS variant, CAST(COUNT(*) AS BIGINT) AS n FROM probe
+WHERE o_custkey NOT IN (SELECT k FROM keys)
+UNION ALL
+SELECT 'not_exists', CAST(COUNT(*) AS BIGINT) FROM probe p
+WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = p.o_custkey)
+UNION ALL
+SELECT 'except_keys', CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT o_custkey FROM probe
+  EXCEPT
+  SELECT k FROM keys
+)
+ORDER BY variant
+"""
+    )

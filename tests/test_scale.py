@@ -220,3 +220,24 @@ def test_bucket_cap_counter_triggers(spark):
     m = obs.get
     assert m["n_truncated"] == 2  # the 10- and 7-member buckets
     assert m["max_bucket"] == 10
+
+
+def test_spill_resilience(tmp_path):
+    """A memory-starved JVM (1g heap, 20% execution fraction) must finish
+    a 2M-group fat-value aggregation by SPILLING, not OOM — run in its
+    own JVM via tools/spill_probe.py; asserts exact row conservation and
+    nonzero executed-plan spill metrics."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "spill_probe.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert "SPILL_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
