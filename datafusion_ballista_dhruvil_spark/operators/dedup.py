@@ -1978,3 +1978,69 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "d1", "d2")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(text, ' '))), ' ')) AS fp,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+           + CAST(len(string_split(text, ' ')) AS BIGINT) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fp
+                               ORDER BY quality DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_members
+  FROM scored
+)
+SELECT fp, n_members, doc_id AS keep_doc, quality AS keep_quality
+FROM ranked WHERE rn = 1 AND n_members >= 2
+ORDER BY n_members DESC, fp
+LIMIT 100
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    (bag-of-words fingerprint — catches token-order shuffles exact
+    hashing misses), keep the HIGHEST-QUALITY member (vocabulary
+    richness, then length; doc_id only as the final tie-break) instead
+    of the arbitrary min-id — the curation policy that decides which
+    copy of a boilerplate page survives into training, where the "best"
+    copy can differ meaningfully in truncation/extraction quality.
+
+    One map-side fingerprint+score projection, one window per
+    fingerprint group (WindowGroupLimit-eligible rank<=1) — the
+    exact-dedup shuffle shape with a policy column instead of min().
+    """
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scored = t.documents.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        ).alias("fp"),
+        (
+            F.array_size(F.array_distinct(toks)).cast("bigint") * 1000000
+            + F.array_size(toks).cast("bigint")
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("quality"), "doc_id")
+    wc = Window.partitionBy("fp")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .where((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "fp",
+            "n_members",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("quality").alias("keep_quality"),
+        )
+        .orderBy(F.desc("n_members"), "fp")
+        .limit(100)
+    )

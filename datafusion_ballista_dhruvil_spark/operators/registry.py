@@ -72,7 +72,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: pipeline_dataset_card, text_bpe_tokenize, mm_image_neardup_pairs,
 #: ops_agg_mode_deterministic, ev_linear_interpolate, ops_skyline_pareto,
 #: sample_neyman_allocation, pipeline_k_anonymity, ev_new_vs_returning,
-#: text_feature_hashing, ops_not_in_null_semantics, mm_image_entropy
+#: text_feature_hashing, ops_not_in_null_semantics, mm_image_entropy,
+#: sim_anisotropy_audit, sim_class_separation, ev_seasonality_profile,
+#: dedup_keep_best
 #: — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently

@@ -3396,3 +3396,196 @@ def sim_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_anisotropy_audit",
+    oracle="""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+           CAST(round(CAST(v AS DOUBLE) / sqrt(
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)))
+              AS DOUBLE) / 1e14) * 10000000) AS BIGINT)) AS uq
+  FROM embeddings
+),
+dims AS (
+  SELECT CAST(i AS INT) AS d, uq[CAST(i AS INT) + 1] AS x
+  FROM base, LATERAL (SELECT unnest(range(0, len(uq))) AS i) g
+),
+sums AS (
+  SELECT d, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+  FROM dims GROUP BY d
+),
+tot AS (
+  SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq
+  FROM sums
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM base)
+SELECT nv AS n_vecs, qq AS sum_self_dot,
+       CAST(ss - qq AS DOUBLE)
+         / CAST(nv * (nv - 1) AS DOUBLE) / 1e14 AS mean_pair_cos
+FROM tot, n
+""",
+)
+def sim_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit WITHOUT any pair join: the mean
+    pairwise cosine over ALL N(N-1) ordered pairs computes exactly from
+    the per-dimension SUM vector via the identity
+    sum_{i != j} <u_i, u_j> = ||SUM u||^2 - SUM ||u||^2 — the corpus
+    geometry number (high mean cosine = collapsed/anisotropic space,
+    where cosine thresholds stop meaning anything) that naive tooling
+    estimates by sampling pairs. Here it is EXACT at any scale with one
+    aggregation: O(N*dim) work, a dim-sized shuffle, zero pairs.
+
+    Exactness: vectors are unit-normalized then quantized to scale-7
+    ints (norm via the module's int-dot path), so all sums are exact
+    integers — Spark holds the squared sums in DECIMAL(38,0) and DuckDB
+    in HUGEINT (both exact; the final double conversion of the same
+    integer rounds identically), with one fixed division chain at the
+    end.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id",
+        norm(F.col("embedding")).alias("nrm"),
+        "embedding",
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> "
+            "CAST(round(CAST(v AS DOUBLE) / nrm * 10000000) AS BIGINT))"
+        ).alias("uq"),
+    )
+    dims = base.select(
+        F.posexplode("uq").alias("d", "x")
+    )
+    sums = dims.groupBy("d").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    tot = sums.agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        ).alias("ss"),
+        F.sum("q").cast("bigint").alias("qq"),
+    )
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    return tot.crossJoin(F.broadcast(n)).select(
+        F.col("nv").alias("n_vecs"),
+        F.col("qq").alias("sum_self_dot"),
+        (
+            (F.col("ss") - F.col("qq")).cast("double")
+            / (F.col("nv") * (F.col("nv") - 1)).cast("double")
+            / F.lit(1e14)
+        ).alias("mean_pair_cos"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_class_separation",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT)) AS xq
+  FROM embeddings
+),
+dims AS (
+  SELECT label, CAST(i AS INT) AS d, xq[CAST(i AS INT) + 1] AS x
+  FROM q, LATERAL (SELECT unnest(range(0, len(xq))) AS i) g
+),
+sums AS (
+  SELECT CAST(label AS BIGINT) AS label, d, CAST(SUM(x) AS BIGINT) AS s
+  FROM dims GROUP BY label, d
+),
+norms AS (
+  SELECT label,
+         sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm
+  FROM sums GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.s AS HUGEINT) * b.s) AS DOUBLE) AS dot
+  FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a, d.label_b,
+       d.dot / (na.nrm * nb.nrm) AS centroid_cos
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+ORDER BY label_a, label_b
+""",
+)
+def sim_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation matrix: the cosine between every pair of
+    label CENTROIDS — near-1 entries are classes an embedding model
+    cannot separate (merge or relabel them before training a head). The
+    trick that makes it exact AND pair-free at the vector level: cosine
+    is scale-invariant, so cos(centroid_a, centroid_b) equals
+    cos(sum_a, sum_b) — per-label SUM vectors (exact quantized-int
+    aggregation, no division) feed a (labels x dims)-sized join, and no
+    vector pair is ever formed. O(N*dim) + a k*dim metadata join.
+
+    Exact integer sums ride in HUGEINT/DECIMAL for the squared terms;
+    the three final doubles (dot, two norms) derive from the same exact
+    integers in both engines.
+    """
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.expr(
+            "transform(embedding, "
+            "v -> CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    dims = q.select("label", F.posexplode("xq").alias("d", "x"))
+    sums = dims.groupBy("label", "d").agg(
+        F.sum("x").cast("bigint").alias("s")
+    )
+    norms = sums.groupBy("label").agg(
+        F.sqrt(
+            F.sum(
+                F.col("s").cast("decimal(38,0)")
+                * F.col("s").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "d", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "d", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "d")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(38,0)")
+                * F.col("sb").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -3096,3 +3096,86 @@ def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_seasonality_profile",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type, day, c, CAST(isodow(day) AS BIGINT) AS dow FROM daily
+),
+prof AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS total
+  FROM keyed GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS grand,
+         CAST(COUNT(*) AS BIGINT) AS all_days
+  FROM keyed GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.n_days, p.total,
+       p.total * b.all_days * 1000000 // (p.n_days * b.grand)
+         AS seasonal_index_ppm
+FROM prof p JOIN base b USING (event_type)
+ORDER BY event_type, dow
+""",
+)
+def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: per (event_type, ISO day-of-week), the
+    seasonal index — mean daily volume on that weekday relative to the
+    type's overall mean, in exact ppm (cleared-denominator integer form:
+    total*all_days*1e6 div (n_days*grand), no float means). Index > 1e6
+    = that weekday runs hot; the multiplicative-decomposition profile
+    that deseasonalizes a series before trend/anomaly models
+    (ev_forecast_holt, ev_anomaly_zscore) see it.
+
+    Scale: one day-grain shuffle, then a 7-row-per-type rollup — the
+    whole decomposition costs the daily aggregate it already shares
+    with the other series queries.
+    """
+    t = Tables(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = t.events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    keyed = daily.select(
+        "event_type",
+        "c",
+        F.dayofweek("day").alias("_dw"),
+    ).select(
+        "event_type",
+        "c",
+        # Spark dayofweek: 1=Sunday..7=Saturday; ISO: 1=Monday..7=Sunday
+        F.when(F.col("_dw") == 1, 7).otherwise(F.col("_dw") - 1)
+        .cast("bigint")
+        .alias("dow"),
+    )
+    prof = keyed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    base = keyed.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("grand"),
+        F.count(F.lit(1)).cast("bigint").alias("all_days"),
+    )
+    return (
+        prof.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            "total",
+            F.expr(
+                "total * all_days * 1000000 div (n_days * grand)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
