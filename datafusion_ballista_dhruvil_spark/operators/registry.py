@@ -74,7 +74,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: sample_neyman_allocation, pipeline_k_anonymity, ev_new_vs_returning,
 #: text_feature_hashing, ops_not_in_null_semantics, mm_image_entropy,
 #: sim_anisotropy_audit, sim_class_separation, ev_seasonality_profile,
-#: dedup_keep_best
+#: dedup_keep_best, ops_interval_bucket_join, mix_temperature_sampling,
+#: sample_bootstrap_ci, sim_srp_agreement_audit, ev_theil_sen_trend,
+#: ev_click_debounce, ev_sliding_hll_7d, mix_source_caps,
+#: pack_shard_manifest, ev_lttb_downsample
 #: — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently

@@ -3076,3 +3076,79 @@ SELECT 'except_keys', CAST(COUNT(*) AS BIGINT) FROM (
 ORDER BY variant
 """
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ops_interval_bucket_join",
+    oracle="""
+WITH iv AS (
+  SELECT n_nationkey AS iv_id,
+         n_nationkey * 1800 AS lo_cents,
+         n_nationkey * 1800 + 4500 AS hi_cents
+  FROM nation
+),
+pts AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
+)
+SELECT iv.iv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(pts.v_cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT pts.user_id) AS BIGINT) AS n_users
+FROM iv JOIN pts
+  ON pts.v_cents >= iv.lo_cents AND pts.v_cents < iv.hi_cents
+GROUP BY iv.iv_id
+ORDER BY iv.iv_id
+""",
+)
+def ops_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join as a BUCKETED EQUI-JOIN — the 100 TB shape.
+
+    Point-in-interval joins (IP->geo lookup, value banding, time-range
+    enrichment; the reference plans these as a join filter over a hash
+    join, /root/reference/datafusion §physical-plan joins) degenerate to
+    BroadcastNestedLoopJoin when written as a raw inequality join. The
+    scale-correct plan discretizes the domain into fixed-width buckets:
+    each interval EXPLODES to one row per bucket it covers, each point
+    maps to exactly ONE bucket, and the join becomes a plain shuffled
+    equi-join on the bucket id followed by the residual range predicate.
+    Both sides can be arbitrarily large — no broadcast, no O(N*M) loop;
+    the only tuning knob is bucket width vs interval-duplication factor
+    (here width 2000 cents vs interval span 4500 => <=4 rows per
+    interval). All arithmetic is integer cents so bucket assignment is
+    bit-identical in both engines; the oracle states the same join as
+    the naive inequality form, proving the bucketed rewrite's semantics.
+    """
+    t = Tables(spark, sf_dir)
+    width = 2000  # bucket width in cents
+    iv = (
+        t.nation.select(
+            F.col("n_nationkey").alias("iv_id"),
+            (F.col("n_nationkey") * 1800).cast("long").alias("lo_cents"),
+            (F.col("n_nationkey") * 1800 + 4500).cast("long").alias("hi_cents"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo_cents DIV {width}"), F.expr(f"hi_cents DIV {width}")
+                )
+            ),
+        )
+    )
+    pts = t.events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    ).withColumn("bucket", F.expr(f"v_cents DIV {width}"))
+    joined = iv.join(pts, "bucket").where(
+        (F.col("v_cents") >= F.col("lo_cents")) & (F.col("v_cents") < F.col("hi_cents"))
+    )
+    return (
+        joined.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("iv_id")
+    )

@@ -636,3 +636,253 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mix_temperature_sampling",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         SUM(sqrt(CAST(n_chars AS DOUBLE))) AS denom
+  FROM per_src
+)
+SELECT s.source, s.n_docs, s.n_chars,
+       CAST(round(CAST(s.n_chars AS DOUBLE) / t.total_chars, 6) AS DOUBLE)
+         AS p_natural,
+       CAST(round(sqrt(CAST(s.n_chars AS DOUBLE)) / t.denom, 6) AS DOUBLE)
+         AS p_sampled,
+       CAST(round(
+         (sqrt(CAST(s.n_chars AS DOUBLE)) / t.denom)
+           / (CAST(s.n_chars AS DOUBLE) / t.total_chars), 4) AS DOUBLE)
+         AS upsample_factor
+FROM per_src s CROSS JOIN tot t
+ORDER BY s.source
+""",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (alpha = 0.5).
+
+    Multilingual / multi-source pretraining corpora are not sampled at
+    their natural proportions: big sources drown small ones. The standard
+    fix reweights source i from p_i = n_i / N to q_i ~ p_i^alpha
+    (XLM-R-style exponential smoothing). alpha = 1/2 is chosen here so
+    the power is sqrt — IEEE-exact and bit-identical in every engine,
+    unlike pow(x, 0.7). Output is each source's natural share, its
+    temperature share, and the implied up/down-sampling factor the data
+    loader applies.
+
+    Scale: ONE scan with a map-side-partial groupBy(source) collapses
+    100 TB to S rows (S = #sources, tiny); the totals are a 1-row
+    aggregate over those S rows cross-joined back — the house
+    first-aggregate-collapse shape; nothing after the first shuffle
+    exceeds S rows. Shares are rounded (6 dp) AFTER all exact-integer
+    aggregation: the only cross-row float sum is the S-term sqrt
+    denominator, whose ulp-order noise the rounding absorbs.
+    """
+    t = Tables(spark, sf_dir)
+    per_src = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.sqrt(F.col("n_chars").cast("double"))).alias("denom"),
+    )
+    # 1-row scalar merge: crossJoin with an aggregate result, not a data join
+    joined = per_src.crossJoin(F.broadcast(tot))
+    p_nat = F.col("n_chars").cast("double") / F.col("total_chars")
+    p_smp = F.sqrt(F.col("n_chars").cast("double")) / F.col("denom")
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(p_nat, 6).alias("p_natural"),
+        F.round(p_smp, 6).alias("p_sampled"),
+        F.round(p_smp / p_nat, 4).alias("upsample_factor"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_bootstrap_ci",
+    oracle="""
+WITH reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+draws AS (
+  SELECT r.rep, d.n_chars
+  FROM documents d CROSS JOIN reps r
+  WHERE CAST(('0x' || substr(
+          md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)),
+          1, 15)) AS BIGINT) % 100 < 50
+)
+SELECT rep,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM draws GROUP BY rep ORDER BY rep
+""",
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded Bernoulli bootstrap: 32 deterministic half-sample
+    replicates of mean document length in ONE distributed pass.
+
+    Classic bootstrap resampling does not distribute (sampling WITH
+    replacement needs global coordination); the production shape is B
+    deterministic subsample replicates — doc d enters replicate r iff
+    md5(doc_id:r) lands under the rate — whose spread estimates the
+    sampling variability of the corpus statistic (an m-out-of-n /
+    subsample bootstrap). Everything is a pure per-row map: no seed
+    state, no partition-order sensitivity, identical in any engine —
+    the same property split_hash_assign relies on.
+
+    Scale: the B-way explode happens MAP-SIDE and feeds a partial
+    aggregate, so the shuffle carries at most B rows per task, never
+    B x N rows; driver sees exactly B rows. The CI itself (quantiles of
+    the 32 means) is a trivial driver-side step on B rows — kept out of
+    the output so the hash gate pins the exact per-replicate statistics.
+    """
+    t = Tables(spark, sf_dir)
+    draws = (
+        t.documents.select("doc_id", "n_chars")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(31))))
+        .withColumn("rep", F.col("rep").cast("long"))
+        .where(
+            _hash_bucket(
+                F.concat_ws(":", F.col("doc_id"), F.col("rep")), 100
+            ) < 50
+        )
+    )
+    return (
+        draws.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+        .orderBy("rep")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mix_source_caps",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+rated AS (
+  SELECT source, n_docs,
+         CAST(least(1000000, 20 * 1000000 // n_docs) AS BIGINT) AS rate_ppm
+  FROM per_src
+),
+kept AS (
+  SELECT d.source, r.n_docs, r.rate_ppm, d.n_chars,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000000 < r.rate_ppm
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rated r USING (source)
+)
+SELECT source, n_docs, rate_ppm,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep * n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY source, n_docs, rate_ppm ORDER BY source
+""",
+)
+def mix_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps: downsample every over-represented source
+    to <= 20 docs with a DETERMINISTIC hash threshold — the discrete
+    companion to mix_temperature_sampling (hard ceilings per source/domain
+    rather than continuous reweighting; the C4/RefinedWeb-style "no
+    source may exceed X" rule).
+
+    Each source's keep-rate is an EXACT integer ppm (integer floor
+    division — bit-identical in both engines), computed from a
+    first-aggregate collapse (S rows), broadcast back, and applied as a
+    pure per-row hash predicate: no shuffle of the corpus, no
+    randomness, monotone under re-runs. The expected kept count is
+    rate * n (binomial spread, audited here by emitting the actual
+    kept counts under the hash gate).
+
+    Scale: aggregate -> S-row broadcast -> map-side filter -> aggregate;
+    the corpus never shuffles.
+    """
+    t = Tables(spark, sf_dir)
+    rated = (
+        t.documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "rate_ppm",
+            F.least(F.lit(1000000), F.expr("20 * 1000000 DIV n_docs")).cast("long"),
+        )
+    )
+    keep = (
+        _hash_bucket(F.col("doc_id"), 1000000) < F.col("rate_ppm")
+    ).cast("int")
+    kept = t.documents.join(F.broadcast(rated), "source").withColumn("keep", keep)
+    return (
+        kept.groupBy("source", "n_docs", "rate_ppm")
+        .agg(
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_chars")).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pack_shard_manifest",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS skey,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 8 AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(skey) AS first_key,
+       MAX(skey) AS last_key
+FROM keyed GROUP BY shard ORDER BY shard
+""",
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding manifest: every training
+    run needs the corpus in a reproducible pseudo-random order, split
+    into fixed shards — md5(doc_id) IS the shuffle (a random-looking but
+    stable total order), its low bits the shard assignment, so any
+    engine / any re-run produces byte-identical shards with no seed
+    state and no global sort coordination (each shard sorts its own
+    slice by the hash key; writers emit one file per shard).
+
+    The manifest row per shard — count, byte load, first/last sort key —
+    is what the loader checks before streaming; balanced sum_chars
+    across shards here demonstrates the hash's load-balancing. Scale:
+    ONE hash-partitioned write (repartition(shard) + in-partition sort),
+    manifest via map-side-partial min/max/sum — no second pass.
+    """
+    t = Tables(spark, sf_dir)
+    keyed = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+        _hash_bucket(F.col("doc_id"), 8).alias("shard"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("skey").alias("first_key"),
+            F.max("skey").alias("last_key"),
+        )
+        .orderBy("shard")
+    )

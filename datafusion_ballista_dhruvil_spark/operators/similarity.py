@@ -3589,3 +3589,173 @@ def sim_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --------------------------------------------------------------------------
+_SRP_NBITS = 32
+_SRP_PLANES: "np.ndarray | None" = None
+
+
+def _srp_plane_matrix(dim: int) -> np.ndarray:
+    """(32, dim) int64 hyperplane matrix, entry (p,d) derived from
+    md5(f"{p}:{d}") exactly like the SQL side — deterministic in any
+    engine, any partitioning; cached per process."""
+    global _SRP_PLANES
+    if _SRP_PLANES is None or _SRP_PLANES.shape[1] != dim:
+        import hashlib
+
+        m = np.empty((_SRP_NBITS, dim), dtype=np.int64)
+        for p in range(_SRP_NBITS):
+            for d in range(dim):
+                h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15]
+                m[p, d] = int(h, 16) % 1000001 - 500000
+        _SRP_PLANES = m
+    return _SRP_PLANES
+
+
+@pandas_udf(LongType())
+def _srp_sig(a: pd.Series) -> pd.Series:
+    """32-bit signed-random-projection signature packed into one int64.
+
+    One integer matmul per Arrow batch (quantized components x integer
+    hyperplanes — exact, order-free), sign bits packed LSB-first."""
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    q = _round_half_away(np.stack(a.to_numpy()).astype(np.float64) * _SCALE)
+    planes = _srp_plane_matrix(q.shape[1])
+    bits = (q @ planes.T >= 0).astype(np.int64)
+    return pd.Series((bits << np.arange(_SRP_NBITS, dtype=np.int64)).sum(axis=1))
+
+
+@query(
+    "sim_srp_agreement_audit",
+    oracle=f"""
+WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+bits AS (SELECT unnest(generate_series(0, 31)) AS p),
+planes AS (
+  SELECT b.p, d.d,
+         CAST(('0x' || substr(md5(CAST(b.p AS VARCHAR) || ':' ||
+           CAST(d.d AS VARCHAR)), 1, 15)) AS BIGINT) % 1000001 - 500000 AS r
+  FROM bits b CROSS JOIN dims d
+),
+base AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200
+),
+qcomp AS (
+  SELECT b.vec_id, d.d,
+         CAST(round(CAST(b.embedding[d.d + 1] AS DOUBLE) * 10000000)
+           AS BIGINT) AS qi
+  FROM base b CROSS JOIN dims d
+),
+proj AS (
+  SELECT q.vec_id, pl.p, SUM(q.qi * pl.r) AS pr
+  FROM qcomp q JOIN planes pl ON pl.d = q.d
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p)
+                  ELSE 0 END) AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id
+),
+nrm AS (
+  SELECT vec_id, label, embedding, {_sql_norm('embedding')} AS nrm FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine,
+         32 - bit_count(xor(sa.sig, sb.sig)) AS agree
+  FROM nrm a
+  JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN sigs sa ON sa.vec_id = a.vec_id
+  JOIN sigs sb ON sb.vec_id = b.vec_id
+),
+scored AS (
+  SELECT CAST(floor(cosine * 10) AS BIGINT) AS cos_bucket,
+         agree,
+         1.0 - acos(greatest(-1.0, least(1.0, cosine))) / pi() AS p_theory
+  FROM pairs
+)
+SELECT cos_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(agree) AS BIGINT) AS sum_agree,
+       CAST(SUM(agree) AS DOUBLE) / (32 * COUNT(*)) AS avg_p_hat,
+       CAST(round(AVG(p_theory), 4) AS DOUBLE) AS avg_p_theory,
+       CAST(SUM(CASE WHEN abs(CAST(agree AS DOUBLE) / 32 - p_theory)
+                  <= 3 * sqrt(p_theory * (1 - p_theory) / 32) + 1.0 / 32
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+FROM scored GROUP BY cos_bucket ORDER BY cos_bucket
+""",
+)
+def sim_srp_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection (SimHash-for-cosine) LSH with its
+    Goemans-Williamson collision-probability audit.
+
+    Each vector gets a 32-bit signature map-side: sign bits of 32
+    integer hyperplane projections, ONE int64 matmul per Arrow batch,
+    packed into a single long (the embedding-space analogue of
+    dedup_simhash's text signature; band-splitting that long is the
+    sim_ann_bucketed join shape). The audit checks SRP's defining
+    theorem — P[sign agree] = 1 - theta/pi — per cosine bucket: observed
+    bit-agreement (exact dyadic k/32 arithmetic) vs theory, with a
+    3-sigma binomial tolerance, pairs blocked by label exactly like
+    sim_embedding_neardup so the quadratic term stays in-block.
+
+    Scale: signatures are a pure projection (no shuffle, corpus-size
+    linear); pair generation is block-bounded; the output collapses to
+    <=20 bucket rows with map-side partial aggregation. Only the
+    signature long and two ids shuffle — never the vectors.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.where(F.col("vec_id") < 200).select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        _srp_sig(F.col("embedding")).alias("sig"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("d1"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("sig").alias("sa"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("d2"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("sig").alias("sb"),
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("d1") < F.col("d2")))
+    cosine = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    agree = F.lit(32) - F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    theta_frac = F.acos(
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.col("cosine")))
+    ) / F.lit(float(np.pi))
+    scored = pairs.select(
+        cosine.alias("cosine"), agree.alias("agree")
+    ).select(
+        F.floor(F.col("cosine") * 10).cast("long").alias("cos_bucket"),
+        "agree",
+        (F.lit(1.0) - theta_frac).alias("p_theory"),
+    )
+    within = (
+        F.abs(F.col("agree").cast("double") / 32 - F.col("p_theory"))
+        <= 3 * F.sqrt(F.col("p_theory") * (1 - F.col("p_theory")) / 32)
+        + F.lit(1.0 / 32)
+    ).cast("int")
+    return (
+        scored.groupBy("cos_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("agree").cast("long").alias("sum_agree"),
+            (F.sum("agree").cast("double") / (32 * F.count(F.lit(1)))).alias(
+                "avg_p_hat"
+            ),
+            F.round(F.avg("p_theory"), 4).alias("avg_p_theory"),
+            F.sum(within).cast("long").alias("n_within"),
+        )
+        .orderBy("cos_bucket")
+    )

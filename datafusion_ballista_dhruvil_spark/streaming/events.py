@@ -3179,3 +3179,389 @@ def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ev_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.v_cents - a.v_cents AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_slopes,
+       CAST(median(slope) AS DOUBLE) AS ts_slope_cents_per_day
+FROM slopes GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    day-to-day slopes of the daily monetary total — a 29%-breakdown-point
+    trend estimator that one anomalous day cannot drag (unlike the OLS
+    slope ops_agg_regr fits).
+
+    The pairwise stage is the textbook quadratic trap, bounded here the
+    way production bounds it: slopes are taken over the DAILY aggregate
+    (first-aggregate collapse: 100 TB of events -> one row per
+    (type, day) before any pair math), so the self-join is
+    O(types x days^2) with days ~ bounded window — never over raw events.
+    Monetary is exact int64 cents; each slope is ONE double division of
+    exact integers, so both engines see the identical slope multiset and
+    the interpolated median (one IEEE average of the two middles) is
+    bit-identical.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("v_cents").alias("va")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("v_cents").alias("vb"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        ((F.col("vb") - F.col("va")).cast("double") / (F.col("db") - F.col("da"))).alias(
+            "slope"
+        ),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_slopes"),
+            F.median("slope").alias("ts_slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ev_click_debounce",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('second', prev_ts, ts) > 300
+              THEN 1 ELSE 0 END AS new_burst
+  FROM ordered
+),
+bursts AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS burst_id
+  FROM marked
+),
+kept AS (
+  SELECT user_id, event_type, burst_id,
+         CAST(COUNT(*) AS BIGINT) AS burst_len
+  FROM bursts GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(burst_len) AS BIGINT) AS n_raw,
+       CAST(SUM(burst_len - 1) AS BIGINT) AS n_suppressed,
+       CAST(MAX(burst_len) AS BIGINT) AS max_burst
+FROM kept GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_click_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debounce: collapse rapid-fire repeats of the same event by
+    the same user into one, with CHAINED suppression semantics — a burst
+    extends while consecutive gaps stay <= 300 s (the sessionize recipe
+    applied as a dedup operator: bot double-clicks, retry storms, SDK
+    re-sends). Keeping the first event of each burst is exact chained
+    debounce; the output audits suppression per event type.
+
+    Scale: one shuffle on (user_id, event_type) serves both windows (lag
+    and the running burst-id sum share the partitioning and sort), then
+    the burst/type aggregates are map-side-partial rollups — the same
+    single-shuffle posture as ev_sessionize. Tie-break on event_id makes
+    the lag order total, so both engines chain identical bursts.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = t.events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "new_burst",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 300),
+            1,
+        ).otherwise(0),
+    )
+    bursts = marked.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            Window.partitionBy("user_id", "event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    kept = bursts.groupBy("user_id", "event_type", "burst_id").agg(
+        F.count(F.lit(1)).alias("burst_len")
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("burst_len").alias("n_raw"),
+            F.sum(F.col("burst_len") - 1).alias("n_suppressed"),
+            F.max("burst_len").alias("max_burst"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ev_sliding_hll_7d",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM d)
+SELECT w.day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users_7d,
+       TRUE AS within_bound
+FROM days w JOIN d e ON e.day BETWEEN w.day - 6 AND w.day
+GROUP BY w.day ORDER BY w.day
+""",
+)
+def ev_sliding_hll_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users from MERGEABLE per-day HLL sketches —
+    the store-once-answer-any-window rollup: each day's sketch is built
+    once (one pass over that day's events), and every trailing window is
+    a union of <= 7 sketches, never a rescan of raw events. This is the
+    sketch-algebra answer to ev_dau_wau_mau's exact-but-rescanning
+    window; at 100 TB the per-day sketches are a few KB each and the
+    window union touches no raw data.
+
+    The 7-day fan-out is the offset-explode equi-join (each day's sketch
+    mails itself to the 7 window-ends it serves) — shuffle carries
+    7 x #days sketch rows, independent of corpus size. Oracle contract
+    (ops_agg_approx pattern): the query emits the EXACT sliding distinct
+    (computed from deduped (day,user) pairs, also offset-exploded) plus
+    a boolean pinning the merged-sketch estimate inside 5% (~3 sigma for
+    lgConfigK=12); the oracle emits the exact count with literal TRUE.
+    """
+    t = Tables(spark, sf_dir)
+    day = F.datediff(
+        F.date_trunc("day", F.col("ts")).cast("date"),
+        F.lit("1970-01-01").cast("date"),
+    ).cast("long")
+    ev = t.events.select(day.alias("day"), "user_id")
+    days = ev.select("day").distinct()
+    # per-day sketch, built once
+    sk = ev.groupBy("day").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    off = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    sk_w = (
+        sk.select("day", "sk", off)
+        .select((F.col("day") + F.col("off")).alias("wday"), "sk")
+        .join(days.select(F.col("day").alias("wday")), "wday")
+        .groupBy("wday")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    # exact side from deduped (day, user) pairs — same fan-out shape
+    pairs = ev.distinct()
+    exact = (
+        pairs.select("day", "user_id", off)
+        .select((F.col("day") + F.col("off")).alias("wday"), "user_id")
+        .join(days.select(F.col("day").alias("wday")), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users_7d"))
+    )
+    return (
+        exact.join(sk_w, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("est") - F.col("exact_users_7d"))
+                <= 0.05 * F.col("exact_users_7d")
+            ).alias("within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ev_lttb_downsample",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+mn AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT event_type, d, v, CAST((d - d0) // 3 AS BIGINT) AS b
+  FROM daily CROSS JOIN mn
+),
+bs AS (
+  SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy
+  FROM pts GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS bmin, MAX(b) AS bmax FROM pts GROUP BY 1),
+mid AS (
+  SELECT p.event_type, p.b, p.d, p.v,
+         abs((pp.sx - pp.n * p.d) * (nn.sy - nn.n * p.v)
+           - (nn.sx - nn.n * p.d) * (pp.sy - pp.n * p.v)) AS area2
+  FROM pts p
+  JOIN bs pp ON pp.event_type = p.event_type AND pp.b = p.b - 1
+  JOIN bs nn ON nn.event_type = p.event_type AND nn.b = p.b + 1
+),
+sel_mid AS (
+  SELECT event_type, b, d, v, 'lttb' AS role FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, b
+                                 ORDER BY area2 DESC, d) AS rn
+    FROM mid
+  ) WHERE rn = 1
+),
+sel_edge AS (
+  SELECT event_type, b, d, v, role FROM (
+    SELECT p.event_type, p.b, p.d, p.v,
+           CASE WHEN p.b = bo.bmin THEN 'first' ELSE 'last' END AS role,
+           row_number() OVER (
+             PARTITION BY p.event_type, p.b
+             ORDER BY CASE WHEN p.b = bo.bmin THEN p.d ELSE -p.d END
+           ) AS rn
+    FROM pts p JOIN bounds bo
+      ON bo.event_type = p.event_type AND p.b IN (bo.bmin, bo.bmax)
+  ) WHERE rn = 1
+)
+SELECT event_type, b AS bucket, d AS day_index, v AS v_cents, role
+FROM (SELECT * FROM sel_mid UNION ALL SELECT * FROM sel_edge)
+ORDER BY event_type, day_index
+""",
+)
+def ev_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each event-type's
+    daily series — the dashboard-rendering operator: reduce millions of
+    points per series to one visually-dominant point per bucket
+    (Steinarsson's LTTB), keeping the exact first/last points.
+
+    This is the PARALLEL variant: anchors are the neighbor buckets'
+    MEANS (classic LTTB chains on the previously selected point — a
+    sequential recurrence; the mean-anchor form is embarrassingly
+    parallel and is what production time-series stores implement). The
+    triangle area comparison is EXACT INTEGER arithmetic: with mean
+    anchors (sx/n, sy/n), multiplying the 2x-area by n_prev * n_next
+    clears every denominator — |(sxp - np*x)(syn - nn*y) -
+    (sxn - nn*x)(syp - np*y)| — so the argmax (ties broken by day) is
+    bit-identical in both engines, no float comparisons anywhere.
+
+    Scale: first-aggregate collapse to (type, day), bucket sums are a
+    second tiny rollup joined back by (type, bucket +/- 1) equi-joins;
+    the argmax is a per-bucket window over ~bucket_width rows. Nothing
+    after the daily collapse exceeds #buckets rows per series.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(mn)).select(
+        "event_type", "d", "v", F.expr("(d - d0) DIV 3").alias("b")
+    )
+    bs = pts.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("v").alias("sy"),
+    )
+    bounds = pts.groupBy("event_type").agg(
+        F.min("b").alias("bmin"), F.max("b").alias("bmax")
+    )
+    pp = bs.select(
+        F.col("event_type").alias("et_p"), (F.col("b") + 1).alias("b_p"),
+        F.col("n").alias("np"), F.col("sx").alias("sxp"), F.col("sy").alias("syp"),
+    )
+    nn = bs.select(
+        F.col("event_type").alias("et_n"), (F.col("b") - 1).alias("b_n"),
+        F.col("n").alias("nnx"), F.col("sx").alias("sxn"), F.col("sy").alias("syn"),
+    )
+    mid = (
+        pts.join(pp, (F.col("event_type") == F.col("et_p")) & (F.col("b") == F.col("b_p")))
+        .join(nn, (F.col("event_type") == F.col("et_n")) & (F.col("b") == F.col("b_n")))
+        .select(
+            "event_type", "b", "d", "v",
+            F.abs(
+                (F.col("sxp") - F.col("np") * F.col("d"))
+                * (F.col("syn") - F.col("nnx") * F.col("v"))
+                - (F.col("sxn") - F.col("nnx") * F.col("d"))
+                * (F.col("syp") - F.col("np") * F.col("v"))
+            ).alias("area2"),
+        )
+    )
+    w_mid = Window.partitionBy("event_type", "b").orderBy(F.desc("area2"), "d")
+    sel_mid = (
+        mid.withColumn("rn", F.row_number().over(w_mid))
+        .where(F.col("rn") == 1)
+        .select("event_type", "b", "d", "v", F.lit("lttb").alias("role"))
+    )
+    edge_pts = pts.join(F.broadcast(bounds), "event_type").where(
+        (F.col("b") == F.col("bmin")) | (F.col("b") == F.col("bmax"))
+    )
+    w_edge = Window.partitionBy("event_type", "b").orderBy(
+        F.when(F.col("b") == F.col("bmin"), F.col("d")).otherwise(-F.col("d"))
+    )
+    sel_edge = (
+        edge_pts.withColumn("rn", F.row_number().over(w_edge))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type", "b", "d", "v",
+            F.when(F.col("b") == F.col("bmin"), "first").otherwise("last").alias("role"),
+        )
+    )
+    return (
+        sel_mid.unionAll(sel_edge)
+        .select(
+            "event_type", F.col("b").alias("bucket"),
+            F.col("d").alias("day_index"), F.col("v").alias("v_cents"), "role",
+        )
+        .orderBy("event_type", "day_index")
+    )

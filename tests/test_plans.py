@@ -634,3 +634,21 @@ def test_linear_interpolate_is_union_window(spark):
     # join — neighbors come from the two windows over the union
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" in plan and "Union" in plan
+
+
+def test_interval_bucket_join_is_equi_join(spark):
+    # The bucketed interval-join rewrite must plan as an EQUI-join on the
+    # bucket id (shuffle/broadcast hash), never a nested-loop over the raw
+    # range predicate — the whole point of the bucket discretization.
+    plan = formatted_plan(QUERIES["ops_interval_bucket_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_explode_is_before_partial_agg(spark):
+    # The 32-way replicate explode must feed a map-side partial aggregate
+    # (HashAggregate below the exchange), so the shuffle carries B rows per
+    # task — not B x N rows.
+    plan = formatted_plan(QUERIES["sample_bootstrap_ci"](spark, SF_DIR))
+    assert "Generate" in plan  # the explode
+    assert plan.count("HashAggregate") >= 2  # partial + final
