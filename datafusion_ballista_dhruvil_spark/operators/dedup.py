@@ -2044,3 +2044,104 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "fp")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_url_canonical",
+    oracle=r"""
+WITH urls AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+         || source || '.Example.COM:443/articles/' || CAST(doc_id % 7 AS VARCHAR)
+         || '/?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+         || '&ref=' || CAST(doc_id AS VARCHAR)
+         || '#section-' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         'https://'
+         || regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                           '^www\.', '')
+         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1),
+                           '/+$', '')
+         || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1) AS canonical_url
+  FROM urls
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keep_doc, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM canon GROUP BY canonical_url HAVING COUNT(*) >= 2
+ORDER BY n_dups DESC, canonical_url
+LIMIT 100
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup key of every web
+    corpus (CommonCrawl keeps one capture per canonical URL before any
+    content hashing runs). Raw URLs vary in scheme/host case, www
+    prefix, default port, tracking parameters (utm_*, ref), trailing
+    slash, and fragment while naming the SAME resource; canonicalizing
+    then grouping collapses them without touching document bytes.
+
+    The testdata documents table carries no URL column, so a raw URL is
+    synthesized per doc (deterministically, in BOTH engines) with every
+    artifact class above baked in: mixed-case scheme+host, www., :443,
+    utm_source/ref noise around a meaningful id param, and a fragment.
+    The operator under test is the canonicalization itself, which runs
+    on Spark's real URL parser (`parse_url` HOST/PATH/QUERY-key
+    extraction — JVM expression, not a UDF) + lower/regexp cleanup:
+      scheme+host lowercased, www. stripped, default port dropped
+      (parse_url HOST already excludes it), path trailing-slash
+      trimmed, query reduced to the canonical id param, fragment
+      dropped.
+
+    Scale posture at 100 TB: canonicalization is pure map-side
+    expression work inside whole-stage codegen; the only shuffle is the
+    groupBy on the canonical-URL string with map-side partial
+    aggregation — identical shape to dedup_exact, shuffling one short
+    key + three numeric partials per row. Survivor policy is min
+    doc_id (first capture); swap in dedup_keep_best's quality argmax
+    for curation-grade selection.
+    """
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://www.")
+        ),
+        F.col("source"),
+        F.lit(".Example.COM:443/articles/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("#section-"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    with_url = t.documents.select("doc_id", "n_chars", url.alias("url"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+        ),
+        F.regexp_replace(
+            F.parse_url(F.col("url"), F.lit("PATH")), r"/+$", ""
+        ),
+        F.lit("?id="),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        with_url.select(
+            "doc_id", "n_chars", canonical.alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .where(F.col("n_dups") >= 2)
+        .orderBy(F.desc("n_dups"), "canonical_url")
+        .limit(100)
+    )

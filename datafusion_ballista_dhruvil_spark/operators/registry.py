@@ -77,7 +77,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: dedup_keep_best, ops_interval_bucket_join, mix_temperature_sampling,
 #: sample_bootstrap_ci, sim_srp_agreement_audit, ev_theil_sen_trend,
 #: ev_click_debounce, ev_sliding_hll_7d, mix_source_caps,
-#: pack_shard_manifest, ev_lttb_downsample
+#: pack_shard_manifest, ev_lttb_downsample,
+#: dedup_url_canonical, sim_residual_quantize, text_boilerplate_lines,
+#: text_mojibake_score, sim_ivf_balance_audit
 #: — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently

@@ -3759,3 +3759,243 @@ def sim_srp_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cos_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+_SQL_QVEC = (
+    "list_transform({e}, v -> "
+    "CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))"
+)
+_SQL_ISQDIST = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+@query(
+    "sim_residual_quantize",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qe FROM embeddings
+),
+coarse AS (SELECT vec_id AS k, qe AS ce FROM q WHERE vec_id % 83 = 0),
+assign AS (
+  SELECT vec_id, qe, k AS coarse_id, ce FROM (
+    SELECT q.vec_id, q.qe, c.k, c.ce,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_SQL_ISQDIST.format(a='q.qe', b='c.ce')}, c.k
+           ) AS rn
+    FROM q CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT vec_id, coarse_id,
+         list_transform(list_zip(qe, ce), p -> p[1] - p[2]) AS r
+  FROM assign
+),
+codewords AS (SELECT vec_id AS w, r AS we FROM resid WHERE vec_id % 59 = 0),
+rassign AS (
+  SELECT vec_id, coarse_id, err1, err2 FROM (
+    SELECT r.vec_id, r.coarse_id,
+           list_sum(list_transform(r.r, v -> v * v)) AS err1,
+           {_SQL_ISQDIST.format(a='r.r', b='cw.we')} AS err2,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY {_SQL_ISQDIST.format(a='r.r', b='cw.we')}, cw.w
+           ) AS rn
+    FROM resid r CROSS JOIN codewords cw
+  ) WHERE rn = 1
+)
+SELECT coarse_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(err1 AS DECIMAL(38,0))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 1e14 AS avg_err_vq,
+       CAST(SUM(CAST(err2 AS DECIMAL(38,0))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 1e14 AS avg_err_rq
+FROM rassign GROUP BY coarse_id ORDER BY coarse_id
+""",
+)
+def sim_residual_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level residual vector quantization (RVQ) audit — the
+    codebook family behind modern ANN compression (and the RQ half of
+    IVF-RQ indexes): a coarse codebook captures the region, a second
+    codebook quantizes the RESIDUAL x - c, and reconstruction error
+    drops vs one-level VQ without growing either codebook. Reports
+    per-coarse-cell vector counts and the stage-1 (VQ) vs stage-2 (RVQ)
+    mean squared reconstruction error, so the improvement is visible
+    per region.
+
+    Codebooks are deterministic data seeds (coarse: vec_id % 83 == 0,
+    7 centroids; residual: the residuals of vec_id % 59 == 0, 9
+    codewords) so the DuckDB oracle can rebuild them exactly; a
+    trained variant would swap in sim_kmeans_iterate's Lloyd passes.
+
+    Determinism contract: scale-7 integer quantization (house _SCALE,
+    half-away rounding both engines), all distances and residuals in
+    exact int64 (unit-norm inputs: per-dim residual diff <= 2.2e7,
+    per-vector err <= 2.8e16), per-cell sums in DECIMAL(38,0), one
+    int->double cast at the very end with identical division order.
+
+    Scale posture at 100 TB: both codebooks are bounded collects (7 +
+    9 rows) broadcast in the closure; assignment, residual, and both
+    error terms are ONE map-only Arrow pass over the partitioned corpus
+    (batched numpy matmul-shaped argmin, the sim_cosine_topk kernel
+    pattern — no N x K rows ever materialize, no corpus shuffle); the
+    only shuffle is the final partial-agg groupBy to ~K rows. Adding
+    RVQ levels adds map-side flops, never shuffles.
+    """
+    import numpy as _np
+
+    t = Tables(spark, sf_dir)
+    crows = sorted(
+        t.embeddings.where(F.col("vec_id") % 83 == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    C = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in crows])
+        * _SCALE
+    ).astype(_np.int64)
+    cids = _np.array([r.vec_id for r in crows], dtype=_np.int64)
+
+    wrows = sorted(
+        t.embeddings.where(F.col("vec_id") % 59 == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    WQ = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in wrows])
+        * _SCALE
+    ).astype(_np.int64)
+    # residual-seed residuals: assign each seed to its nearest coarse
+    # centroid (argmin = first minimum = smallest id, both engines)
+    dseed = WQ[:, None, :] - C[None, :, :]
+    W = WQ - C[_np.einsum("bkd,bkd->bk", dseed, dseed).argmin(axis=1)]
+
+    def rvq_scan(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                * _SCALE
+            ).astype(_np.int64)
+            dc = X[:, None, :] - C[None, :, :]
+            a = _np.einsum("bkd,bkd->bk", dc, dc).argmin(axis=1)
+            R = X - C[a]
+            err1 = _np.einsum("bd,bd->b", R, R)
+            dr = R[:, None, :] - W[None, :, :]
+            err2 = _np.einsum("bkd,bkd->bk", dr, dr).min(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "coarse_id": _pd.Series(cids[a], dtype="int64"),
+                    "err1": _pd.Series(err1, dtype="int64"),
+                    "err2": _pd.Series(err2, dtype="int64"),
+                }
+            )
+
+    return (
+        t.embeddings.select("embedding")
+        .mapInPandas(rvq_scan, schema="coarse_id long, err1 long, err2 long")
+        .groupBy("coarse_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.col("err1").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e14)
+            ).alias("avg_err_vq"),
+            (
+                F.sum(F.col("err2").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e14)
+            ).alias("avg_err_rq"),
+        )
+        .orderBy("coarse_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_ivf_balance_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {{norm}} AS nrm FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cnrm
+  FROM base WHERE vec_id % {{stride}} = 0
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT b.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {{dot}} / (b.nrm * c.cnrm) DESC, c.centroid_id
+           ) AS arn
+    FROM base b, cent c
+  ) WHERE arn = 1
+),
+sizes AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS list_size
+  FROM assign GROUP BY centroid_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(COUNT(DISTINCT centroid_id) AS BIGINT) AS k_lists
+  FROM assign
+)
+SELECT s.centroid_id, s.list_size,
+       s.list_size * 1000000 // t.n_vecs AS share_ppm,
+       s.list_size * t.k_lists * 1000000 // t.n_vecs AS vs_uniform_ppm
+FROM sizes s CROSS JOIN tot t
+ORDER BY s.list_size DESC, s.centroid_id
+""".format(
+        norm=_sql_norm("embedding"),
+        stride=_IVF_STRIDE,
+        dot=_sql_dot("b.embedding", "c.cemb"),
+    ),
+)
+def sim_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-inverted-list sizes with their share
+    of the corpus and skew vs a perfectly uniform split (1e6 ppm =
+    balanced). List balance IS the ANN latency model — a probe visits
+    nprobe lists, so p99 query cost is set by the largest lists, and a
+    hot list (boilerplate embeddings, a degenerate centroid) silently
+    turns "nprobe=2 of 4096 lists" into a near-full scan. Curation runs
+    this after (re)training centroids and before swapping an index in;
+    the vs_uniform_ppm column is the re-train alarm.
+
+    Scale posture at 100 TB: reuses the map-side broadcast-codebook
+    assignment kernel (_ivf_assigned — zero shuffle, no N x K rows);
+    the audit itself shuffles only K partial counts and one 2-scalar
+    total row joined back by a 1-row broadcast cross join. Exact
+    integer ppm arithmetic (`div`), no floats anywhere.
+    """
+    t = Tables(spark, sf_dir)
+    codebook = _ivf_codebook(t)
+    sizes = (
+        _ivf_assigned(t.embeddings, codebook, 1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("list_size"))
+    )
+    tot = sizes.agg(
+        F.sum("list_size").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).alias("k_lists"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))  # 1-row scalar merge
+        .select(
+            "centroid_id",
+            "list_size",
+            F.expr("list_size * 1000000 div n_vecs").alias("share_ppm"),
+            F.expr("list_size * k_lists * 1000000 div n_vecs").alias(
+                "vs_uniform_ppm"
+            ),
+        )
+        .orderBy(F.desc("list_size"), "centroid_id")
+    )

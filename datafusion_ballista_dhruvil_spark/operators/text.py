@@ -2652,3 +2652,224 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_boilerplate_lines",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+chunked AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(0, CAST(ceil(len(tk)/3.0) AS BIGINT) - 1),
+                        i -> array_to_string(tk[i*3+1 : i*3+3], ' ')) AS chunks
+  FROM toks
+),
+inst AS (
+  SELECT doc_id, source, md5(u.chunk) AS d
+  FROM chunked, LATERAL unnest(chunks) u(chunk)
+),
+freq AS (
+  SELECT source, d, COUNT(DISTINCT doc_id) AS nd FROM inst GROUP BY source, d
+),
+per_doc AS (
+  SELECT i.doc_id, i.source,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM inst i JOIN freq f ON i.source = f.source AND i.d = f.d
+  GROUP BY i.doc_id, i.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_boiler) AS BIGINT) AS n_boiler_chunks,
+       CAST(SUM(n_boiler) AS DOUBLE) / CAST(SUM(n_chunks) AS DOUBLE)
+         AS pooled_ratio,
+       MAX(CAST(n_boiler AS DOUBLE) / CAST(n_chunks AS DOUBLE))
+         AS worst_doc_ratio
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line detection — the CCNet/RefinedWeb
+    pipeline stage that strips navigation bars, cookie banners, and
+    license footers BEFORE document-level dedup ever runs: a "line"
+    recurring across many documents of the same source is template
+    markup, not content. The synthetic corpus has no newlines, so a
+    line is a non-overlapping 3-token chunk; a chunk seen in >= 2
+    distinct docs of its source is boilerplate. Reports the per-source
+    removal accounting (pooled boilerplate ratio + worst single doc) a
+    curation run reviews before committing the strip.
+
+    Scale posture at 100 TB: chunking is map-side array work (sequence/
+    slice/array_join inside codegen — no UDF, no token shuffle); only
+    16-byte chunk DIGESTS shuffle, first to count distinct docs per
+    (source, digest), then a digest-keyed shuffle-hash join back to
+    instances (never broadcast — chunk frequency tables are
+    data-dependent, the dedup_substring_spans OOM lesson), then two
+    partial-agg collapses to per-doc and per-source rows. Per-source
+    frequency scoping also bounds skew: a source's template chunk
+    count grows with that source, not the corpus.
+    """
+    t = Tables(spark, sf_dir)
+    chunked = t.documents.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 3.0)"
+            " AS INT) - 1),"
+            " i -> array_join(slice(split(text, ' '), i*3+1, 3), ' '))"
+        ).alias("chunks"),
+    )
+    inst = chunked.select(
+        "doc_id", "source", F.explode("chunks").alias("chunk")
+    ).select("doc_id", "source", F.md5("chunk").alias("d"))
+    freq = inst.groupBy("source", "d").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        inst.join(freq.hint("shuffle_hash"), ["source", "d"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("n_boiler").cast("bigint").alias("n_boiler_chunks"),
+            (
+                F.sum("n_boiler").cast("double")
+                / F.sum("n_chunks").cast("double")
+            ).alias("pooled_ratio"),
+            F.max(
+                F.col("n_boiler").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("worst_doc_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_mojibake_score",
+    oracle=r"""
+WITH corrupted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN replace(text, 'a', chr(195) || chr(161))
+              WHEN doc_id % 11 = 0
+                THEN text || repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT))
+              WHEN doc_id % 13 = 0 THEN chr(8) || text
+              ELSE text END AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, length(t) AS nc,
+         length(t) - length(replace(t, chr(65533), '')) AS repl_cnt,
+         len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS ctrl_cnt,
+         len(regexp_extract_all(t, chr(195) || '.')) AS moji_cnt
+  FROM corrupted
+),
+final AS (
+  SELECT doc_id, source, nc,
+         CAST(repl_cnt AS BIGINT) AS repl_cnt,
+         CAST(ctrl_cnt AS BIGINT) AS ctrl_cnt,
+         CAST(moji_cnt AS BIGINT) AS moji_cnt,
+         (CAST(repl_cnt AS BIGINT)*3 + CAST(ctrl_cnt AS BIGINT)*2
+          + CAST(moji_cnt AS BIGINT)) * 1000000 // nc AS score_ppm
+  FROM scored
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean,
+       CAST(SUM(repl_cnt) AS BIGINT) AS repl_total,
+       CAST(SUM(ctrl_cnt) AS BIGINT) AS ctrl_total,
+       CAST(SUM(moji_cnt) AS BIGINT) AS moji_total,
+       CAST(MAX(score_ppm) AS BIGINT) AS worst_score_ppm
+FROM final GROUP BY source ORDER BY source
+""",
+)
+def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) scoring — the quality filter that
+    catches double-encoded UTF-8 ('Ã¡' where 'á' was meant), U+FFFD
+    replacement characters from lossy transcoding, and stray C0 control
+    bytes, all of which mark extraction breakage a language-ID or
+    perplexity filter scores as merely "weird" rather than broken. The
+    clean synthetic corpus is corrupted deterministically (in BOTH
+    engines: doc_id % 7 -> latin-1-as-utf8 'a'->'Ã¡', % 11 -> trailing
+    U+FFFD runs, % 13 -> a leading backspace) so the detector's
+    per-class counts are hash-verifiable, not vacuously zero.
+
+    Detection is three JVM-side passes over each string (length-delta
+    for U+FFFD, regexp_count for control chars and the 'Ã'-bigram
+    signature) combined into an exact integer score_ppm via `div`, so
+    no float ever forms. Spark's chr() wraps codepoints at 256, so
+    non-ASCII markers are injected as Python unicode literals while the
+    oracle uses DuckDB's codepoint-faithful chr().
+
+    Scale posture at 100 TB: entirely map-side expression work in
+    whole-stage codegen until the final 20-row per-source partial agg —
+    the cheapest possible shape; the regexes are fixed-size character
+    classes (no backtracking risk).
+    """
+    t = Tables(spark, sf_dir)
+    moji = "Ã¡"  # 'Ã¡'
+    repl = "�"
+    corrupted = t.documents.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.expr(f"replace(text, 'a', '{moji}')")
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.repeat(F.lit(repl), (F.col("doc_id") % 4 + 1).cast("int")),
+            ),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.lit("\b"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    scored = corrupted.select(
+        "doc_id",
+        "source",
+        F.length("t").alias("nc"),
+        (F.length("t") - F.length(F.replace(F.col("t"), F.lit(repl))))
+        .cast("bigint")
+        .alias("repl_cnt"),
+        F.regexp_count(
+            F.col("t"), F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+        )
+        .cast("bigint")
+        .alias("ctrl_cnt"),
+        F.regexp_count(F.col("t"), F.lit("Ã."))
+        .cast("bigint")
+        .alias("moji_cnt"),
+    ).withColumn(
+        "score_ppm",
+        F.expr("(repl_cnt*3 + ctrl_cnt*2 + moji_cnt) * 1000000 div nc"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score_ppm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+            F.sum("repl_cnt").cast("bigint").alias("repl_total"),
+            F.sum("ctrl_cnt").cast("bigint").alias("ctrl_total"),
+            F.sum("moji_cnt").cast("bigint").alias("moji_total"),
+            F.max("score_ppm").cast("bigint").alias("worst_score_ppm"),
+        )
+        .orderBy("source")
+    )

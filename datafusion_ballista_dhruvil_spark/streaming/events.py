@@ -3565,3 +3565,136 @@ def ev_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_index")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.v_cents > a.v_cents THEN 1
+                       WHEN b.v_cents < a.v_cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY a.event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT event_type, v_cents, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, v_cents
+  ) GROUP BY event_type
+)
+SELECT p.event_type, t.n_days, p.s_stat,
+       t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var18,
+       CASE WHEN p.s_stat > 0 THEN CAST(p.s_stat - 1 AS DOUBLE)
+                 / sqrt(CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                             - t.tie_term AS DOUBLE) / 18.0)
+            WHEN p.s_stat < 0 THEN CAST(p.s_stat + 1 AS DOUBLE)
+                 / sqrt(CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                             - t.tie_term AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_score
+FROM pairs p JOIN ties t ON p.event_type = t.event_type
+ORDER BY p.event_type
+""",
+)
+def ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend significance test per event type — the
+    nonparametric partner to ev_theil_sen_trend: Theil-Sen says how
+    steep the trend is, Mann-Kendall says whether a monotone trend
+    exists at all (S = sum of pairwise direction signs; z from the
+    tie-corrected variance n(n-1)(2n+5)/18 - tie term, with the
+    standard +/-1 continuity correction). The pair every monitoring
+    stack ships for rate-drift alerts that must not assume normality.
+
+    Exactness: S, n, the tie term, and var18 (variance x18, kept as an
+    integer so no /18 rounds early) are all exact int64 over exact
+    int64 cent totals; z is formed by ONE identical double sequence in
+    both engines (int->double cast, /18.0, IEEE sqrt, one division).
+
+    Scale posture at 100 TB: first-aggregate collapse to (type, day)
+    rows before any pair math — the self-join is O(types x days^2)
+    over a bounded day window, never over raw events; the tie counts
+    are a second partial-agg pass over the same daily rows; final join
+    merges two <=|types|-row sides.
+    """
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"))
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("v_cents").alias("va")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("v_cents").alias("vb"),
+    )
+    pairs = (
+        a.join(b, (a.event_type == b.et_b) & (a.da < b.db))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "v_cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    denom = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return (
+        pairs.join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double") / denom,
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double") / denom,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z_score"),
+        )
+        .orderBy("event_type")
+    )

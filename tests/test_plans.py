@@ -652,3 +652,25 @@ def test_bootstrap_explode_is_before_partial_agg(spark):
     plan = formatted_plan(QUERIES["sample_bootstrap_ci"](spark, SF_DIR))
     assert "Generate" in plan  # the explode
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_url_canonical_is_single_shuffle_codegen(spark):
+    # URL canonicalization (parse_url + regexp) is pure map-side expression
+    # work: the plan must show exactly one exchange (the canonical-key
+    # groupBy) with a partial aggregate below it, and no UDF evaluation.
+    plan = formatted_plan(QUERIES["dedup_url_canonical"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # one agg exchange + the orderBy's range exchange, nothing else
+    # ("Name (" matches tree nodes only, not the detail sections)
+    assert plan.count("Exchange (") <= 2
+
+
+def test_residual_quantize_is_map_only_then_agg(spark):
+    # Both RVQ codebooks ship in the closure; assignment + residual + both
+    # error terms happen in ONE Arrow map pass. No join anywhere, and the
+    # only exchanges are the final 7-row agg (+ orderBy).
+    plan = formatted_plan(QUERIES["sim_residual_quantize"](spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("MapInPandas (") == 1  # tree nodes only
+    assert plan.count("Exchange (") <= 2
