@@ -79,7 +79,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ev_click_debounce, ev_sliding_hll_7d, mix_source_caps,
 #: pack_shard_manifest, ev_lttb_downsample,
 #: dedup_url_canonical, sim_residual_quantize, text_boilerplate_lines,
-#: text_mojibake_score, sim_ivf_balance_audit
+#: text_mojibake_score, sim_ivf_balance_audit, ev_mann_kendall,
+#: ev_rfm_segmentation
 #: — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently

@@ -674,3 +674,13 @@ def test_residual_quantize_is_map_only_then_agg(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("MapInPandas (") == 1  # tree nodes only
     assert plan.count("Exchange (") <= 2
+
+
+def test_interpolate_has_no_shrinking_window_frame(spark):
+    # Forward-neighbor lookup must be the REVERSED growing frame, never a
+    # (1, unboundedFollowing) shrinking frame: Spark re-scans current->end
+    # per row for shrinking frames — O(n^2), measured 242s vs 2s at sf0.1.
+    plan = formatted_plan(QUERIES["ev_linear_interpolate"](spark, SF_DIR))
+    low = plan.lower()
+    assert "unboundedfollowing" not in low, "shrinking frame reintroduced"
+    assert low.count("desc nulls last") >= 3  # the reversed total order
