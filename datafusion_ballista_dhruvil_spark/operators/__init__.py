@@ -21,6 +21,7 @@ def load_all() -> None:
         sampling,
         scale,
         similarity,
+        ssb,
         temporal,
         text,
         tpch,
