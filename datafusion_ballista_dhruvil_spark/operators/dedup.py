@@ -2145,3 +2145,177 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dups"), "canonical_url")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+#: (bands, rows-per-band) configurations sweepable from the SAME K=16
+#: signature table: b*r = K for all, so no extra hashing per config.
+_TUNE_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+
+
+@query(
+    "dedup_lsh_tuning_curve",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+seeds AS (SELECT unnest(range(0, {K})) AS j),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, j,
+         MIN(((2 * j + 3) * h0 + (104729 * j + 12345)) % 2147483647) AS m
+  FROM hashed, seeds GROUP BY doc_id, j
+),
+configs AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _TUNE_CONFIGS)}) c(b, r)),
+bands AS (
+  SELECT c.b, c.r, doc_id, j // c.r AS band,
+         string_agg(m, '|' ORDER BY j) AS sig
+  FROM mh, configs c GROUP BY c.b, c.r, doc_id, j // c.r
+),
+cand AS (
+  SELECT DISTINCT a.b, a.r, a.doc_id AS d1, x.doc_id AS d2
+  FROM bands a JOIN bands x
+    ON a.b = x.b AND a.r = x.r AND a.band = x.band AND a.sig = x.sig
+   AND a.doc_id < x.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT c.b, c.r, c.d1, c.d2, COUNT(*) AS common
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+              JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.b, c.r, c.d1, c.d2
+),
+truth AS (
+  SELECT v.b, v.r, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM ver v JOIN sizes z1 ON z1.doc_id = v.d1
+             JOIN sizes z2 ON z2.doc_id = v.d2
+  WHERE CAST(v.common AS DOUBLE) / (z1.n + z2.n - v.common) >= 0.5
+  GROUP BY v.b, v.r
+),
+counts AS (
+  SELECT b, r, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY b, r
+)
+SELECT c.b AS bands, c.r AS rows_per_band, n.n_candidates,
+       COALESCE(t.n_true, 0) AS n_true,
+       CASE WHEN n.n_candidates > 0
+            THEN COALESCE(t.n_true, 0) * 1000000 // n.n_candidates
+            END AS precision_ppm,
+       round(pow(1.0 / c.b, 1.0 / c.r), 6) AS s_threshold
+FROM configs c
+JOIN counts n ON n.b = c.b AND n.r = c.r
+LEFT JOIN truth t ON t.b = c.b AND t.r = c.r
+ORDER BY c.r
+""",
+)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter sweep — the S-curve table that PICKS (bands, rows):
+    for every (b, r) banding of the SAME K=16 MinHash signatures, report
+    measured candidate volume, how many candidates verify as true
+    near-dups (exact Jaccard >= 0.5), the resulting precision, and the
+    theoretical S-curve threshold (1/b)^(1/r) where collision probability
+    hits 50%. r=1 recalls everything and drowns in false candidates;
+    r=8 is near-exact matching; the table shows where the corpus' own
+    dup distribution puts the sweet spot — measured on the same engine-
+    exact md5 signature family as dedup_minhash_lsh, so the chosen
+    config transfers 1:1 to the production pipeline.
+
+    Scale posture at 100 TB: no extra hashing per config (b*r = K
+    always — bands re-group existing signature columns map-side); the
+    4-config band table unions before ONE groupBy(b, r, band, sig), so
+    the sweep shuffles 4x the signature rows of a single-config run,
+    never 4x the corpus; in-bucket pair explode is the audited
+    MAX_BUCKET_DOCS-capped house kernel. Production tunes on a sampled
+    corpus slice — the plan is sample-size-proportional end to end
+    (every stage keys on doc-derived rows only). The lone double `pow`
+    is rounded to 1e-6 so Java/libm ulp differences cannot leak into
+    the hash.
+    """
+    arrs = _shingle_arrays(spark, sf_dir).cache()
+    mh = minhash_wide(arrs)
+    per_config = []
+    for b, r in _TUNE_CONFIGS:
+        band_sigs = [
+            F.concat_ws(
+                "|", *[F.col(f"m{i * r + k}") for k in range(r)]
+            ).alias(f"sig{i}")
+            for i in range(b)
+        ]
+        stack_args = ", ".join(f"{i}, sig{i}" for i in range(b))
+        per_config.append(
+            mh.select("doc_id", *band_sigs).select(
+                F.lit(b).alias("b"),
+                F.lit(r).alias("r"),
+                "doc_id",
+                F.expr(f"stack({b}, {stack_args}) AS (band, sig)"),
+            )
+        )
+    bands = per_config[0]
+    for p in per_config[1:]:
+        bands = bands.unionAll(p)
+    buckets = bands.groupBy("b", "r", "band", "sig").agg(
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, MAX_BUCKET_DOCS
+        ).alias("ds")
+    )
+    pairs = (
+        buckets.where(F.size("ds") >= 2)
+        .select(
+            "b",
+            "r",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p"),
+        )
+        .select("b", "r", F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+    s1 = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
+    s2 = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
+    verified = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "b",
+            "r",
+            (
+                F.size(F.array_intersect("ss1", "ss2")).cast("double")
+                / (
+                    F.size("ss1")
+                    + F.size("ss2")
+                    - F.size(F.array_intersect("ss1", "ss2"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    counts = pairs.groupBy("b", "r").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    truth = (
+        verified.where(F.col("jaccard") >= 0.5)
+        .groupBy("b", "r")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        counts.join(truth, ["b", "r"], "left")
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            "n_candidates",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("coalesce(n_true, 0) * 1000000 div n_candidates"),
+            ).alias("precision_ppm"),
+            F.round(
+                F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r")), 6
+            ).alias("s_threshold"),
+        )
+        .orderBy("rows_per_band")
+    )

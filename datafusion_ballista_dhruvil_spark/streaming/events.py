@@ -3819,3 +3819,228 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rfm_code")
     )
+
+
+# --------------------------------------------------------------------------
+def _markov_attr_oracle() -> str:
+    """Unrolled absorbing-chain oracle (v0..v5) for ev_markov_attribution;
+    generated by loop so both engines share the identical step algebra."""
+    steps = []
+    for k in range(1, 6):
+        steps.append(f"""
+v{k} AS (
+  SELECT s.cfg, s.state, COALESCE(p.pc, 0) + COALESCE(m.acc, 0) AS v
+  FROM states s
+  LEFT JOIN pconv p ON p.cfg = s.cfg AND p.state = s.state
+  LEFT JOIN (
+    SELECT t.cfg, t.src, SUM(t.p_ppm * v.v) // 1000000 AS acc
+    FROM tmat t JOIN v{k - 1} v ON v.cfg = t.cfg AND v.state = t.dst
+    GROUP BY t.cfg, t.src
+  ) m ON m.cfg = s.cfg AND m.src = s.state
+)""")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS dst,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+  FROM events
+),
+trans AS (
+  SELECT src, COALESCE(dst, 'NULL') AS dst FROM seq WHERE src <> 'purchase'
+  UNION ALL
+  SELECT 'START' AS src, src AS dst FROM seq WHERE rn = 1
+),
+cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM trans
+        GROUP BY src, dst),
+base AS (
+  SELECT src, dst, n * 1000000 // SUM(n) OVER (PARTITION BY src) AS p_ppm
+  FROM cnt
+),
+configs AS (SELECT 'FULL' AS cfg UNION ALL
+            SELECT DISTINCT event_type FROM events
+            WHERE event_type <> 'purchase'),
+mat AS (
+  SELECT c.cfg, b.src, b.dst, b.p_ppm FROM configs c JOIN base b
+    ON (c.cfg = 'FULL' OR (b.src <> c.cfg AND b.dst <> c.cfg))
+),
+pconv AS (SELECT cfg, src AS state, p_ppm AS pc FROM mat
+          WHERE dst = 'purchase'),
+tmat AS (SELECT cfg, src, dst, p_ppm FROM mat
+         WHERE dst NOT IN ('purchase', 'NULL')),
+states AS (SELECT DISTINCT cfg, src AS state FROM mat),
+v0 AS (SELECT s.cfg, s.state, COALESCE(p.pc, 0) AS v
+       FROM states s LEFT JOIN pconv p
+         ON p.cfg = s.cfg AND p.state = s.state),
+{",".join(steps)},
+conv AS (SELECT cfg, v AS conv_ppm FROM v5 WHERE state = 'START'),
+eff AS (
+  SELECT c.cfg AS channel,
+         CAST(f.conv_ppm AS BIGINT) AS conv_full_ppm,
+         CAST(c.conv_ppm AS BIGINT) AS conv_removed_ppm,
+         CAST(CASE WHEN f.conv_ppm > 0
+              THEN 1000000 - c.conv_ppm * 1000000 // f.conv_ppm
+              END AS BIGINT) AS removal_effect_ppm
+  FROM conv c CROSS JOIN (SELECT conv_ppm FROM conv WHERE cfg = 'FULL') f
+  WHERE c.cfg <> 'FULL'
+)
+SELECT channel, conv_full_ppm, conv_removed_ppm, removal_effect_ppm,
+       CAST(CASE WHEN SUM(removal_effect_ppm) OVER () > 0
+            THEN removal_effect_ppm * 1000000
+                 // SUM(removal_effect_ppm) OVER ()
+            END AS BIGINT) AS attribution_ppm
+FROM eff ORDER BY channel
+"""
+
+
+@query("ev_markov_attribution", oracle=_markov_attr_oracle())
+def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the
+    multi-touch-attribution algorithm that replaced last-click in
+    marketing stacks: build the first-order channel chain with START /
+    conversion ('purchase', absorbing) / NULL (journey end) states,
+    compute P(convert from START) by absorbing-chain fixed point, then
+    re-run it with each channel REMOVED (its transitions fail to NULL —
+    no renormalization, per the standard formulation). A channel's
+    credit is its removal effect 1 - conv_removed/conv_full, normalized
+    across channels.
+
+    Exactness: transition probabilities, the 5 unrolled fixed-point
+    steps (v' = pconv + (P_transient v) div 1e6), the removal effects,
+    and the attribution shares are ALL ppm-scaled exact BIGINT with
+    nonnegative operands (Spark `div` == DuckDB `//`); the oracle's
+    step CTEs are generated by the same loop, so both engines run the
+    identical algebra. No float forms anywhere.
+
+    Scale posture at 100 TB: the raw log is touched ONCE (the lead/
+    row_number user window — the sessionize shuffle); everything after
+    operates on the K^2 transition matrix crossed with K+1 removal
+    configs — bounded metadata (~hundreds of rows), so the 5 unrolled
+    join-agg steps cost driver-coordination only, exactly the
+    ev_markov_stationary pattern with a config dimension. Adding
+    channels grows the metadata quadratically, never the log pass.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = t.events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.where(F.col("src") != "purchase")
+        .select("src", F.coalesce(F.col("dst"), F.lit("NULL")).alias("dst"))
+        .unionAll(
+            seq.where(F.col("rn") == 1).select(
+                F.lit("START").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wsrc = Window.partitionBy("src")
+    base = cnt.select(
+        "src",
+        "dst",
+        F.expr("n * 1000000").cast("bigint").alias("n6"),
+        F.sum("n").over(wsrc).cast("bigint").alias("rowsum"),
+    ).select("src", "dst", F.expr("n6 div rowsum").alias("p_ppm"))
+    configs = (
+        spark.createDataFrame([("FULL",)], "cfg string")
+        .unionAll(
+            t.events.where(F.col("event_type") != "purchase")
+            .select(F.col("event_type").alias("cfg"))
+            .distinct()
+        )
+    )
+    mat = configs.join(
+        base,
+        (F.col("cfg") == "FULL")
+        | ((F.col("src") != F.col("cfg")) & (F.col("dst") != F.col("cfg"))),
+    ).select("cfg", "src", "dst", "p_ppm")
+    # the tiny metadata relations every unrolled step reuses — cache so the
+    # 5 steps do not re-run the event-log window per reference
+    mat = mat.cache()
+    pconv = mat.where(F.col("dst") == "purchase").select(
+        "cfg", F.col("src").alias("state"), F.col("p_ppm").alias("pc")
+    )
+    tmat = mat.where(~F.col("dst").isin("purchase", "NULL"))
+    states = mat.select("cfg", F.col("src").alias("state")).distinct()
+    v = states.join(pconv, ["cfg", "state"], "left").select(
+        "cfg", "state", F.coalesce(F.col("pc"), F.lit(0)).alias("v")
+    )
+    for _ in range(5):
+        acc = (
+            tmat.join(
+                v.select(
+                    F.col("cfg").alias("vcfg"),
+                    F.col("state").alias("vstate"),
+                    F.col("v").alias("vv"),
+                ),
+                (F.col("cfg") == F.col("vcfg"))
+                & (F.col("dst") == F.col("vstate")),
+            )
+            .groupBy("cfg", "src")
+            .agg(F.expr("SUM(p_ppm * vv) div 1000000").alias("acc"))
+            .select(F.col("cfg").alias("acfg"), F.col("src").alias("astate"), "acc")
+        )
+        v = (
+            states.join(pconv, ["cfg", "state"], "left")
+            .join(
+                acc,
+                (F.col("cfg") == F.col("acfg"))
+                & (F.col("state") == F.col("astate")),
+                "left",
+            )
+            .select(
+                "cfg",
+                "state",
+                (
+                    F.coalesce(F.col("pc"), F.lit(0))
+                    + F.coalesce(F.col("acc"), F.lit(0))
+                ).alias("v"),
+            )
+        )
+    conv = v.where(F.col("state") == "START").select(
+        "cfg", F.col("v").alias("conv_ppm")
+    )
+    full = conv.where(F.col("cfg") == "FULL").select(
+        F.col("conv_ppm").alias("conv_full_ppm")
+    )
+    eff = (
+        conv.where(F.col("cfg") != "FULL")
+        .crossJoin(F.broadcast(full))  # 1-row scalar merge
+        .select(
+            F.col("cfg").alias("channel"),
+            F.col("conv_full_ppm").cast("bigint").alias("conv_full_ppm"),
+            F.col("conv_ppm").cast("bigint").alias("conv_removed_ppm"),
+            F.when(
+                F.col("conv_full_ppm") > 0,
+                F.lit(1000000)
+                - F.expr("conv_ppm * 1000000 div conv_full_ppm"),
+            )
+            .cast("bigint")
+            .alias("removal_effect_ppm"),
+        )
+    )
+    # bounded window: one row per channel (|event types| - 1 rows total)
+    wall = Window.partitionBy()
+    return eff.select(
+        "channel",
+        "conv_full_ppm",
+        "conv_removed_ppm",
+        "removal_effect_ppm",
+        F.when(
+            F.sum("removal_effect_ppm").over(wall) > 0,
+            F.expr(
+                "removal_effect_ppm * 1000000 div "
+                "(SUM(removal_effect_ppm) OVER ())"
+            ),
+        )
+        .cast("bigint")
+        .alias("attribution_ppm"),
+    ).orderBy("channel")
