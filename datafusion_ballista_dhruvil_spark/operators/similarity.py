@@ -1311,6 +1311,69 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _exact_top3(t: Tables) -> DataFrame:
+    """Exact cosine top-3 per probe query (vec_id < 20) — brute-force
+    ground truth shared by sim_ann_recall and sim_recall_at_k_curve.
+
+    The sim_cosine_topk kernel shape: the 20-query int matrix ships in
+    the closure, the corpus streams through ONE map-side Arrow pass
+    (per-batch partial top-3), and a tiny global window finalizes —
+    O(corpus x probes) by design, zero corpus shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    qrows = sorted(
+        t.embeddings.where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = _np.array([r.vec_id for r in qrows], dtype=_np.int64)
+    q_int = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in qrows])
+        * _SCALE
+    )
+    q_norm = _np.sqrt(_np.einsum("ij,ij->i", q_int, q_int) / _SCALE_SQ)
+
+    def topk_part(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ai = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64) * _SCALE
+            )
+            cn = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+            cos = (ai @ q_int.T) / _SCALE_SQ / (q_norm[None, :] * cn[:, None])
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                mids, mcos = ids[mask], cos[mask, j]
+                pick = _np.lexsort((mids, -mcos))[:3]
+                out_q.extend([qid] * len(pick))
+                out_n.extend(mids[pick])
+                out_c.extend(mcos[pick])
+            yield _pd.DataFrame(
+                {
+                    "query_id": _pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": _pd.Series(out_n, dtype="int64"),
+                    "cosine": _pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    partial = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        topk_part, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+
+
+
+# --------------------------------------------------------------------------
 @query(
     "sim_ann_recall",
     oracle=f"""
@@ -1373,57 +1436,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, k rows per batch survive). The ANN side scans one bucket
     per query.
     """
-    import numpy as _np
-    import pandas as _pd
-
     t = Tables(spark, sf_dir)
-    qrows = sorted(
-        t.embeddings.where(F.col("vec_id") < 20)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    q_ids = _np.array([r.vec_id for r in qrows], dtype=_np.int64)
-    q_int = _round_half_away(
-        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in qrows])
-        * _SCALE
-    )
-    q_norm = _np.sqrt(_np.einsum("ij,ij->i", q_int, q_int) / _SCALE_SQ)
-
-    def topk_part(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            ai = _round_half_away(
-                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64) * _SCALE
-            )
-            cn = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
-            cos = (ai @ q_int.T) / _SCALE_SQ / (q_norm[None, :] * cn[:, None])
-            ids = pdf["vec_id"].to_numpy()
-            out_q, out_n, out_c = [], [], []
-            for j, qid in enumerate(q_ids):
-                mask = ids != qid
-                mids, mcos = ids[mask], cos[mask, j]
-                pick = _np.lexsort((mids, -mcos))[:3]
-                out_q.extend([qid] * len(pick))
-                out_n.extend(mids[pick])
-                out_c.extend(mcos[pick])
-            yield _pd.DataFrame(
-                {
-                    "query_id": _pd.Series(out_q, dtype="int64"),
-                    "neighbor_id": _pd.Series(out_n, dtype="int64"),
-                    "cosine": _pd.Series(out_c, dtype="float64"),
-                }
-            )
-
-    partial = t.embeddings.select("vec_id", "embedding").mapInPandas(
-        topk_part, schema="query_id long, neighbor_id long, cosine double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    exact_top = (
-        partial.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
+    exact_top = _exact_top3(t)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
     )
 
     coded = t.embeddings.select(
@@ -3998,4 +4014,148 @@ def sim_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("list_size"), "centroid_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_recall_at_k_curve",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cnrm
+  FROM base WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT b.vec_id, b.embedding, b.nrm, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY {_sql_dot('b.embedding', 'c.cemb')} / (b.nrm * c.cnrm) DESC,
+                    c.centroid_id) AS arn
+  FROM base b, cent c
+),
+corpus AS (SELECT vec_id, embedding, nrm, centroid_id FROM assign WHERE arn = 1),
+probes AS (SELECT vec_id, embedding, nrm, centroid_id, arn FROM assign
+           WHERE arn <= 3 AND vec_id < 20),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                      / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+    FROM base q, base c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+configs AS (SELECT unnest(range(1, 4)) AS nprobe),
+scored AS (
+  SELECT g.nprobe, p.vec_id AS query_id, s.vec_id AS neighbor_id,
+         {_sql_dot('p.embedding', 's.embedding')} / (p.nrm * s.nrm) AS cosine
+  FROM configs g
+  JOIN probes p ON p.arn <= g.nprobe
+  JOIN corpus s ON p.centroid_id = s.centroid_id AND p.vec_id <> s.vec_id
+),
+topk AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY nprobe, query_id ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+counts AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM scored GROUP BY nprobe),
+hits AS (
+  SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM topk t JOIN exact_top e
+    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+  GROUP BY t.nprobe
+)
+SELECT CAST(c.nprobe AS BIGINT) AS nprobe, n.n_candidates, h.n_hits,
+       h.n_hits * 1000000 // 60 AS recall_ppm
+FROM configs c
+JOIN counts n ON n.nprobe = c.nprobe
+JOIN hits h ON h.nprobe = c.nprobe
+ORDER BY c.nprobe
+""",
+)
+def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve — the ANN twin of dedup_lsh_tuning_curve:
+    for nprobe in {{1,2,3}}, measured candidate volume and recall@3 of
+    the IVF probe against exact brute-force top-3 over the 20-query
+    probe set. nprobe is THE latency/recall knob of an IVF index
+    (candidates scale linearly with it, recall saturates); deployments
+    pick the knee of exactly this table before serving.
+
+    Hash-exactness: recall is integer hit counting (hits * 1e6 div 60),
+    immune to last-ulp cosine differences; candidate counts are exact;
+    the cosine ordering inside each top-3 uses the house int64-dot ->
+    double pipeline, identical in both engines.
+
+    Scale posture at 100 TB: corpus assignment is the map-side
+    broadcast-codebook kernel (zero shuffle, one pass, reused across
+    all three nprobe configs — the config join multiplies only the
+    20-row probe side); probing is the centroid-keyed equi-join; the
+    exact ground truth is O(corpus x 20 probes) BY DESIGN, the same
+    measured-recall protocol as sim_ann_recall.
+    """
+    t = Tables(spark, sf_dir)
+    codebook = _ivf_codebook(t)
+    corpus = _ivf_assigned(t.embeddings, codebook, 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "centroid_id",
+    )
+    probes = _ivf_assigned(
+        t.embeddings.where(F.col("vec_id") < 20), codebook, 3, emit_rank=True
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("centroid_id").alias("pcent"),
+        "arn",
+    )
+    configs = spark.range(1, 4).select(F.col("id").alias("nprobe"))
+    scored = (
+        configs.join(probes, F.col("arn") <= F.col("nprobe"))
+        .join(
+            corpus,
+            (F.col("pcent") == F.col("centroid_id"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wq = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 3)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = _exact_top3(t)
+    counts = scored.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = topk.join(exact, ["query_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        counts.join(hits, "nprobe")
+        .select(
+            "nprobe",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 1000000 div 60").alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
     )

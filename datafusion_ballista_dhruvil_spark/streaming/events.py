@@ -3906,20 +3906,23 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit is its removal effect 1 - conv_removed/conv_full, normalized
     across channels.
 
-    Exactness: transition probabilities, the 5 unrolled fixed-point
-    steps (v' = pconv + (P_transient v) div 1e6), the removal effects,
-    and the attribution shares are ALL ppm-scaled exact BIGINT with
-    nonnegative operands (Spark `div` == DuckDB `//`); the oracle's
-    step CTEs are generated by the same loop, so both engines run the
-    identical algebra. No float forms anywhere.
+    Exactness: transition probabilities, the 5 fixed-point steps
+    (v' = pconv + (P_transient v) div 1e6), the removal effects, and
+    the attribution shares are ALL ppm-scaled exact integers with
+    nonnegative operands, so Python //, Spark `div`, and DuckDB `//`
+    agree bit-for-bit; the oracle's unrolled step CTEs run the
+    identical algebra.
 
-    Scale posture at 100 TB: the raw log is touched ONCE (the lead/
-    row_number user window — the sessionize shuffle); everything after
-    operates on the K^2 transition matrix crossed with K+1 removal
-    configs — bounded metadata (~hundreds of rows), so the 5 unrolled
-    join-agg steps cost driver-coordination only, exactly the
-    ev_markov_stationary pattern with a config dimension. Adding
-    channels grows the metadata quadratically, never the log pass.
+    Scale posture at 100 TB: Spark owns the ONE pass over the raw log
+    (the lead/row_number user window — the sessionize shuffle — plus a
+    partial-agg collapse to K^2 transition counts). The fixed point then
+    runs driver-side on the COLLECTED transition matrix — bounded
+    metadata (K^2 <= dozens of rows, independent of corpus size), the
+    same posture as the PQ/IVF codebook collects. The first draft ran
+    the 5 steps as unrolled DataFrame join-aggs; that shape re-shuffled
+    <=300-row metadata through ~20 stages and cost 15.5s of pure stage
+    scheduling at ANY scale (PERF.md) — scheduling fixed costs belong
+    on the driver when the data is metadata-sized.
     """
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
@@ -3943,104 +3946,67 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     wsrc = Window.partitionBy("src")
-    base = cnt.select(
-        "src",
-        "dst",
-        F.expr("n * 1000000").cast("bigint").alias("n6"),
-        F.sum("n").over(wsrc).cast("bigint").alias("rowsum"),
-    ).select("src", "dst", F.expr("n6 div rowsum").alias("p_ppm"))
-    configs = (
-        spark.createDataFrame([("FULL",)], "cfg string")
-        .unionAll(
-            t.events.where(F.col("event_type") != "purchase")
-            .select(F.col("event_type").alias("cfg"))
-            .distinct()
+    base_rows = (
+        cnt.select(
+            "src",
+            "dst",
+            F.expr("n * 1000000").cast("bigint").alias("n6"),
+            F.sum("n").over(wsrc).cast("bigint").alias("rowsum"),
         )
+        .select("src", "dst", F.expr("n6 div rowsum").alias("p_ppm"))
+        .collect()  # bounded: K^2 transition-matrix metadata, never log rows
     )
-    mat = configs.join(
-        base,
-        (F.col("cfg") == "FULL")
-        | ((F.col("src") != F.col("cfg")) & (F.col("dst") != F.col("cfg"))),
-    ).select("cfg", "src", "dst", "p_ppm")
-    # the tiny metadata relations every unrolled step reuses — cache so the
-    # 5 steps do not re-run the event-log window per reference
-    mat = mat.cache()
-    pconv = mat.where(F.col("dst") == "purchase").select(
-        "cfg", F.col("src").alias("state"), F.col("p_ppm").alias("pc")
+    base = [(r.src, r.dst, int(r.p_ppm)) for r in base_rows]
+    channels = sorted(
+        {s for s, _, _ in base} | {d for _, d, _ in base}
+        - {"START", "NULL", "purchase"}
     )
-    tmat = mat.where(~F.col("dst").isin("purchase", "NULL"))
-    states = mat.select("cfg", F.col("src").alias("state")).distinct()
-    v = states.join(pconv, ["cfg", "state"], "left").select(
-        "cfg", "state", F.coalesce(F.col("pc"), F.lit(0)).alias("v")
-    )
-    for _ in range(5):
-        acc = (
-            tmat.join(
-                v.select(
-                    F.col("cfg").alias("vcfg"),
-                    F.col("state").alias("vstate"),
-                    F.col("v").alias("vv"),
-                ),
-                (F.col("cfg") == F.col("vcfg"))
-                & (F.col("dst") == F.col("vstate")),
-            )
-            .groupBy("cfg", "src")
-            .agg(F.expr("SUM(p_ppm * vv) div 1000000").alias("acc"))
-            .select(F.col("cfg").alias("acfg"), F.col("src").alias("astate"), "acc")
+    channels = [c for c in channels if c not in ("START", "NULL", "purchase")]
+
+    def conv_ppm(removed: str | None) -> int:
+        mat = [
+            (s, d, p)
+            for s, d, p in base
+            if removed is None or (s != removed and d != removed)
+        ]
+        pconv = {s: p for s, d, p in mat if d == "purchase"}
+        tmat = [(s, d, p) for s, d, p in mat if d not in ("purchase", "NULL")]
+        states = {s for s, _, _ in mat}
+        v = {s: pconv.get(s, 0) for s in states}
+        for _ in range(5):
+            acc: dict[str, int] = {}
+            for s, d, p in tmat:
+                if d in v:
+                    acc[s] = acc.get(s, 0) + p * v[d]
+            v = {s: pconv.get(s, 0) + acc.get(s, 0) // 1000000 for s in states}
+        return v.get("START", 0)
+
+    full = conv_ppm(None)
+    rows = []
+    effs = {}
+    for c in channels:
+        removed = conv_ppm(c)
+        effs[c] = (
+            1000000 - removed * 1000000 // full if full > 0 else None
         )
-        v = (
-            states.join(pconv, ["cfg", "state"], "left")
-            .join(
-                acc,
-                (F.col("cfg") == F.col("acfg"))
-                & (F.col("state") == F.col("astate")),
-                "left",
-            )
-            .select(
-                "cfg",
-                "state",
-                (
-                    F.coalesce(F.col("pc"), F.lit(0))
-                    + F.coalesce(F.col("acc"), F.lit(0))
-                ).alias("v"),
-            )
-        )
-    conv = v.where(F.col("state") == "START").select(
-        "cfg", F.col("v").alias("conv_ppm")
-    )
-    full = conv.where(F.col("cfg") == "FULL").select(
-        F.col("conv_ppm").alias("conv_full_ppm")
-    )
-    eff = (
-        conv.where(F.col("cfg") != "FULL")
-        .crossJoin(F.broadcast(full))  # 1-row scalar merge
-        .select(
-            F.col("cfg").alias("channel"),
-            F.col("conv_full_ppm").cast("bigint").alias("conv_full_ppm"),
-            F.col("conv_ppm").cast("bigint").alias("conv_removed_ppm"),
-            F.when(
-                F.col("conv_full_ppm") > 0,
-                F.lit(1000000)
-                - F.expr("conv_ppm * 1000000 div conv_full_ppm"),
-            )
-            .cast("bigint")
-            .alias("removal_effect_ppm"),
-        )
-    )
-    # bounded window: one row per channel (|event types| - 1 rows total)
-    wall = Window.partitionBy()
-    return eff.select(
-        "channel",
-        "conv_full_ppm",
-        "conv_removed_ppm",
-        "removal_effect_ppm",
-        F.when(
-            F.sum("removal_effect_ppm").over(wall) > 0,
-            F.expr(
-                "removal_effect_ppm * 1000000 div "
-                "(SUM(removal_effect_ppm) OVER ())"
+        rows.append((c, full, removed))
+    total_eff = sum(e for e in effs.values() if e is not None)
+    out = [
+        (
+            c,
+            full_,
+            removed_,
+            effs[c],
+            (
+                effs[c] * 1000000 // total_eff
+                if effs[c] is not None and total_eff > 0
+                else None
             ),
         )
-        .cast("bigint")
-        .alias("attribution_ppm"),
+        for c, full_, removed_ in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, conv_full_ppm long, conv_removed_ppm long, "
+        "removal_effect_ppm long, attribution_ppm long",
     ).orderBy("channel")

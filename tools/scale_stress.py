@@ -29,6 +29,10 @@ TABLES = {
     "events": ["event_id", "user_id"],
     "embeddings": ["vec_id"],
 }
+#: dimension tables copied verbatim (a 10x fact corpus keeps its dims —
+#: that is what makes them dims); lets dim-joining queries (SSB, TPC-H)
+#: run against the stress corpus
+DIM_TABLES = ["nation", "region", "supplier", "part"]
 QUERIES_TO_RUN = [
     "q1",
     "q6",
@@ -87,6 +91,10 @@ def build(spark, out_dir: str, salted: bool = False) -> None:
         for p in parts[1:]:
             big = big.unionAll(p)
         big.write.mode("overwrite").parquet(dst)
+    for name in DIM_TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)
 
 
 def main() -> int:
