@@ -4010,3 +4010,108 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, conv_full_ppm long, conv_removed_ppm long, "
         "removal_effect_ppm long, attribution_ppm long",
     ).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_conversion_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click'
+             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_click_us,
+         MIN(CASE WHEN event_type = 'purchase'
+             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase_us
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT user_id,
+         (first_purchase_us - first_click_us) // 1000000 AS latency_s
+  FROM firsts
+  WHERE first_click_us IS NOT NULL AND first_purchase_us IS NOT NULL
+    AND first_purchase_us >= first_click_us
+),
+ranked AS (
+  SELECT latency_s,
+         row_number() OVER (ORDER BY latency_s, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(MIN(latency_s) AS BIGINT) AS min_s,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_s END) AS BIGINT)
+         AS median_s,
+       CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN latency_s END)
+         AS BIGINT) AS p90_s,
+       CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM ranked
+""",
+)
+def ev_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click -> first-purchase conversion-latency distribution —
+    the funnel-timing stat behind attribution-window and retargeting-
+    deadline decisions (how long do converters actually take?).
+
+    Percentiles are ORDER STATISTICS (the element at rank ceil(n/2) /
+    ceil(0.9n)), not interpolated quantiles: interpolation is one
+    `l + (u-l)*f` in Spark but `(l+u)/2` in DuckDB — algebraically
+    equal, floating-point DIFFERENT — while a rank-selected element is
+    an exact integer in both. Latency lives in integer seconds via
+    epoch-microsecond subtraction and `div`.
+
+    Scale posture at 100 TB: one conditional-min partial agg collapses
+    the raw log to a row per user; the rank window runs over CONVERTING
+    users only (orders of magnitude smaller than the log — and at
+    billion-converter scale the same output comes from the two-phase
+    binned weighted_quantile with disc semantics, same contract). Final
+    aggregate is one row.
+    """
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+            )
+        ).alias("first_click_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts")),
+            )
+        ).alias("first_purchase_us"),
+    )
+    lat = firsts.where(
+        F.col("first_click_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_click_us"))
+    ).select(
+        "user_id",
+        F.expr(
+            "(first_purchase_us - first_click_us) div 1000000"
+        ).alias("latency_s"),
+    )
+    # bounded window: converting users only (tiny vs the raw log)
+    wr = Window.orderBy("latency_s", "user_id")
+    ranked = lat.select(
+        "latency_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.min("latency_s").cast("bigint").alias("min_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("latency_s"))
+        )
+        .cast("bigint")
+        .alias("median_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 9 + 9) div 10"),
+                F.col("latency_s"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
