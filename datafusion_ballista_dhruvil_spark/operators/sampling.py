@@ -886,3 +886,95 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mix_token_apportionment",
+    oracle="""
+WITH tok AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM tok),
+quotas AS (
+  SELECT t.source, t.tokens,
+         (t.tokens * 1000000) // x.total AS base_quota,
+         (t.tokens * 1000000) % x.total AS rem_num
+  FROM tok t CROSS JOIN tot x
+),
+short AS (
+  SELECT CAST(1000000 - SUM(base_quota) AS BIGINT) AS shortfall FROM quotas
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem_num DESC, source) AS rk
+  FROM quotas
+)
+SELECT r.source, r.tokens, CAST(r.base_quota AS BIGINT) AS base_quota,
+       CAST(r.base_quota + CASE WHEN r.rk <= s.shortfall THEN 1 ELSE 0 END
+            AS BIGINT) AS final_quota,
+       CAST(CASE WHEN r.rk <= s.shortfall THEN 1 ELSE 0 END AS BIGINT)
+         AS got_remainder
+FROM ranked r CROSS JOIN short s
+ORDER BY r.source
+""",
+)
+def mix_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment by largest remainder (Hamilton's
+    method) — the concrete mixing-plan artifact a training run emits:
+    split a 1M-token epoch budget across sources EXACTLY proportional
+    to their token mass, with the integer shortfall from flooring
+    handed to the largest fractional remainders. Quotas sum to the
+    budget EXACTLY (floats would drift and rounding would over/under
+    allocate — this is the apportionment algorithm elections use).
+    Composes upstream of pack_token_bins (which packs whatever quota
+    this op grants) and alongside mix_temperature_sampling /
+    sample_neyman_allocation (alternative weighting policies).
+
+    Exactness: everything is int64 — floor quota via `div`, remainder
+    NUMERATOR (tokens*B mod total) compared instead of any fractional
+    part, rank ties broken on source. Scale posture at 100 TB: one
+    map-side token count + partial-agg collapse to a row per source;
+    the apportionment itself is a rank window over |sources| rows of
+    metadata; two 1-row broadcast scalar merges.
+    """
+    t = Tables(spark, sf_dir)
+    tok = t.documents.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").cast("bigint").alias("total"))
+    quotas = tok.crossJoin(F.broadcast(tot)).select(  # 1-row scalar merge
+        "source",
+        "tokens",
+        F.expr("(tokens * 1000000) div total").alias("base_quota"),
+        F.expr("(tokens * 1000000) % total").alias("rem_num"),
+    )
+    short = quotas.agg(
+        (F.lit(1000000) - F.sum("base_quota")).cast("bigint").alias("shortfall")
+    )
+    # bounded window: one row per source (metadata-sized)
+    ranked = quotas.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem_num"), F.asc("source"))),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))  # 1-row scalar merge
+        .select(
+            "source",
+            "tokens",
+            F.col("base_quota").cast("bigint").alias("base_quota"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("final_quota"),
+            F.when(F.col("rk") <= F.col("shortfall"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("got_remainder"),
+        )
+        .orderBy("source")
+    )

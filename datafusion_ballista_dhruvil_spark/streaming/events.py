@@ -4115,3 +4115,74 @@ def ev_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_path_analysis",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+),
+agg AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM paths GROUP BY path
+),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM agg)
+SELECT a.path, a.n_users, a.n_users * 1000000 // t.total AS share_ppm
+FROM agg a CROSS JOIN tot t
+ORDER BY a.n_users DESC, a.path
+LIMIT 20
+""",
+)
+def ev_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths — the "user flows" report: each user's first
+    three event types as an ordered path string, counted and ranked.
+    The descriptive sibling of ev_funnel_regex (which tests ONE
+    hypothesized sequence) and ev_markov_attribution (which models
+    transitions): this surfaces which sequences actually happen.
+
+    Scale posture at 100 TB: the rn <= 3 filter on the ranking window
+    plans as WindowGroupLimit — a per-partition top-3 heap BELOW the
+    user shuffle, so the exchange carries <= 3 rows per user per map
+    partition, never the full log; path assembly is an ordered
+    collect_list over <= 3 rows per user; the final count groupBy is
+    path-keyed with map-side partials, and the total is a 1-row
+    broadcast scalar merge. Exact integer share_ppm.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    ranked = t.events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = agg.agg(F.sum("n_users").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))  # 1-row scalar merge
+        .select(
+            "path",
+            "n_users",
+            F.expr("n_users * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
