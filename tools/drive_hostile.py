@@ -85,6 +85,16 @@ subset = [
             "snapshot_pysource_agg",
             "text_bpe_merges",
             "udf_grouped_map_normalize",
+            # r4 session-2 kernels: broadcast-codebook RVQ/recall sweeps,
+            # the collected-matrix attribution solve, shuffle_hash-pinned
+            # boilerplate join, cached LSH sweep sample
+            "sim_residual_quantize",
+            "sim_recall_at_k_curve",
+            "sim_ivf_balance_audit",
+            "dedup_lsh_tuning_curve",
+            "text_boilerplate_lines",
+            "dedup_url_canonical",
+            "mix_token_apportionment",
         )
     )
 ]
