@@ -1723,15 +1723,21 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     ts_us = F.unix_micros(F.col("ts"))
+    # Forward search expressed as the REVERSED growing frame (same device
+    # as ev_linear_interpolate, PERF.md): (currentRow, unboundedFollowing)
+    # is a shrinking frame Spark re-scans to the partition end for EVERY
+    # row — latent O(rows-per-user^2), invisible at testdata scale but a
+    # power-user time bomb at 100 TB. Descending order + growing frame
+    # INCLUDING the current row is row-for-row equivalent and O(n).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(ts_us, F.col("event_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(ts_us.desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = t.events.select(
         "event_type",
         ts_us.alias("ts_us"),
-        F.first(
+        F.last(
             F.when(F.col("event_type") == "purchase", ts_us), ignorenulls=True
         )
         .over(w)
@@ -3753,6 +3759,12 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 = best), and report user counts + revenue per RFM code. Recency
     anchors to the corpus max day (never now() — hash stability).
 
+    Sibling of ev_rfm_segments, deliberately the OTHER design point:
+    that query rolls up segment sizes from binned weighted_quantile
+    cutoffs (the 1e9-user path); this one emits the full per-RFM-code
+    revenue table from tie-broken exact ntile (the exact
+    small-cardinality form) — the pair documents the trade.
+
     Exactness: recency in integer days, frequency integer, monetary in
     exact int64 cents; quintiles via ntile(5) over a fully tie-broken
     total order (metric, user_id), which both engines bucket
@@ -4051,6 +4063,9 @@ def ev_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-click -> first-purchase conversion-latency distribution —
     the funnel-timing stat behind attribution-window and retargeting-
     deadline decisions (how long do converters actually take?).
+    Complements ev_time_to_convert, which buckets EVERY click by its
+    forward as-of horizon: this collapses to one latency per CONVERTING
+    user and reports the exact percentile curve of that population.
 
     Percentiles are ORDER STATISTICS (the element at rank ceil(n/2) /
     ceil(0.9n)), not interpolated quantiles: interpolation is one
@@ -4147,6 +4162,10 @@ def ev_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     The descriptive sibling of ev_funnel_regex (which tests ONE
     hypothesized sequence) and ev_markov_attribution (which models
     transitions): this surfaces which sequences actually happen.
+    Differs from ev_path_topk (per-SESSION first-5 journeys over the
+    gap sessionizer) by mining the user-LIFETIME entry sequence — the
+    acquisition view rather than the visit view — with exact ppm
+    shares of the user base.
 
     Scale posture at 100 TB: the rn <= 3 filter on the ranking window
     plans as WindowGroupLimit — a per-partition top-3 heap BELOW the

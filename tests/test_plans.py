@@ -684,3 +684,10 @@ def test_interpolate_has_no_shrinking_window_frame(spark):
     low = plan.lower()
     assert "unboundedfollowing" not in low, "shrinking frame reintroduced"
     assert low.count("desc nulls last") >= 3  # the reversed total order
+
+
+def test_time_to_convert_has_no_shrinking_frame(spark):
+    # same class as the interpolate fix: forward as-of must be the
+    # reversed growing frame, never (currentRow, unboundedFollowing)
+    plan = formatted_plan(QUERIES["ev_time_to_convert"](spark, SF_DIR))
+    assert "unboundedfollowing" not in plan.lower()
