@@ -2329,3 +2329,111 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_bucket_skew_audit",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+seeds AS (SELECT unnest(range(0, {K})) AS j),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, j,
+         MIN(((2 * j + 3) * h0 + (104729 * j + 12345)) % 2147483647) AS m
+  FROM hashed, seeds GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         string_agg(m, '|' ORDER BY j) AS sig
+  FROM mh GROUP BY doc_id, j // {ROWS_PER_BAND}
+),
+buckets AS (
+  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS sz FROM bands
+  GROUP BY band, sig
+),
+ranked AS (
+  SELECT band, sz,
+         row_number() OVER (PARTITION BY band ORDER BY sz, sig) AS rn,
+         COUNT(*) OVER (PARTITION BY band) AS nb
+  FROM buckets
+)
+SELECT band,
+       CAST(MAX(nb) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = (nb + 1) // 2 THEN sz END) AS BIGINT)
+         AS p50_size,
+       CAST(MAX(CASE WHEN rn = (nb * 99 + 99) // 100 THEN sz END) AS BIGINT)
+         AS p99_size,
+       CAST(MAX(sz) AS BIGINT) AS max_size,
+       CAST(SUM(CASE WHEN sz * sz > 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hot_buckets,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_mass
+FROM ranked GROUP BY band ORDER BY band
+""",
+)
+def dedup_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size skew audit — the index-health table for the
+    PRODUCTION banding (the sibling of sim_ivf_balance_audit for the
+    learned index, and of dedup_lsh_tuning_curve which compares
+    candidate configs): per band, bucket-count, size order statistics
+    (p50/p99/max via rank selection — exact integers, no quantile
+    interpolation), the hot-bucket count (size > 8, the boilerplate
+    mega-bucket early warning MAX_BUCKET_DOCS exists for), and the
+    exact candidate PAIR MASS sum(C(size, 2)) — the number a capacity
+    plan multiplies by verify-cost per pair. This is the table that
+    says whether in-bucket pair explosion is about to stop being
+    'LSH's guarantee' and start being a task-skew incident.
+
+    Scale posture at 100 TB: signatures shuffle once (the minhash
+    partial-min agg), bucket sizes are one (band, sig)-keyed partial
+    count, and the per-band rank window runs over BUCKET rows (already
+    collapsed, ~|corpus|/dup-rate), not docs; output is |bands| rows.
+    All arithmetic exact int64 (`div`-safe nonnegative).
+    """
+    arrs = _shingle_arrays(spark, sf_dir)
+    buckets = (
+        _band_signatures(arrs)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    wr = Window.partitionBy("band").orderBy("sz", "sig")
+    wb = Window.partitionBy("band")
+    ranked = buckets.select(
+        "band",
+        "sz",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("nb"),
+    )
+    return (
+        ranked.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.max("nb").cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(nb + 1) div 2"), F.col("sz"))
+            )
+            .cast("bigint")
+            .alias("p50_size"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(nb * 99 + 99) div 100"),
+                    F.col("sz"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99_size"),
+            F.max("sz").cast("bigint").alias("max_size"),
+            F.sum(F.when(F.col("sz") * F.col("sz") > 64, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hot_buckets"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias(
+                "pair_mass"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -82,7 +82,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: text_mojibake_score, sim_ivf_balance_audit, ev_mann_kendall,
 #: ev_rfm_segmentation, ssb_q1_1, ssb_q2_1, ssb_q3_1, ssb_q4_1,
 #: dedup_lsh_tuning_curve, ev_markov_attribution, sim_recall_at_k_curve,
-#: ev_conversion_latency, ev_path_analysis, mix_token_apportionment
+#: ev_conversion_latency, ev_path_analysis, mix_token_apportionment,
+#: dedup_bucket_skew_audit
 #: — then anything whose code changed in r5. All
 #: names above are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently
