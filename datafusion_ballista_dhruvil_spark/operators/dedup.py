@@ -2266,9 +2266,15 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_config[1:]:
         bands = bands.unionAll(p)
     buckets = bands.groupBy("b", "r", "band", "sig").agg(
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, MAX_BUCKET_DOCS
-        ).alias("ds")
+        F.sort_array(F.collect_list("doc_id")).alias("ds0")
+    )
+    # loud-truncation contract (house kernels do the same): the r=1 configs
+    # bucket on a single minhash value and are the likeliest to exceed the
+    # cap at scale — truncation understates n_candidates/precision_ppm, the
+    # very numbers the tuning decision reads, so it must be visible.
+    buckets, _ = observe_bucket_cap(buckets, "ds0", "lsh_tuning_curve")
+    buckets = buckets.select(
+        "b", "r", F.slice("ds0", 1, MAX_BUCKET_DOCS).alias("ds")
     )
     pairs = (
         buckets.where(F.size("ds") >= 2)

@@ -2523,7 +2523,7 @@ SELECT o_orderkey,
   o_orderkey % NULLIF(o_orderkey % 5, 0) AS mod_zero,
   list_extract(string_split(o_orderpriority, '-'), 1) AS elem_first,
   list_extract(string_split(o_orderpriority, '-'), 5) AS elem_oob,
-  CAST(NULL AS TIMESTAMP) AS ts_bad
+  CAST(CAST(NULL AS TIMESTAMP) AS VARCHAR) AS ts_bad
 FROM orders WHERE o_orderkey < 200
 ORDER BY o_orderkey
 """,
@@ -2564,7 +2564,11 @@ def ops_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "try_element_at(split(o_orderpriority, '-'), 5)"
             ).alias("elem_oob"),
-            F.expr("try_to_timestamp(o_orderpriority)").alias("ts_bad"),
+            # string-rendered: naked timestamps drift ns-vs-us between the
+            # Arrow collections of the two engines (type-sensitive hash)
+            F.expr("cast(try_to_timestamp(o_orderpriority) as string)").alias(
+                "ts_bad"
+            ),
         )
         .orderBy("o_orderkey")
     )
@@ -2585,7 +2589,8 @@ SELECT o_orderkey,
   CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
   CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-17')
     AS INT) AS days_to_mid95,
-  o_orderdate + INTERVAL 90 MINUTE AS ts_plus90m,
+  strftime(o_orderdate + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+    AS ts_plus90m,
   CAST(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
     AS VARCHAR) AS quarter_start,
   CAST(make_date(CAST(year(o_orderdate) AS INT),
@@ -2625,7 +2630,11 @@ def ops_calendar_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.lit("1995-06-17").cast("date"), d)
             .cast("int")
             .alias("days_to_mid95"),
-            F.expr("o_orderdate + INTERVAL 90 MINUTE").alias("ts_plus90m"),
+            # string-rendered (ns-vs-us dtype drift; repo date convention)
+            F.date_format(
+                F.expr("o_orderdate + INTERVAL 90 MINUTE"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("ts_plus90m"),
             F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
                 "quarter_start"
             ),

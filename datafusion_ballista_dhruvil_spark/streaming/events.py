@@ -3785,7 +3785,10 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", c).cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
     purchases = t.events.where(F.col("event_type") == "purchase")
-    maxd = purchases.agg(day_num(F.max("ts")).alias("dmax"))
+    # recency anchors to the corpus max day over ALL events (matches the
+    # oracle's maxd CTE) — not the purchase-only max, which would differ by
+    # a constant the moment recency_days is emitted or used non-ordinally
+    maxd = t.events.agg(day_num(F.max("ts")).alias("dmax"))
     per_user = (
         purchases.groupBy("user_id")
         .agg(
@@ -3970,10 +3973,9 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = [(r.src, r.dst, int(r.p_ppm)) for r in base_rows]
     channels = sorted(
-        {s for s, _, _ in base} | {d for _, d, _ in base}
+        ({s for s, _, _ in base} | {d for _, d, _ in base})
         - {"START", "NULL", "purchase"}
     )
-    channels = [c for c in channels if c not in ("START", "NULL", "purchase")]
 
     def conv_ppm(removed: str | None) -> int:
         mat = [

@@ -75,10 +75,17 @@ def test_plan_shapes_do_not_regress(spark):
         "text_boilerplate_lines", "ev_sessionize", "dedup_url_canonical",
     ]
     pool = sorted(set(base) - set(critical) - SKIP)
-    # deterministic within a day, rotates across days
+    # deterministic within a day, rotates across days; pinnable via
+    # PLAN_SNAPSHOT_SEED so a failure is reproducible (the seed is printed
+    # in the assertion message on failure)
     import datetime
 
-    seed = int(datetime.date.today().strftime("%Y%m%d"))
+    env_seed = os.environ.get("PLAN_SNAPSHOT_SEED")
+    seed = (
+        int(env_seed)
+        if env_seed
+        else int(datetime.date.today().strftime("%Y%m%d"))
+    )
     sample = random.Random(seed).sample(pool, k=min(20, len(pool)))
     failures = []
     for name in critical + sample:
@@ -92,7 +99,8 @@ def test_plan_shapes_do_not_regress(spark):
                 )
     assert not failures, (
         "plan-shape regressions (more shuffles/Python nodes than the "
-        f"reviewed baseline): {failures}"
+        f"reviewed baseline; reproduce with PLAN_SNAPSHOT_SEED={seed}): "
+        f"{failures}"
     )
 
 
