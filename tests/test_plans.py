@@ -143,6 +143,27 @@ def test_ivf_assignment_is_map_side(spark):
     )
 
 
+def test_ivf_codebook_cap_is_loud(spark):
+    """VERDICT r4 note 3: the collected IVF codebook must be bounded
+    MECHANICALLY — past the cap the collect refuses with a clear error
+    instead of silently shipping a linear-in-corpus closure. Under the
+    cap it returns the same codebook as before (sorted, deterministic)."""
+    import pytest
+
+    from datafusion_ballista_dhruvil_spark.operators.similarity import (
+        _IVF_MAX_CODEBOOK,
+        _ivf_codebook,
+    )
+    from datafusion_ballista_dhruvil_spark.session import Tables
+
+    t = Tables(spark, SF_DIR)
+    with pytest.raises(ValueError, match="codebook exceeds"):
+        _ivf_codebook(t, max_k=3)
+    ids, cint, cnrm = _ivf_codebook(t)  # sf0.01 is far under the cap
+    assert 3 < len(ids) <= _IVF_MAX_CODEBOOK
+    assert list(ids) == sorted(ids)
+
+
 def test_knn_label_agreement_is_cell_local(spark):
     """r4 rewrite (VERDICT r3 item 3): neighbors come from cell-local
     matmul over the IVF assignment, not a full-corpus driver collect and
