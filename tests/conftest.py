@@ -19,6 +19,14 @@ from datafusion_ballista_dhruvil_spark.session import TABLE_NAMES, create_sessio
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "driver_parity: driver-grade pandas-dtype-strict oracle compare of "
+        "queries that have no CORRECTNESS_r*.json verdict yet",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = create_session(app_name="tests", shuffle_partitions=8)

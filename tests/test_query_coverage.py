@@ -11,6 +11,9 @@ a new query can never silently skip the pytest oracle gate.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 import re
 
 import pytest
@@ -52,3 +55,67 @@ def test_remainder_matches_oracle(spark, oracle, name):
         assert len(df.collect()) > 0
         return
     assert_query_matches(spark, oracle, QUERIES[name], ORACLES[name], min_rows=1)
+
+
+# ---------------------------------------------------------------------------
+# Driver-parity gate for the never-verdicted tail (VERDICT r4 item 5): the
+# family tests above compare collected VALUES; the driver additionally
+# hashes through pandas, where a value-equal column can still drift on
+# dtype (the r4 ns-vs-us timestamp flags). This test runs the driver's
+# exact toPandas-level compare — sorted columns, sorted rows, stringified
+# cells, STRICT pandas dtype equality — on every registered query that is
+# absent from all CORRECTNESS_r*.json, so additions can never accumulate
+# an unverdicted tail that surprises a later rotation.
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_verdicted() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            names |= set(json.load(f))
+    return names
+
+
+UNVERDICTED = sorted(set(QUERIES) - _driver_verdicted())
+
+
+def _canon_pandas(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.driver_parity
+@pytest.mark.parametrize("name", UNVERDICTED)
+def test_unverdicted_queries_are_driver_green(spark, oracle, name):
+    import pandas as pd
+
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    osql = ORACLES.get(name)
+    if osql is None:
+        # driver falls back to a rows-only check for oracle-less queries
+        assert len(sdf) > 0
+        return
+    odf = oracle.execute(osql).fetchdf()
+    s, o = _canon_pandas(sdf), _canon_pandas(odf)
+    assert sorted(s.columns) == sorted(o.columns), (
+        f"schema: spark={list(s.columns)} duck={list(o.columns)}"
+    )
+    assert len(s) == len(o), f"rows: spark={len(s)} duck={len(o)}"
+    for col in s.columns:
+        assert str(s[col].dtype) == str(o[col].dtype), (
+            f"dtype drift on {col}: spark {s[col].dtype} vs "
+            f"duck {o[col].dtype} — value-equal today, hash-divergent in "
+            "the driver; normalize (cast/string-render) both sides"
+        )
+        sv, ov = s[col], o[col]
+        for i in range(len(s)):
+            a, b = sv.iloc[i], ov.iloc[i]
+            if pd.isna(a) is True and pd.isna(b) is True:
+                continue
+            assert str(a) == str(b), (
+                f"cell diff row {i} col {col}: spark={a!r} duck={b!r}"
+            )
