@@ -17,7 +17,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+#: copy multiplier; override with SCALE_STRESS_COPIES=20 for the second
+#: doubling point (sf2) the watch-list rows need
+COPIES = int(os.environ.get("SCALE_STRESS_COPIES", "10"))
 OFFSET = 10_000_000
 
 # (table, key columns to shift) — only the tables the stress queries touch
@@ -117,7 +119,7 @@ def main() -> int:
           + (" (salted)" if salted else ""))
 
     only = args[1:]  # optional query-name filter after out_dir
-    print("| query | sf0.1 | sf1 (10x) | growth |")
+    print(f"| query | sf0.1 | {COPIES}x | growth |")
     print("|---|---|---|---|")
     for name in (only or QUERIES_TO_RUN):
         fn = QUERIES[name]
