@@ -24,6 +24,7 @@ def load_all() -> None:
         ssb,
         temporal,
         text,
+        tpcds,
         tpch,
     )
     from datafusion_ballista_dhruvil_spark.streaming import events  # noqa: F401
