@@ -69,8 +69,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: mm_image_entropy, asof_nearest_alignment, asof_tolerance_attribution,
 #: pipeline_incremental_agg, pipeline_dataset_card, pipeline_k_anonymity,
 #: pack_shard_manifest, snapshot_pysource_agg,
-#: tpcds_q3, tpcds_q4, tpcds_q34, tpcds_q36, tpcds_q51, tpcds_q59,
-#: tpcds_q65, tpcds_q88, tpcds_q89, tpcds_q93 (added r5 — 72 total)
+#: tpcds_q3, tpcds_q4, tpcds_q14, tpcds_q34, tpcds_q35, tpcds_q36,
+#: tpcds_q49, tpcds_q51, tpcds_q59, tpcds_q65, tpcds_q75, tpcds_q88,
+#: tpcds_q89, tpcds_q93, tpcds_q97 (added r5 — 77 total)
 #: — then anything whose code changes in r6. All names above are asserted
 #: against QUERIES at import (see bottom of load_all in __init__); a typo
 #: here raises instead of silently dropping a verdict slot.

@@ -624,3 +624,313 @@ def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("net6"), "custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q14",
+    oracle=f"""
+WITH common AS (
+  SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_linestatus = 'O'
+  INTERSECT
+  SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_linestatus = 'F'
+)
+SELECT p_brand, CAST(SUM({_SQL_REV6}) AS BIGINT) AS revenue6,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand IN (SELECT p_brand FROM common)
+  AND l_quantity >= 25
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape (cross-channel INTERSECT): items sold through
+    EVERY channel (here: both l_linestatus legs), then aggregate sales of
+    only those. The INTERSECT runs over the bounded brand dimension —
+    each leg reduces the fact to distinct brands BEFORE the set op, so
+    the intersect never sees fact cardinality; the surviving brand list
+    broadcasts back as a semi-join filter."""
+    t = Tables(spark, sf_dir)
+    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    li = t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    common = (
+        li.where(F.col("l_linestatus") == "O")
+        .select("p_brand")
+        .distinct()
+        .intersect(
+            li.where(F.col("l_linestatus") == "F")
+            .select("p_brand")
+            .distinct()
+        )
+    )
+    return (
+        li.where(F.col("l_quantity") >= 25)
+        .join(F.broadcast(common), "p_brand", "semi")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.expr(_REV6)).cast("bigint").alias("revenue6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q35",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_also_urgent
+FROM (
+  SELECT c.c_custkey, c.c_mktsegment,
+         EXISTS (SELECT 1 FROM orders u WHERE u.o_custkey = c.c_custkey
+                 AND u.o_orderpriority = '1-URGENT') AS has_urgent
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND year(o.o_orderdate) = 1997)
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35 shape: customers qualified by one EXISTS (bought in
+    1997) and profiled by a second, independent EXISTS (ever urgent) —
+    the multi-channel-presence probe. Both subqueries decorrelate to
+    aggregates on the customer key: the qualifier as a semi-join, the
+    profile flag as a left join against the DISTINCT urgent-customer
+    set (bounded by customers, not orders) — no correlated re-execution
+    anywhere."""
+    t = Tables(spark, sf_dir)
+    bought_97 = (
+        t.orders.where(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+        .distinct()
+    )
+    urgent = (
+        t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("u_custkey"))
+        .distinct()
+        .withColumn("has_urgent", F.lit(True))
+    )
+    return (
+        t.customer.join(
+            bought_97, F.col("c_custkey") == F.col("o_custkey"), "semi"
+        )
+        .join(
+            urgent, F.col("c_custkey") == F.col("u_custkey"), "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(
+                F.when(F.col("has_urgent"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_also_urgent"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q49",
+    oracle=f"""
+WITH rates AS (
+  SELECT l_linestatus AS channel, p_brand,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ret,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS BIGINT) AS ret_ppm
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY channel, p_brand
+),
+ranked AS (
+  SELECT channel, p_brand, ret_ppm,
+         CAST(rank() OVER (PARTITION BY channel
+                           ORDER BY ret_ppm DESC, p_brand) AS INT) AS rnk
+  FROM rates WHERE n >= 20
+)
+SELECT channel, p_brand, ret_ppm, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY channel, rnk, p_brand
+""",
+)
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: worst return rates ranked WITHIN each channel,
+    the per-channel rankings unioned into one report. TPC-DS runs three
+    copies of the subquery (web/catalog/store) and UNIONs; with channels
+    in-row, one grouped pass computes every channel's rates and a single
+    channel-partitioned rank window replaces the union — same rows, one
+    fact scan instead of three."""
+    t = Tables(spark, sf_dir)
+    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    rates = (
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_linestatus").alias("channel"), "p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ret"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .where(F.col("n") >= 20)
+        .select(
+            "channel",
+            "p_brand",
+            F.expr("n_ret * 1000000 div n").alias("ret_ppm"),
+        )
+    )
+    w = Window.partitionBy("channel").orderBy(
+        F.desc("ret_ppm"), F.asc("p_brand")
+    )
+    return (
+        rates.withColumn("rnk", F.rank().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("channel", "rnk", "p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q75",
+    oracle=f"""
+WITH yearly AS (
+  SELECT p_brand, CAST(year(o_orderdate) AS INT) AS y,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS rev6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY p_brand, y
+)
+SELECT a.p_brand, a.qty AS qty95, b.qty AS qty96,
+       b.qty - a.qty AS qty_delta,
+       b.rev6 - a.rev6 AS rev6_delta
+FROM yearly a JOIN yearly b ON a.p_brand = b.p_brand
+WHERE a.y = 1995 AND b.y = 1996 AND b.qty < a.qty
+ORDER BY qty_delta, a.p_brand
+""",
+)
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape: brands whose sales DECLINED year over year,
+    with quantity and revenue deltas. The decline filter and deltas come
+    from a self-join of the bounded (brand, year) aggregate — TPC-DS
+    unions three channels first; the single-fact version keeps the
+    signature aggregate-then-self-join plan. Both join sides are the
+    same tiny aggregate, so the second leg broadcasts."""
+    t = Tables(spark, sf_dir)
+    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    yearly = (
+        _fact(t)
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", F.year("o_orderdate").cast("int").alias("y")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(F.expr(_REV6)).cast("bigint").alias("rev6"),
+        )
+    )
+    a = yearly.where(F.col("y") == 1995).select(
+        "p_brand",
+        F.col("qty").alias("qty95"),
+        F.col("rev6").alias("rev95_6"),
+    )
+    b = yearly.where(F.col("y") == 1996).select(
+        "p_brand",
+        F.col("qty").alias("qty96"),
+        F.col("rev6").alias("rev96_6"),
+    )
+    return (
+        a.join(F.broadcast(b), "p_brand")
+        .where(F.col("qty96") < F.col("qty95"))
+        .select(
+            "p_brand",
+            "qty95",
+            "qty96",
+            (F.col("qty96") - F.col("qty95")).alias("qty_delta"),
+            (F.col("rev96_6") - F.col("rev95_6")).alias("rev6_delta"),
+        )
+        .orderBy("qty_delta", "p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q97",
+    oracle="""
+WITH ch_o AS (
+  SELECT DISTINCT o_custkey AS ck FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey WHERE l_linestatus = 'O'
+),
+ch_f AS (
+  SELECT DISTINCT o_custkey AS ck FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey WHERE l_linestatus = 'F'
+)
+SELECT
+  CAST(SUM(CASE WHEN o.ck IS NOT NULL AND f.ck IS NOT NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+  CAST(SUM(CASE WHEN o.ck IS NOT NULL AND f.ck IS NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS only_open,
+  CAST(SUM(CASE WHEN o.ck IS NULL AND f.ck IS NOT NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS only_finished
+FROM ch_o o FULL OUTER JOIN ch_f f ON o.ck = f.ck
+""",
+)
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: customer overlap between two channels via a
+    FULL OUTER join of the per-channel distinct-customer sets, counted
+    into both/only-left/only-right buckets — the channel-migration
+    report. Each set is deduped to customer grain BEFORE the join, so
+    the full outer never exceeds customer cardinality; the three counts
+    are one conditional aggregate over the joined null pattern."""
+    t = Tables(spark, sf_dir)
+    base = _fact(t)
+    ch_o = (
+        base.where(F.col("l_linestatus") == "O")
+        .select(F.col("o_custkey").alias("ck_o"))
+        .distinct()
+    )
+    ch_f = (
+        base.where(F.col("l_linestatus") == "F")
+        .select(F.col("o_custkey").alias("ck_f"))
+        .distinct()
+    )
+    return (
+        ch_o.join(ch_f, F.col("ck_o") == F.col("ck_f"), "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ck_o").isNotNull() & F.col("ck_f").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("both_channels"),
+            F.sum(
+                F.when(
+                    F.col("ck_o").isNotNull() & F.col("ck_f").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("only_open"),
+            F.sum(
+                F.when(
+                    F.col("ck_o").isNull() & F.col("ck_f").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("only_finished"),
+        )
+    )
