@@ -2232,11 +2232,15 @@ def text_crosslingual_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT and argmax ties break on lang order. Scale: profiles are
     truncated to the CROSSLINGUAL_PROFILE_TOPK most frequent tokens per
     language (ties: f DESC, tok — mirrored in the oracle), so the
-    broadcast relation is <= K x n_langs rows BY CONSTRUCTION, never
+    profile is <= K x n_langs rows BY CONSTRUCTION, never
     corpus-vocabulary-sized; off-profile tokens score as unseen (f=0,
-    add-one smoothing) exactly as fastText/langid.py models do. Scoring
-    joins each exploded token to the bounded broadcast profile map-side;
-    only (doc, lang, sum) rows shuffle for the per-doc argmax.
+    add-one smoothing) exactly as fastText/langid.py models do. ONE
+    corpus pass builds the profile; a bounded collect (size-asserted)
+    re-ships it as local relations, so per-language totals and the
+    vocabulary size are derived driver-side instead of re-running the
+    corpus-wide token aggregate per consumer (the IVF-codebook pattern).
+    Scoring joins each exploded token to the bounded broadcast profile
+    map-side; only (doc, lang, sum) rows shuffle for the per-doc argmax.
     """
     t = Tables(spark, sf_dir)
     toks = t.documents.select(
@@ -2254,33 +2258,43 @@ def text_crosslingual_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= CROSSLINGUAL_PROFILE_TOPK)
         .drop("rk")
     )
-    ltot = prof.groupBy("lang").agg(F.sum("f").cast("bigint").alias("tot"))
-    vocab = prof.agg(F.countDistinct("tok").cast("bigint").alias("v"))
-    langs = ltot.select("lang")
+    # ONE corpus pass builds the truncated profile, then a BOUNDED collect
+    # (<= K x n_langs rows by construction — the IVF-codebook pattern):
+    # ltot / vocab / the scoring join all derive from the collected rows,
+    # where the previous plan re-ran the corpus-wide token aggregate for
+    # each of its three consumers. The loud assert keeps the boundedness
+    # mechanical (256 languages is far past any real label set).
+    prof_rows = prof.collect()
+    assert len(prof_rows) <= CROSSLINGUAL_PROFILE_TOPK * 256, (
+        f"collected language profile has {len(prof_rows)} rows — "
+        "more distinct lang labels than any real corpus; refusing the "
+        "driver-side materialization"
+    )
+    tot_by_lang: dict[str, int] = {}
+    for r in prof_rows:
+        tot_by_lang[r.lang] = tot_by_lang.get(r.lang, 0) + int(r.f)
+    v = len({r.tok for r in prof_rows})
+    lang_rows = [
+        (lang, int(tot)) for lang, tot in sorted(tot_by_lang.items())
+    ]
+    prof_local = spark.createDataFrame(
+        [(r.lang, r.tok, int(r.f)) for r in prof_rows],
+        "cand_lang string, tok string, f bigint",
+    )
+    lang_tot = spark.createDataFrame(
+        lang_rows, "cand_lang string, tot bigint"
+    )
     q6 = lambda c: F.round(F.log2(c) * 1000000).cast("bigint")  # noqa: E731
     cand = (
-        toks.crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand_lang")))
-        .join(
-            F.broadcast(
-                prof.select(
-                    F.col("lang").alias("cand_lang"), "tok", "f"
-                )
-            ),
-            ["cand_lang", "tok"],
-            "left",
-        )
-        .join(
-            F.broadcast(ltot.withColumnRenamed("lang", "cand_lang")),
-            "cand_lang",
-        )
-        .crossJoin(F.broadcast(vocab))
+        toks.crossJoin(F.broadcast(lang_tot))  # bounded: one row per lang
+        .join(F.broadcast(prof_local), ["cand_lang", "tok"], "left")
         .select(
             "doc_id",
             "doc_lang",
             "cand_lang",
             (
                 q6(F.coalesce(F.col("f"), F.lit(0)) + 1)
-                - q6(F.col("tot") + F.col("v"))
+                - q6(F.col("tot") + F.lit(v).cast("bigint"))
             ).alias("y"),
         )
     )
