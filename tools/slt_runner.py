@@ -1,0 +1,165 @@
+"""Minimal sqllogictest runner — the last SURVEY.md §5 "not present" row.
+
+Implements the subset of the public sqllogictest format (D. R. Hipp's
+SQLite test corpus format, as popularized by the DuckDB/DataFusion
+runners) needed to drive dual-engine conformance files:
+
+  statement ok          -- execute, assert success (both engines)
+  query <types> [sort]  -- execute, compare results (both engines + file)
+  ----                  -- expected block: one row per line, values
+                           separated by tabs or runs of spaces
+
+``types`` is the classic column-type string (I integer, R real, T text)
+used to render values canonically; ``sort`` is ``nosort`` (default,
+query must carry its own total ORDER BY) or ``rowsort`` (lexicographic
+row sort before compare, for set-valued queries).
+
+Every query runs on BOTH engines — ``spark.sql`` and DuckDB — and must
+match the expected block AND each other, so each .slt file is
+simultaneously a golden test and a dual-dialect conformance proof (the
+same property tests/test_sql_dual_dialect.py establishes for the TPC-H
+strings). NULL renders as the literal ``NULL``; reals render with
+``repr``-exactness (files stick to exactly-representable values).
+
+Statements execute on both engines too (shared-dialect DDL only:
+CREATE TEMP VIEW over VALUES).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Record:
+    kind: str  # "statement" | "query"
+    sql: str
+    types: str = ""
+    sort: str = "nosort"
+    expected: list[str] = field(default_factory=list)
+    line: int = 0
+
+
+def parse_slt(text: str) -> list[Record]:
+    """Parse a .slt file into records. Comments (#) and blank lines
+    separate records, as in the reference format."""
+    records: list[Record] = []
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line or line.startswith("#"):
+            i += 1
+            continue
+        if line == "statement ok":
+            i += 1
+            sql_lines = []
+            while i < len(lines) and lines[i].strip() and not lines[i].startswith("#"):
+                sql_lines.append(lines[i])
+                i += 1
+            records.append(
+                Record("statement", "\n".join(sql_lines), line=i)
+            )
+            continue
+        m = re.fullmatch(r"query\s+([ITR]+)(?:\s+(nosort|rowsort))?", line)
+        if m:
+            types, sort = m.group(1), m.group(2) or "nosort"
+            i += 1
+            sql_lines = []
+            while i < len(lines) and lines[i].strip() != "----":
+                sql_lines.append(lines[i])
+                i += 1
+            if i >= len(lines):
+                raise ValueError(f"query at line {i} has no ---- block")
+            i += 1  # skip ----
+            expected = []
+            while i < len(lines) and lines[i].strip():
+                expected.append(lines[i].rstrip())
+                i += 1
+            records.append(
+                Record(
+                    "query",
+                    "\n".join(sql_lines),
+                    types=types,
+                    sort=sort,
+                    expected=expected,
+                    line=i,
+                )
+            )
+            continue
+        raise ValueError(f"unrecognized slt directive at line {i + 1}: {line!r}")
+    return records
+
+
+def _render(value, t: str) -> str:
+    if value is None:
+        return "NULL"
+    if t == "I":
+        return str(int(value))
+    if t == "R":
+        f = float(value)
+        # integral reals render like the reference runners: 1.0 not 1
+        return repr(f)
+    return str(value)
+
+
+def _render_rows(rows, types: str, sort: str) -> list[str]:
+    out = []
+    for row in rows:
+        cells = [_render(v, types[j]) for j, v in enumerate(row)]
+        out.append("\t".join(cells))
+    if sort == "rowsort":
+        out.sort()
+    return out
+
+
+def _norm_expected(lines: list[str], sort: str) -> list[str]:
+    # expected cells may be separated by tabs or runs of >=2 spaces;
+    # single spaces inside text cells survive
+    out = [re.sub(r"\t| {2,}", "\t", ln.strip()) for ln in lines]
+    if sort == "rowsort":
+        out.sort()
+    return out
+
+
+def run_slt(path: str, spark, duck) -> list[str]:
+    """Run one .slt file on both engines. Returns a list of failure
+    strings (empty = pass). ``duck`` is a duckdb connection."""
+    failures: list[str] = []
+    records = parse_slt(open(path).read())
+    for rec in records:
+        if rec.kind == "statement":
+            try:
+                spark.sql(rec.sql)
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"{path}:{rec.line} spark statement failed: {e}")
+            try:
+                duck.execute(rec.sql)
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"{path}:{rec.line} duck statement failed: {e}")
+            continue
+        expected = _norm_expected(rec.expected, rec.sort)
+        try:
+            srows = [tuple(r) for r in spark.sql(rec.sql).collect()]
+            sgot = _render_rows(srows, rec.types, rec.sort)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{path}:{rec.line} spark error: {e}")
+            continue
+        try:
+            drows = duck.execute(rec.sql).fetchall()
+            dgot = _render_rows(drows, rec.types, rec.sort)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{path}:{rec.line} duck error: {e}")
+            continue
+        if sgot != expected:
+            failures.append(
+                f"{path}:{rec.line} SPARK mismatch\n  sql: {rec.sql}\n"
+                f"  want: {expected}\n  got:  {sgot}"
+            )
+        if dgot != expected:
+            failures.append(
+                f"{path}:{rec.line} DUCK mismatch\n  sql: {rec.sql}\n"
+                f"  want: {expected}\n  got:  {dgot}"
+            )
+    return failures
