@@ -224,8 +224,17 @@ def main() -> int:
     load_all()
     spark = create_session(app_name="bench")
 
+    # BENCH_ISOLATE=1 clears the Spark cache between queries so per-query
+    # numbers stop depending on suite ORDER (shared family caches — e.g.
+    # the dedup shingle cache — are otherwise paid by whichever query runs
+    # first; the r5 rotation reorder showed per-query suite seconds moving
+    # for order reasons alone, PERF.md). Default OFF to keep continuity
+    # with the BENCH_r01+ history; totals/solos are the comparable signal.
+    isolate = os.environ.get("BENCH_ISOLATE") == "1"
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        if isolate:
+            spark.catalog.clearCache()
         samples = []
         for _ in range(iters):
             t0 = time.perf_counter()
