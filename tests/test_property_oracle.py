@@ -244,3 +244,45 @@ def test_rewrite_qualify_never_fires_inside_literals_or_subqueries(body):
         "QUALIFY row_number() OVER (ORDER BY k) = 1) z"
     )
     assert rewrite_sql(sub) == sub
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS scaled-integer revenue contract (operators/tpcds.py): rev6 must
+# equal the exact decimal product for every representable (2-dp price,
+# 4-dp discount) pair, in BOTH engines' arithmetic models — the property
+# that makes the tpcds_* ratios/ranks bit-identical without floats.
+
+
+@given(
+    cents=st.integers(min_value=90000, max_value=10_000_000),
+    bp=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=300, deadline=None)
+def test_tpcds_rev6_equals_decimal_product(cents, bp):
+    from decimal import Decimal
+
+    price = cents / 100.0       # what the parquet double stores
+    discount = bp / 10000.0
+    # the operator's integer form
+    rev6 = round(price * 100) * (10000 - round(discount * 10000))
+    # the exact decimal ground truth, scaled to 1e6 dollars
+    exact = Decimal(cents) * (Decimal(10000) - Decimal(bp))
+    assert rev6 == int(exact), (cents, bp)
+
+
+@given(
+    cents=st.integers(min_value=90000, max_value=10_000_000),
+    bp=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=60, deadline=None)
+def test_tpcds_rev6_matches_duckdb_rounding(oracle, cents, bp):
+    """Both engines' round(double) must recover the same integers the
+    Python form does — the cross-engine half of the contract."""
+    price = cents / 100.0
+    discount = bp / 10000.0
+    got = oracle.execute(
+        "SELECT CAST(round(? * 100) AS BIGINT)"
+        " * (10000 - CAST(round(? * 10000) AS BIGINT))",
+        [price, discount],
+    ).fetchone()[0]
+    assert got == round(price * 100) * (10000 - round(discount * 10000))
