@@ -143,6 +143,37 @@ def test_ivf_assignment_is_map_side(spark):
     )
 
 
+def test_tpcds_plan_shapes(spark):
+    """The TPC-DS subset's scale claims must be mechanical, not prose:
+    q88's eight 'scalar subqueries' collapse to ONE fact scan + one
+    single-partition reduce (the 8x I/O saving the docstring claims);
+    q3/q36 broadcast their item dimension (no sort-merge on a dim); q36's
+    ROLLUP runs as grouping-set Expand over the same single fact pass;
+    nothing in the family degrades to a nested-loop/cartesian join."""
+    from tools.plan_fingerprint import node_counts
+
+    q88 = node_counts(formatted_plan(QUERIES["tpcds_q88"](spark, SF_DIR)))
+    assert q88["scans"] == 1, f"q88 re-scans the fact: {q88}"
+    assert q88["exchanges"] == 1 and q88["aggregates"] == 2, q88
+
+    q3 = node_counts(formatted_plan(QUERIES["tpcds_q3"](spark, SF_DIR)))
+    assert q3["bhj"] >= 1 and q3["smj"] == 0, f"q3 dim not broadcast: {q3}"
+
+    p36 = formatted_plan(QUERIES["tpcds_q36"](spark, SF_DIR))
+    q36 = node_counts(p36)
+    assert "Expand" in p36, "q36 rollup lost its grouping-set Expand"
+    assert q36["scans"] == 2, f"q36 re-scans for the window: {q36}"
+
+    for name in ("tpcds_q14", "tpcds_q35", "tpcds_q49", "tpcds_q51",
+                 "tpcds_q59", "tpcds_q65", "tpcds_q75", "tpcds_q93",
+                 "tpcds_q97"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        counts = node_counts(plan)
+        assert counts["nested_loop"] <= (1 if name == "tpcds_q4" else 0), (
+            f"{name} degraded to nested-loop: {counts}"
+        )
+
+
 def test_ivf_codebook_cap_is_loud(spark):
     """VERDICT r4 note 3: the collected IVF codebook must be bounded
     MECHANICALLY — past the cap the collect refuses with a clear error
