@@ -164,11 +164,13 @@ def test_tpcds_plan_shapes(spark):
     assert "Expand" in p36, "q36 rollup lost its grouping-set Expand"
     assert q36["scans"] == 2, f"q36 re-scans for the window: {q36}"
 
-    for name in ("tpcds_q14", "tpcds_q35", "tpcds_q49", "tpcds_q51",
-                 "tpcds_q59", "tpcds_q65", "tpcds_q75", "tpcds_q93",
-                 "tpcds_q97"):
+    for name in ("tpcds_q4", "tpcds_q14", "tpcds_q35", "tpcds_q49",
+                 "tpcds_q51", "tpcds_q59", "tpcds_q65", "tpcds_q75",
+                 "tpcds_q93", "tpcds_q97"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         counts = node_counts(plan)
+        # q4's 1-row global-ratio merge is the documented broadcast
+        # scalar crossJoin; everything else must be equi-join only
         assert counts["nested_loop"] <= (1 if name == "tpcds_q4" else 0), (
             f"{name} degraded to nested-loop: {counts}"
         )
