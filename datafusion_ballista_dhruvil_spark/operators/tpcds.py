@@ -117,7 +117,7 @@ WITH spend AS (
 ),
 g AS (
   SELECT CAST(SUM(s96) AS BIGINT)
-           // (CAST(SUM(s95) AS BIGINT) // 1000000) AS gr
+           // nullif(CAST(SUM(s95) AS BIGINT) // 1000000, 0) AS gr
   FROM spend WHERE s95 IS NOT NULL AND s96 IS NOT NULL
 )
 SELECT o_custkey AS custkey, s95 AS spend95_cents, s96 AS spend96_cents,
@@ -158,8 +158,11 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # divide-first: the cohort-wide cents sum * 1e6 would overflow
     # int64 past ~sf1; per-customer ratios stay in the small range
+    # nullif guards the degenerate-corpus zero divisor: ANSI Spark
+    # ERRORS on div-by-zero where DuckDB yields NULL — nullif makes both
+    # engines yield NULL (values identical at every real scale)
     g = spend.agg(
-        F.expr("SUM(s96) div (SUM(s95) div 1000000)").alias("gr")
+        F.expr("SUM(s96) div nullif(SUM(s95) div 1000000, 0)").alias("gr")
     )
     return (
         spend.crossJoin(F.broadcast(g))  # 1-row scalar merge
@@ -234,11 +237,11 @@ WITH agg AS (
   GROUP BY ROLLUP(p_type, p_brand)
 )
 SELECT p_type, p_brand,
-       r6 // (f6 // 1000000) AS margin_ppm,
+       r6 // nullif(f6 // 1000000, 0) AS margin_ppm,
        lochierarchy,
        CAST(rank() OVER (
          PARTITION BY lochierarchy, CASE WHEN gb = 0 THEN p_type END
-         ORDER BY r6 // (f6 // 1000000),
+         ORDER BY r6 // nullif(f6 // 1000000, 0),
                   COALESCE(p_type, ''), COALESCE(p_brand, '')
        ) AS INT) AS rank_within_parent
 FROM agg
@@ -271,7 +274,9 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             # divide-first ppm: r6 * 1e6 overflows int64 once the fact
             # sum passes ~9e12 micro-dollars; f6 div 1e6 keeps every
             # intermediate in range at any corpus scale (mirrored oracle)
-            F.expr("r6 div (f6 div 1000000)").alias("margin_ppm"),
+            F.expr("r6 div nullif(f6 div 1000000, 0)").alias(
+                "margin_ppm"
+            ),
             "lochierarchy",
             F.when(F.col("_gb") == 0, F.col("p_type")).alias("_parent"),
         )
@@ -374,7 +379,7 @@ WITH weekly AS (
   GROUP BY y, w
 )
 SELECT a.w AS wk, a.rev6 AS rev95_6, b.rev6 AS rev96_6,
-       b.rev6 // (a.rev6 // 1000000) AS wow_ratio_ppm
+       b.rev6 // nullif(a.rev6 // 1000000, 0) AS wow_ratio_ppm
 FROM weekly a JOIN weekly b ON a.w = b.w AND a.y = 1995 AND b.y = 1996
 ORDER BY wk
 """,
@@ -408,7 +413,7 @@ def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev95_6",
             "rev96_6",
             # divide-first (overflow-safe at any scale; oracle mirrors)
-            F.expr("rev96_6 div (rev95_6 div 1000000)").alias(
+            F.expr("rev96_6 div nullif(rev95_6 div 1000000, 0)").alias(
                 "wow_ratio_ppm"
             ),
         )
@@ -430,7 +435,7 @@ cat_max AS (
   FROM brand_rev GROUP BY p_type
 )
 SELECT b.p_type, b.p_brand, b.rev6,
-       b.rev6 // (m.max6 // 1000000) AS share_of_max_ppm
+       b.rev6 // nullif(m.max6 // 1000000, 0) AS share_of_max_ppm
 FROM brand_rev b JOIN cat_max m ON b.p_type = m.p_type
 WHERE b.rev6 * 10 <= m.max6 * 9
 ORDER BY b.p_type, b.p_brand
@@ -462,7 +467,7 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "rev6",
             # divide-first (overflow-safe at any scale; oracle mirrors)
-            F.expr("rev6 div (max6 div 1000000)").alias(
+            F.expr("rev6 div nullif(max6 div 1000000, 0)").alias(
                 "share_of_max_ppm"
             ),
         )
