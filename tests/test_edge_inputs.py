@@ -370,3 +370,29 @@ def test_asof_nearest_boundary_click_counts_once(spark, monkeypatch):
     # gaps: user1 0 (simultaneous, backward), user2 1 (prev at -1us
     # beats next at +5000), user3 3000 (forward only)
     assert row.sum_gap_us_within == 0 + 1 + 3000
+
+
+def test_tpcds_margin_guard_yields_null_on_degenerate_revenue(spark, monkeypatch):
+    """ANSI Spark errors on integer div-by-zero; the TPC-DS divide-first
+    ratios guard the divisor with nullif so a degenerate corpus (group
+    revenue under $1) yields NULL margins — matching DuckDB — instead of
+    killing the job."""
+    import datafusion_ballista_dhruvil_spark.operators.tpcds as tpcds
+
+    li = spark.createDataFrame(
+        [(1, 1, 0.01, 0.0)],
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO", "Brand#1")], "p_partkey long, p_type string, p_brand string"
+    )
+
+    class FakeTables:
+        def __init__(self, *_):
+            self.lineitem = li
+            self.part = part
+
+    monkeypatch.setattr(tpcds, "Tables", FakeTables)
+    rows = tpcds.tpcds_q36(spark, "unused").collect()
+    assert rows and all(r.margin_ppm is None for r in rows)
