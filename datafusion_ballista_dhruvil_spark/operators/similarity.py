@@ -4177,3 +4177,173 @@ def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --------------------------------------------------------------------------
+#: Bitext mining constants: neighborhood size for the margin denominators
+#: and the mining threshold in milli-margin units (1.0 = the pair's cosine
+#: exactly equals the mean of its two k-NN neighborhoods; real pipelines
+#: mine at ~1.05-1.2). The query side is bounded by doc_id cutoff, so the
+#: shipped matrix is closure-bounded at any corpus scale.
+_BITEXT_K = 4
+_BITEXT_MARGIN_MILLI = 1005
+_BITEXT_X_CUTOFF = 250
+
+
+@query(
+    "sim_bitext_margin_mining",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+),
+x AS (
+  SELECT d.doc_id AS xid, e.embedding, e.nrm
+  FROM documents d JOIN e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en' AND d.doc_id < {_BITEXT_X_CUTOFF}
+),
+y AS (
+  SELECT d.doc_id AS yid, e.embedding, e.nrm
+  FROM documents d JOIN e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'de'
+),
+s AS (
+  SELECT x.xid, y.yid,
+         CAST(round({_sql_dot('x.embedding', 'y.embedding')}
+              / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS q6
+  FROM x, y
+),
+cx AS (
+  SELECT xid, yid, q6,
+         row_number() OVER (PARTITION BY xid ORDER BY q6 DESC, yid) AS rx
+  FROM s
+),
+sx AS (
+  SELECT xid, CAST(SUM(q6) AS BIGINT) AS sxq
+  FROM cx WHERE rx <= {_BITEXT_K} GROUP BY xid
+),
+cy AS (
+  SELECT xid, yid, q6,
+         row_number() OVER (PARTITION BY yid ORDER BY q6 DESC, xid) AS ry
+  FROM s
+),
+sy AS (
+  SELECT yid, CAST(SUM(q6) AS BIGINT) AS syq
+  FROM cy WHERE ry <= {_BITEXT_K} GROUP BY yid
+)
+SELECT c.xid AS en_id, c.yid AS de_id, c.q6 AS cos_q6,
+       c.q6 * {2 * _BITEXT_K * 1000} // (sx.sxq + sy.syq) AS margin_milli
+FROM cx c JOIN sx ON c.xid = sx.xid JOIN sy ON c.yid = sy.yid
+WHERE c.rx <= {_BITEXT_K} AND c.q6 > 0 AND sx.sxq > 0 AND sy.syq > 0
+  AND c.q6 * {2 * _BITEXT_K * 1000} // (sx.sxq + sy.syq)
+      >= {_BITEXT_MARGIN_MILLI}
+ORDER BY en_id, de_id
+""",
+)
+def sim_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the public
+    LASER/CCMatrix method): mine cross-lingual parallel document pairs
+    whose cosine similarity stands OUT of both documents' neighborhoods —
+    score(x, y) = cos(x, y) / ((avg top-k cos(x, ·) + avg top-k
+    cos(y, ·)) / 2) — rather than clearing an absolute cosine bar, which
+    hubness breaks at corpus scale. Pairs with margin >= 1.005 (milli
+    units, exact integers) are emitted.
+
+    Single-kernel design (the sim_cosine_topk pattern): the bounded
+    English query matrix ships in the closure; ONE mapInPandas pass over
+    the German corpus scores each batch against every query with one
+    int64 matmul and emits (a) each y's EXACT top-k-over-X neighborhood
+    sum (X is complete in the closure) and (b) a per-x partial top-k —
+    a superset of the global top-k under the total order (q6 DESC, yid).
+    The global window then fixes each x's candidate set AND its
+    neighborhood sum from the same <= partitions * |X| * k rows; the
+    corpus is never shuffled. All similarity is the repo's exact
+    scaled-int64 cosine quantized to micro-units, so margins are integer
+    arithmetic — bit-identical across engines; positivity filters keep
+    the integer division on the floor==trunc side in both.
+    """
+    import numpy as _np
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang")
+    emb = t.embeddings.select("vec_id", "embedding")
+    xrows = sorted(
+        docs.where(
+            (F.col("lang") == "en") & (F.col("doc_id") < _BITEXT_X_CUTOFF)
+        )
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "embedding")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    x_ids = _np.array([r.doc_id for r in xrows], dtype=_np.int64)
+    x_int = _round_half_away(
+        _np.stack([_np.asarray(r.embedding, dtype=_np.float64) for r in xrows])
+        * _SCALE
+    )
+    x_nrm = _np.sqrt(_np.einsum("ij,ij->i", x_int, x_int) / _SCALE_SQ)
+    k = _BITEXT_K
+
+    def mine_part(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ai = _round_half_away(
+                _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                * _SCALE
+            )
+            yn = _np.sqrt(_np.einsum("ij,ij->i", ai, ai) / _SCALE_SQ)
+            cos = (ai @ x_int.T) / _SCALE_SQ / (x_nrm[None, :] * yn[:, None])
+            q6 = _round_half_away(cos * 1e6)  # |batch| x |X|, int64
+            y_ids = pdf["vec_id"].to_numpy()
+            # exact per-y neighborhood sum over the COMPLETE X set
+            sy = _np.empty(len(y_ids), dtype=_np.int64)
+            for i in range(len(y_ids)):
+                pick = _np.lexsort((x_ids, -q6[i]))[:k]
+                sy[i] = q6[i][pick].sum()
+            # per-x partial top-k (superset of the global top-k)
+            out_x, out_y, out_q, out_s = [], [], [], []
+            for j in range(len(x_ids)):
+                pick = _np.lexsort((y_ids, -q6[:, j]))[:k]
+                out_x.extend([x_ids[j]] * len(pick))
+                out_y.extend(y_ids[pick])
+                out_q.extend(q6[pick, j])
+                out_s.extend(sy[pick])
+            yield _pd.DataFrame(
+                {
+                    "en_id": _pd.Series(out_x, dtype="int64"),
+                    "de_id": _pd.Series(out_y, dtype="int64"),
+                    "cos_q6": _pd.Series(out_q, dtype="int64"),
+                    "syq": _pd.Series(out_s, dtype="int64"),
+                }
+            )
+
+    ycorpus = (
+        docs.where(F.col("lang") == "de")
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .select("vec_id", "embedding")
+    )
+    partial = ycorpus.mapInPandas(
+        mine_part,
+        schema="en_id long, de_id long, cos_q6 long, syq long",
+    )
+    wx = Window.partitionBy("en_id").orderBy(F.desc("cos_q6"), F.asc("de_id"))
+    topk = partial.withColumn("rx", F.row_number().over(wx)).where(
+        F.col("rx") <= k
+    )
+    wsum = Window.partitionBy("en_id")
+    mined = (
+        topk.withColumn("sxq", F.sum("cos_q6").over(wsum).cast("bigint"))
+        .where(
+            (F.col("cos_q6") > 0) & (F.col("sxq") > 0) & (F.col("syq") > 0)
+        )
+        .withColumn(
+            "margin_milli",
+            F.expr(f"cos_q6 * {2 * k * 1000} div (sxq + syq)"),
+        )
+        .where(F.col("margin_milli") >= _BITEXT_MARGIN_MILLI)
+    )
+    return mined.select("en_id", "de_id", "cos_q6", "margin_milli").orderBy(
+        "en_id", "de_id"
+    )
