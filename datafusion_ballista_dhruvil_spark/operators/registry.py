@@ -71,8 +71,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: pack_shard_manifest, snapshot_pysource_agg,
 #: tpcds_q3, tpcds_q4, tpcds_q14, tpcds_q34, tpcds_q35, tpcds_q36,
 #: tpcds_q49, tpcds_q51, tpcds_q59, tpcds_q65, tpcds_q75, tpcds_q88,
-#: tpcds_q89, tpcds_q93, tpcds_q97, sim_bitext_margin_mining
-#: (added r5 — 78 total)
+#: tpcds_q89, tpcds_q93, tpcds_q97, sim_bitext_margin_mining,
+#: text_ccnet_ppl_buckets (added r5 — 79 total)
 #: — then anything whose code changes in r6. All names above are asserted
 #: against QUERIES at import (see bottom of load_all in __init__); a typo
 #: here raises instead of silently dropping a verdict slot.

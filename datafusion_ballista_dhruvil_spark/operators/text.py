@@ -2952,3 +2952,96 @@ def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_ccnet_ppl_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) s
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM toks)
+),
+per_doc AS (
+  SELECT b.doc_id,
+         CAST(SUM(CAST(round(log2((c12.c12 + 1.0) / (c1.c1 + v.v))
+              * 1000000) AS BIGINT)) AS BIGINT)
+           // CAST(COUNT(*) AS BIGINT) AS score_micro
+  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY b.doc_id
+),
+bucketed AS (
+  SELECT d.lang, p.score_micro,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.score_micro DESC, p.doc_id) AS b
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(score_micro) AS BIGINT) AS score_micro_max,
+       CAST(MIN(score_micro) AS BIGINT) AS score_micro_min
+FROM bucketed
+GROUP BY lang, b
+ORDER BY lang, b
+""",
+)
+def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity split (Wenzek et al. 2020
+    — the public pipeline behind CommonCrawl LM curation): score every
+    document under the corpus-trained bigram LM, then cut each LANGUAGE
+    into terciles of per-doc mean log-probability — head (most fluent)
+    feeds training first, tail is reviewed or dropped. Composes the
+    registered text_bigram_lm_score kernel (its determinism contract:
+    quantized-int log sums) with an exact rank-based tercile: score_micro
+    = sum_microbits div n_bigrams stays integer, ntile(3) over
+    (score DESC, doc_id) assigns identical buckets in both engines
+    (earlier buckets take the remainder — the ev_rfm-proven semantics).
+
+    Scale: per-doc scores are one corpus pass (vocab-bounded broadcast
+    joins, per-doc aggregate); the ntile is a per-language sort over DOC
+    rows (corpus-row count, not token count). At 1e9-doc scale swap the
+    tercile for broadcast quantile cutpoints from the two-phase binned
+    weighted_quantile (operators/relational.py), same output contract —
+    the exact-quantile form here keeps the oracle bit-exact.
+    """
+    t = Tables(spark, sf_dir)
+    scores = text_bigram_lm_score(spark, sf_dir)
+    per_doc = scores.where(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        F.expr("sum_microbits div n_bigrams").alias("score_micro"),
+    )
+    wl = Window.partitionBy("lang").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    bucketed = (
+        per_doc.join(t.documents.select("doc_id", "lang"), "doc_id")
+        .withColumn("b", F.ntile(3).over(wl))
+    )
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.expr(
+                "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+            F.col("b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("score_micro").cast("bigint").alias("score_micro_max"),
+            F.min("score_micro").cast("bigint").alias("score_micro_min"),
+        )
+        .orderBy("lang", "b")
+        .drop("b")
+    )
