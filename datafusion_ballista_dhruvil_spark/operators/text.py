@@ -820,7 +820,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side zip_with+explode; the only data-sized shuffle is the final
     per-doc aggregate. One pass over raw text.
     """
-    t = Tables(spark, sf_dir)
+    return _bigram_lm_scores(Tables(spark, sf_dir)).orderBy("doc_id")
+
+
+def _bigram_lm_scores(t: Tables) -> DataFrame:
+    """Per-doc bigram-LM scores, UNSORTED — shared by the registered
+    text_bigram_lm_score query (adds the presentation sort) and
+    text_ccnet_ppl_buckets (joins/windows it; a global sort there would
+    be pure discarded work)."""
     tk = F.col("__tk")
     n_b = F.greatest(F.array_size(tk) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -848,17 +855,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select("doc_id", qlog.alias("qlog"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("qlog").cast("bigint").alias("sum_microbits"),
-            (
-                F.sum("qlog").cast("double")
-                / (F.lit(1_000_000.0) * F.count(F.lit(1)))
-            ).alias("avg_log2p"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("qlog").cast("bigint").alias("sum_microbits"),
+        (
+            F.sum("qlog").cast("double")
+            / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+        ).alias("avg_log2p"),
     )
 
 
@@ -3001,8 +3004,8 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the public pipeline behind CommonCrawl LM curation): score every
     document under the corpus-trained bigram LM, then cut each LANGUAGE
     into terciles of per-doc mean log-probability — head (most fluent)
-    feeds training first, tail is reviewed or dropped. Composes the
-    registered text_bigram_lm_score kernel (its determinism contract:
+    feeds training first, tail is reviewed or dropped. Composes the shared
+    _bigram_lm_scores kernel (its determinism contract:
     quantized-int log sums) with an exact rank-based tercile: score_micro
     = sum_microbits div n_bigrams stays integer, ntile(3) over
     (score DESC, doc_id) assigns identical buckets in both engines
@@ -3016,7 +3019,7 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-quantile form here keeps the oracle bit-exact.
     """
     t = Tables(spark, sf_dir)
-    scores = text_bigram_lm_score(spark, sf_dir)
+    scores = _bigram_lm_scores(t)
     per_doc = scores.where(F.col("n_bigrams") > 0).select(
         "doc_id",
         F.expr("sum_microbits div n_bigrams").alias("score_micro"),
