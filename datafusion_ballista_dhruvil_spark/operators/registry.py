@@ -72,7 +72,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: tpcds_q3, tpcds_q4, tpcds_q14, tpcds_q34, tpcds_q35, tpcds_q36,
 #: tpcds_q49, tpcds_q51, tpcds_q59, tpcds_q65, tpcds_q75, tpcds_q88,
 #: tpcds_q89, tpcds_q93, tpcds_q97, sim_bitext_margin_mining,
-#: text_ccnet_ppl_buckets (added r5 — 79 total)
+#: text_ccnet_ppl_buckets (added r5 — 79 total). Also re-verdict
+#: text_bigram_lm_score early in r6: its body moved to the shared
+#: _bigram_lm_scores helper in r5 (plan fingerprint identical, local
+#: diff green, but the changed-code rule applies and the r5 slots
+#: were already committed).
 #: — then anything whose code changes in r6. All names above are asserted
 #: against QUERIES at import (see bottom of load_all in __init__); a typo
 #: here raises instead of silently dropping a verdict slot.
