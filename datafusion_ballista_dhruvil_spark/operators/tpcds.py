@@ -241,7 +241,7 @@ SELECT p_type, p_brand,
        lochierarchy,
        CAST(rank() OVER (
          PARTITION BY lochierarchy, CASE WHEN gb = 0 THEN p_type END
-         ORDER BY r6 // nullif(f6 // 1000000, 0),
+         ORDER BY r6 // nullif(f6 // 1000000, 0) NULLS LAST,
                   COALESCE(p_type, ''), COALESCE(p_brand, '')
        ) AS INT) AS rank_within_parent
 FROM agg
@@ -281,8 +281,12 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_gb") == 0, F.col("p_type")).alias("_parent"),
         )
     )
+    # NULLS LAST explicitly on BOTH sides: Spark's ASC default ranks NULL
+    # margins first while DuckDB's ranks them last, so a partition mixing
+    # NULL and non-NULL margins (the degenerate sub-$1-revenue case the
+    # nullif guard admits) would otherwise diverge silently.
     w = Window.partitionBy("lochierarchy", "_parent").orderBy(
-        "margin_ppm",
+        F.asc_nulls_last("margin_ppm"),
         F.coalesce(F.col("p_type"), F.lit("")),
         F.coalesce(F.col("p_brand"), F.lit("")),
     )

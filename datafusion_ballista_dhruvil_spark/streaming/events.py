@@ -935,9 +935,15 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def build_segment_value(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Enrichment join (events x user dimension) + per-segment aggregate;
-    runs identically on a batch or streaming events side."""
+    runs identically on a batch or streaming events side.
+
+    No broadcast hint on the dim: user dimensions at 100 TB event scale
+    are billions of rows (VERDICT r5 #4), so the join strategy is left to
+    the planner — AQE broadcasts at runtime when the dim actually fits,
+    and falls back to a shuffle join when it doesn't, on both the batch
+    and the per-micro-batch streaming plan."""
     return (
-        events.join(F.broadcast(user_dim), "user_id")
+        events.join(user_dim, "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -962,11 +968,12 @@ def static_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join: the streaming side is enriched against a static
-    (batch) dimension — Spark re-plans the static side per micro-batch and
-    BROADCASTS it, so the stream never shuffles for the join; only the
-    small per-segment aggregate exchanges. This is the standard enrichment
-    shape (events x user/profile dim) of a production feature pipeline;
-    batch parity asserted in tests/test_streaming.py.
+    (batch) dimension — Spark re-plans the static side per micro-batch
+    and picks the join strategy from its measured size (broadcast when it
+    fits, shuffle when it doesn't — the hint-free contract of
+    build_segment_value). This is the standard enrichment shape (events x
+    user/profile dim) of a production feature pipeline; batch parity
+    asserted in tests/test_streaming.py.
     """
     from datafusion_ballista_dhruvil_spark.session import ensure_session_confs
 

@@ -114,8 +114,15 @@ def test_unverdicted_queries_are_driver_green(spark, oracle, name):
         sv, ov = s[col], o[col]
         for i in range(len(s)):
             a, b = sv.iloc[i], ov.iloc[i]
-            if pd.isna(a) is True and pd.isna(b) is True:
+            # bool(): pd.isna returns numpy.bool_ for numpy scalars and
+            # `numpy.bool_(True) is True` is False — the identity check
+            # made this branch silently unreachable (ADVICE r5)
+            a_na, b_na = bool(pd.isna(a)), bool(pd.isna(b))
+            if a_na and b_na:
                 continue
+            assert a_na == b_na, (
+                f"NA-status diff row {i} col {col}: spark={a!r} duck={b!r}"
+            )
             assert str(a) == str(b), (
                 f"cell diff row {i} col {col}: spark={a!r} duck={b!r}"
             )

@@ -53,18 +53,23 @@ def parse_slt(text: str) -> list[Record]:
             i += 1
             continue
         if line == "statement ok":
+            # 1-based line of the DIRECTIVE, captured before the record
+            # body is consumed — failure messages previously pointed at
+            # the line following the record (ADVICE r5)
+            directive_line = i + 1
             i += 1
             sql_lines = []
             while i < len(lines) and lines[i].strip() and not lines[i].startswith("#"):
                 sql_lines.append(lines[i])
                 i += 1
             records.append(
-                Record("statement", "\n".join(sql_lines), line=i)
+                Record("statement", "\n".join(sql_lines), line=directive_line)
             )
             continue
         m = re.fullmatch(r"query\s+([ITR]+)(?:\s+(nosort|rowsort))?", line)
         if m:
             types, sort = m.group(1), m.group(2) or "nosort"
+            directive_line = i + 1
             i += 1
             sql_lines = []
             while i < len(lines) and lines[i].strip() != "----":
@@ -84,7 +89,7 @@ def parse_slt(text: str) -> list[Record]:
                     types=types,
                     sort=sort,
                     expected=expected,
-                    line=i,
+                    line=directive_line,
                 )
             )
             continue
