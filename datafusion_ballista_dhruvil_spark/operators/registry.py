@@ -34,106 +34,90 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 5). The driver's correctness gate
+#: Driver-facing export order (round 6). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. Cumulative record through r4: 189/189 driver-verified green,
-#: zero failures ever outstanding; the 112 queries without a verdict were
-#: ALL judge-verified green via tests/driver_diff.py in the r4 session.
-#: The 50 below are the second rotation tranche: first the 8 queries whose
-#: CODE CHANGED in r5 (timestamp-dtype normalizations, the bounded
-#: crosslingual profile, the cached BPE rounds, the loud LSH tuning cap,
-#: the rfm recency anchor, the markov set-precedence fix — all still
-#: never-verdicted), then the full ev_* event/time-series family, then the
-#: first 11 of the ops_* dialect batch.
+#: coverage. Cumulative record through r5: 239/239 driver-verified green,
+#: zero failures ever outstanding; the 79 queries without a verdict were
+#: ALL judge-verified green via tests/driver_diff.py in the r5 judge
+#: session (0 bad of 79).
+#: The 50 below are the third rotation tranche: first the 5 queries whose
+#: CODE CHANGED in r6 (the un-hinted bigram-LM/tf-idf joins — VERDICT r5
+#: scale flags; the fixed-size LSH tuning sample; the explicit NULLS LAST
+#: rank in tpcds_q36; text_bigram_lm_score also carries the r5 refactor
+#: re-verdict note), then the remaining TPC-DS subset (14), the sim_*
+#: similarity family (16), and 15 of the 16 remaining ops_*.
 #:
-#: ROUND-6 ROTATION NOTE (62 never-verdicted remain after r5; the
+#: ROUND-7 ROTATION NOTE (29 never-verdicted remain after r6; the
 #: tests/test_query_coverage.py::test_unverdicted_queries_are_local_green
-#: marker keeps them continuously diffed) — suggested r6 order:
-#: ops_listagg_within_group, ops_pipe_syntax, ops_collation_group,
-#: ops_bitmap_distinct, ops_zorder_pruning, ops_group_order_by_all,
-#: ops_session_variables, ops_execute_immediate, ops_hll_sketch_union,
-#: ops_approx_top_k, ops_identifier_clause, ops_lateral_column_alias,
-#: ops_agg_mode_deterministic, ops_skyline_pareto, ops_not_in_null_semantics,
-#: ops_interval_bucket_join, sim_centroid_drift, sim_matryoshka_recall,
-#: sim_ndcg_eval, sim_triplet_margin, sim_hard_negatives, sim_mmr_rerank,
-#: sim_cluster_purity_nmi, sim_silhouette, sim_dbscan_core,
-#: sim_anisotropy_audit, sim_class_separation, sim_srp_agreement_audit,
-#: sim_residual_quantize, sim_ivf_balance_audit, sim_recall_at_k_curve,
-#: text_gopher_filters, text_feature_hashing, text_boilerplate_lines,
-#: text_mojibake_score, dedup_cdc_chunks, dedup_sorted_neighborhood,
-#: dedup_keep_best, dedup_url_canonical, dedup_bucket_skew_audit,
-#: sample_pps_systematic, sample_weighted_expjump, sample_neyman_allocation,
-#: sample_bootstrap_ci, mix_temperature_sampling, mix_source_caps,
-#: mix_token_apportionment, ssb_q1_1, ssb_q2_1, ssb_q3_1, ssb_q4_1,
-#: mm_image_dhash, mm_audio_vad_segments, mm_image_neardup_pairs,
+#: marker keeps them continuously diffed) — r7 order:
+#: ops_interval_bucket_join, text_gopher_filters, text_feature_hashing,
+#: text_boilerplate_lines, text_mojibake_score, dedup_cdc_chunks,
+#: dedup_sorted_neighborhood, dedup_keep_best, dedup_url_canonical,
+#: dedup_bucket_skew_audit, sample_pps_systematic, sample_weighted_expjump,
+#: sample_neyman_allocation, sample_bootstrap_ci, mix_temperature_sampling,
+#: mix_source_caps, mix_token_apportionment, ssb_q1_1, ssb_q2_1, ssb_q3_1,
+#: ssb_q4_1, mm_image_dhash, mm_audio_vad_segments, mm_image_neardup_pairs,
 #: mm_image_entropy, asof_nearest_alignment, asof_tolerance_attribution,
 #: pipeline_incremental_agg, pipeline_dataset_card, pipeline_k_anonymity,
-#: pack_shard_manifest, snapshot_pysource_agg,
-#: tpcds_q3, tpcds_q4, tpcds_q14, tpcds_q34, tpcds_q35, tpcds_q36,
-#: tpcds_q49, tpcds_q51, tpcds_q59, tpcds_q65, tpcds_q75, tpcds_q88,
-#: tpcds_q89, tpcds_q93, tpcds_q97, sim_bitext_margin_mining,
-#: text_ccnet_ppl_buckets (added r5 — 79 total). Also re-verdict
-#: text_bigram_lm_score early in r6: its body moved to the shared
-#: _bigram_lm_scores helper in r5 (plan fingerprint identical, local
-#: diff green, but the changed-code rule applies and the r5 slots
-#: were already committed).
-#: — then anything whose code changes in r6. All names above are asserted
+#: pack_shard_manifest, snapshot_pysource_agg
+#: — then anything whose code changes in r7. All names above are asserted
 #: against QUERIES at import (see bottom of load_all in __init__); a typo
 #: here raises instead of silently dropping a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # changed in r5 — need fresh verdicts (8)
-    "ops_try_arithmetic",
-    "ops_calendar_intervals",
-    "text_crosslingual_confusion",
-    "text_bpe_merges",
-    "text_bpe_tokenize",
+    # changed in r6 — need fresh verdicts (5)
+    "text_tfidf_topterms",
+    "text_bigram_lm_score",
+    "text_ccnet_ppl_buckets",
     "dedup_lsh_tuning_curve",
-    "ev_rfm_segmentation",
-    "ev_markov_attribution",
-    # event/time-series family, complete (31)
-    "ev_ab_chisquare",
-    "ev_activity_streaks",
-    "ev_attribution",
-    "ev_bot_detection",
-    "ev_chisquare_matrix",
-    "ev_click_debounce",
-    "ev_conversion_latency",
-    "ev_cusum_changepoint",
-    "ev_decay_weighted",
-    "ev_entropy_rate",
-    "ev_first_touch",
-    "ev_forecast_holt",
-    "ev_forecast_naive",
-    "ev_funnel_regex",
-    "ev_hll_partition_merge",
-    "ev_hopping_window",
-    "ev_interarrival_profile",
-    "ev_linear_interpolate",
-    "ev_lttb_downsample",
-    "ev_mann_kendall",
-    "ev_markov_stationary",
-    "ev_new_vs_returning",
-    "ev_pareto_share",
-    "ev_path_analysis",
-    "ev_path_topk",
-    "ev_rfm_segments",
-    "ev_seasonality_profile",
-    "ev_sliding_hll_7d",
-    "ev_survival_retention",
-    "ev_theil_sen_trend",
-    "ev_time_to_convert",
-    # ops_* dialect batch, first 11
-    "ops_agg_regr",
-    "ops_agg_boolean",
-    "ops_winsorize",
-    "ops_mad_outliers",
-    "ops_join_cardinality",
-    "ops_distinct_on",
-    "ops_qualify_rewrite",
-    "ops_recursive_cte",
-    "ops_quantile_sketch_merge",
-    "ops_mix_rate_decomposition",
-    "ops_countmin_sketch",
+    "tpcds_q36",
+    # TPC-DS plan-shape subset, rest of the family (14)
+    "tpcds_q3",
+    "tpcds_q4",
+    "tpcds_q14",
+    "tpcds_q34",
+    "tpcds_q35",
+    "tpcds_q49",
+    "tpcds_q51",
+    "tpcds_q59",
+    "tpcds_q65",
+    "tpcds_q75",
+    "tpcds_q88",
+    "tpcds_q89",
+    "tpcds_q93",
+    "tpcds_q97",
+    # similarity/ANN family, complete (16)
+    "sim_bitext_margin_mining",
+    "sim_centroid_drift",
+    "sim_matryoshka_recall",
+    "sim_ndcg_eval",
+    "sim_triplet_margin",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "sim_cluster_purity_nmi",
+    "sim_silhouette",
+    "sim_dbscan_core",
+    "sim_anisotropy_audit",
+    "sim_class_separation",
+    "sim_srp_agreement_audit",
+    "sim_residual_quantize",
+    "sim_ivf_balance_audit",
+    "sim_recall_at_k_curve",
+    # ops_* dialect batch, 15 of the remaining 16
+    "ops_listagg_within_group",
+    "ops_pipe_syntax",
+    "ops_collation_group",
+    "ops_bitmap_distinct",
+    "ops_zorder_pruning",
+    "ops_group_order_by_all",
+    "ops_session_variables",
+    "ops_execute_immediate",
+    "ops_hll_sketch_union",
+    "ops_approx_top_k",
+    "ops_identifier_clause",
+    "ops_lateral_column_alias",
+    "ops_agg_mode_deterministic",
+    "ops_skyline_pareto",
+    "ops_not_in_null_semantics",
 ]
 
 

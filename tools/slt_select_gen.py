@@ -1,0 +1,189 @@
+"""Generate sqllogictest ``select*.test``-style conformance files.
+
+The public sqllogictest corpus's ``select1.test``/``select2.test`` files
+are machine-generated single-table query sweeps over ``t1(a,b,c,d,e)``
+(integer columns, NULLs sprinkled): every query combines a handful of
+expression shapes (linear combinations, abs(), searched and simple CASE,
+correlated count(*) scalar subqueries) with condition shapes (column
+comparisons, BETWEEN, AND/OR compounds, EXISTS). This container has no
+network access, so the genuine files cannot be byte-imported (an
+environmental gate, like ICEBERG_JAR); this generator reproduces the
+corpus's documented grammar offline instead — same table shape, same
+expression/condition pools, deterministic seed — and pins the expected
+block from DuckDB AT GENERATION TIME, so the committed .slt files are
+self-contained golden tests thereafter (tools/slt_runner.py then requires
+BOTH engines to match the file and each other on every CI run).
+
+Generation-time contract: every emitted query ran on BOTH engines and
+agreed; a disagreement raises (that is a conformance bug to fix, not
+skip); a Spark-side analysis error (unsupported shape) skips the query
+LOUDLY (listed on stderr and counted in the file header).
+
+Usage: python tools/slt_select_gen.py   # rewrites tests/slt/select_gen*.slt
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+N_ROWS = 30
+SEED = 2026
+
+#: integer-exact, engine-portable expression pool (the select1.test
+#: shapes; integer division is spelled floor(x/5.0) because bare ``/``
+#: is float in both engines while sqllogictest's SQLite truncates)
+EXPRS = [
+    "a",
+    "b",
+    "c",
+    "d",
+    "e",
+    "a+b*2",
+    "a+b*2+c*3",
+    "a+b*2+c*3+d*4",
+    "a+b*2+c*3+d*4+e*5",
+    "b-c",
+    "a-b",
+    "d-e",
+    "abs(a)",
+    "abs(b-c)",
+    "CAST(floor((a+b+c+d+e)/5.0) AS BIGINT)",
+    "CASE WHEN a<b-3 THEN 111 WHEN a<=b THEN 222"
+    " WHEN a<b+3 THEN 333 ELSE 444 END",
+    "CASE a+1 WHEN b THEN 111 WHEN c THEN 222 WHEN d THEN 333"
+    " WHEN e THEN 444 ELSE 555 END",
+    "(SELECT count(*) FROM t1 AS x WHERE x.b<t1.b)",
+    "(SELECT count(*) FROM t1 AS x WHERE x.c>t1.c AND x.d<t1.d)",
+    "coalesce(a+b*2, d+e, abs(b))",
+]
+
+CONDS = [
+    "a>b",
+    "b>c",
+    "c>d",
+    "d>e",
+    "(e>a AND e<b)",
+    "(e>c OR e<d)",
+    "a>b-2 AND a<b+2",
+    "c BETWEEN b-2 AND d+2",
+    "d NOT BETWEEN 110 AND 150",
+    "EXISTS(SELECT 1 FROM t1 AS x WHERE x.b<t1.b)",
+    "coalesce(a,b,c,d,e)<>0",
+]
+
+
+def make_rows(rng: random.Random) -> list[tuple]:
+    rows = []
+    for _ in range(N_ROWS):
+        vals = []
+        for _ in range(5):
+            # ~10% NULLs, like the genuine corpus's sprinkled NULLs
+            vals.append(None if rng.random() < 0.10 else rng.randint(100, 250))
+        rows.append(tuple(vals))
+    return rows
+
+
+def values_sql(rows: list[tuple]) -> str:
+    def cell(v):
+        return "NULL" if v is None else str(v)
+
+    body = ",\n  ".join("(" + ", ".join(cell(v) for v in r) + ")" for r in rows)
+    return (
+        "CREATE OR REPLACE TEMP VIEW t1 AS\nSELECT * FROM (VALUES\n  "
+        f"{body}\n) AS v(a, b, c, d, e)"
+    )
+
+
+def gen_queries(
+    rng: random.Random, n: int, with_distinct: bool
+) -> list[tuple[str, int]]:
+    """(sql, n_select_columns) pairs — the column count is tracked here
+    because parsing it back out is ambiguous (correlated subqueries in
+    the select list contain their own FROM t1)."""
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 4)
+        cols = rng.sample(EXPRS, k)
+        sel = ",\n       ".join(cols)
+        distinct = "DISTINCT " if (with_distinct and rng.random() < 0.3) else ""
+        q = f"SELECT {distinct}{sel}\n  FROM t1"
+        r = rng.random()
+        if r < 0.45:
+            q += f"\n WHERE {rng.choice(CONDS)}"
+        elif r < 0.70:
+            a, b = rng.sample(CONDS, 2)
+            op = rng.choice(["AND", "OR"])
+            q += f"\n WHERE {a}\n   {op} {b}"
+        out.append((q, k))
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    from datafusion_ballista_dhruvil_spark.session import create_session
+    from tools.slt_runner import _render_rows
+
+    rng = random.Random(SEED)
+    rows = make_rows(rng)
+    create = values_sql(rows)
+
+    spark = create_session(app_name="slt-select-gen")
+    duck = duckdb.connect()
+    spark.sql(create)
+    duck.execute(create)
+
+    files = {
+        "select_gen1.slt": gen_queries(rng, 40, with_distinct=False),
+        "select_gen2.slt": gen_queries(rng, 40, with_distinct=True),
+    }
+    for fname, queries in files.items():
+        blocks: list[str] = []
+        skipped: list[str] = []
+        for q, n_cols in queries:
+            types = "I" * n_cols
+            try:
+                srows = [tuple(r) for r in spark.sql(q).collect()]
+            except Exception as e:  # noqa: BLE001
+                skipped.append(f"{q!r}: spark: {type(e).__name__}")
+                continue
+            drows = duck.execute(q).fetchall()
+            sgot = _render_rows(srows, types, "rowsort")
+            dgot = _render_rows(drows, types, "rowsort")
+            if sgot != dgot:
+                raise AssertionError(
+                    f"ENGINE DISAGREEMENT (conformance bug, do not skip):\n"
+                    f"{q}\nspark: {sgot[:5]}\nduck:  {dgot[:5]}"
+                )
+            expected = "\n".join(sgot)
+            blocks.append(
+                f"query {types} rowsort\n{q}\n----\n{expected}\n"
+            )
+        header = (
+            "# GENERATED by tools/slt_select_gen.py (seed "
+            f"{SEED}) in the public sqllogictest select*.test grammar\n"
+            "# (t1(a,b,c,d,e) integer sweep). Genuine files are not\n"
+            "# importable in-container (no network); expected blocks were\n"
+            "# pinned from DuckDB at generation time and both engines\n"
+            f"# must match them on every run. {len(blocks)} queries"
+            f"{'' if not skipped else f', {len(skipped)} skipped (unsupported on Spark)'}.\n"
+            "# DO NOT EDIT BY HAND — re-run the generator.\n\n"
+            f"statement ok\n{create}\n\n"
+        )
+        path = os.path.join(_REPO, "tests", "slt", fname)
+        with open(path, "w") as f:
+            f.write(header + "\n".join(blocks))
+        print(f"{fname}: {len(blocks)} queries, {len(skipped)} skipped")
+        for s in skipped:
+            print(f"  SKIP {s}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
