@@ -250,22 +250,23 @@ def main() -> int:
 
     ordered = sorted(QUERIES, key=canon_key)
 
+    # NO family-boundary clearCache/System.gc: the experiment was run
+    # (PERF.md r6) and measured a net LOSS — families legitimately share
+    # caches (dedup/text shingles, sim embeddings), and dropping them at
+    # every boundary cost ~60s of rebuilds across the suite while buying
+    # the TPC-H headline nothing (it runs first now, before any litter).
     times: dict[str, float] = {}
-    prev_family = None
     for name in ordered:
         fn = QUERIES[name]
-        family = name.split("_", 1)[0]
         if isolate:
             spark.catalog.clearCache()
-        elif prev_family is not None and family != prev_family:
-            # family boundary: drop cached plans/data and nudge the JVM GC
-            # so one family's litter (cached shingle tables, code-cache
-            # churn) is not billed to the next — the cheap experiment the
-            # r5 adjudication called for (PERF.md has the A/B)
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-        prev_family = family
         samples = []
+        # The TPC-H block opens the suite in a FRESH JVM, so its first
+        # iteration carries JIT/page-cache warmup the late-suite queries
+        # never see — discard it, exactly as solo_one documents. Later
+        # queries run JIT-warm; their 3-iter median needs no discard.
+        if re.fullmatch(r"q\d+", name):
+            fn(spark, sf_dir).collect()
         for _ in range(iters):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()

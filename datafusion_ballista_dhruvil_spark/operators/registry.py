@@ -47,7 +47,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: re-verdict note), then the remaining TPC-DS subset (14), the sim_*
 #: similarity family (16), and 15 of the 16 remaining ops_*.
 #:
-#: ROUND-7 ROTATION NOTE (29 never-verdicted remain after r6; the
+#: ROUND-7 ROTATION NOTE (39 never-verdicted remain after r6 — the 29
+#: below plus the r6 TPC-DS widening: tpcds_q1, tpcds_q5, tpcds_q6,
+#: tpcds_q23, tpcds_q31, tpcds_q38, tpcds_q54, tpcds_q66, tpcds_q67,
+#: tpcds_q87, which should go FIRST in r7 as the newest code; the
 #: tests/test_query_coverage.py::test_unverdicted_queries_are_local_green
 #: marker keeps them continuously diffed) — r7 order:
 #: ops_interval_bucket_join, text_gopher_filters, text_feature_hashing,

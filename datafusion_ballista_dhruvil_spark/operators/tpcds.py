@@ -25,6 +25,17 @@ what earns it a slot next to TPC-H/SSB in the regression net:
        to ONE conditional-aggregation pass — same result, 1/8 the I/O)
   q89  monthly deviation from the yearly mean, ranked
   q93  net revenue after subtracting returned lines
+r6 widening (shapes the first fifteen still missed):
+  q1   agg-of-agg threshold (customer returns vs 1.2x group average)
+  q5   multi-channel sales/returns netting rolled up to channel totals
+  q6   dimension filtered by its own category average, semijoined to fact
+  q23  double derived-set semijoin (frequent items x best customers)
+  q31  quarter-over-quarter growth compared BETWEEN channels, self-join
+  q38  three-way INTERSECT of behavioral customer sets
+  q54  histogram of an aggregate (spend bands of customer totals)
+  q66  wide 12-month calendar pivot in one conditional-agg pass
+  q67  top-k rank across ALL levels of a deep rollup within category
+  q87  EXCEPT chain (open-channel-only, never-returning customers)
 
 Exactness contract: every revenue is the scaled-integer
 ``rev6 = round(l_extendedprice*100) * (10000 - round(l_discount*10000))``
@@ -942,4 +953,648 @@ def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("only_finished"),
         )
+    )
+
+
+# ==========================================================================
+# r6 widening: ten more TPC-DS signature shapes the first fifteen (and
+# TPC-H/SSB) do not cover — agg-of-agg thresholds, union-grain rollup
+# netting, category-average dimension filters, derived-set semijoins,
+# quarter-over-quarter share growth, INTERSECT/EXCEPT chains, histograms
+# of aggregates, wide month pivots, and top-k rank over rollup output.
+# Same mapping table and scaled-integer exactness contract as above.
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q1",
+    oracle=f"""
+WITH ctr AS (
+  SELECT c_nationkey AS nk, o_custkey AS ck,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_SQL_REV6} ELSE 0 END)
+           AS BIGINT) AS ret6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY nk, ck
+),
+nat AS (
+  SELECT nk, CAST(SUM(ret6) AS BIGINT) AS nat_ret6,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM ctr GROUP BY nk
+)
+SELECT ctr.ck AS custkey, n_name AS nation, ctr.ret6
+FROM ctr JOIN nat USING (nk) JOIN nation ON n_nationkey = nk
+WHERE ctr.ret6 * 5 * nat.n_cust > 6 * nat.nat_ret6
+ORDER BY nation, ret6 DESC, custkey
+LIMIT 100
+""",
+)
+def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 shape: customers whose returned revenue exceeds 1.2x
+    the average returned revenue of their group (store in TPC-DS ->
+    nation here) — the agg-of-agg threshold signature: a per-customer
+    aggregate compared against an aggregate OF that aggregate.
+
+    Exactness: 1.2x avg is the integer cross-multiplication
+    ret6 * 5 * n_cust > 6 * sum(ret6) — no division, no float. Testdata
+    keeps the product well inside int64 (~1e17); at true 100 TB the same
+    dataflow runs on DECIMAL(38,6), per the module contract.
+
+    Scale: per-(nation, customer) partial agg first; the nation-level
+    reduce is 25 rows, joined back BROADCAST, as is the nation name dim.
+    """
+    t = Tables(spark, sf_dir)
+    ret6 = f"CASE WHEN l_returnflag = 'R' THEN {_REV6} ELSE 0 END"
+    ctr = (
+        _fact(t)
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(F.sum(F.expr(ret6)).cast("bigint").alias("ret6"))
+    )
+    nat = ctr.groupBy("nk").agg(
+        F.sum("ret6").cast("bigint").alias("nat_ret6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    return (
+        ctr.join(F.broadcast(nat), "nk")
+        .where(
+            F.col("ret6") * F.lit(5) * F.col("n_cust")
+            > F.lit(6) * F.col("nat_ret6")
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            "ret6",
+        )
+        .orderBy("nation", F.desc("ret6"), "custkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q5",
+    oracle=f"""
+WITH per AS (
+  SELECT l_linestatus AS channel, p_brand AS brand,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE {_SQL_REV6} END)
+           AS BIGINT) AS sales6,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_SQL_REV6} ELSE 0 END)
+           AS BIGINT) AS returns6
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP(l_linestatus, p_brand)
+)
+SELECT channel, brand, sales6, returns6, sales6 - returns6 AS net6
+FROM per
+ORDER BY channel NULLS FIRST, brand NULLS FIRST
+""",
+)
+def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5 shape: the multi-channel sales/returns netting report
+    rolled up from (channel, brand) grain to channel totals and a grand
+    total. TPC-DS unions three channel fact tables before aggregating;
+    here both channels live in one fact (l_linestatus) and returns are
+    flagged in-row, so the union collapses to ONE scan feeding one
+    grouping-set aggregate — same report, a third of the I/O.
+
+    NULLS FIRST is explicit on both engines (rollup emits NULL group
+    keys; Spark ASC defaults null-first, DuckDB null-last)."""
+    t = Tables(spark, sf_dir)
+    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    sales6 = f"CASE WHEN l_returnflag = 'R' THEN 0 ELSE {_REV6} END"
+    ret6 = f"CASE WHEN l_returnflag = 'R' THEN {_REV6} ELSE 0 END"
+    return (
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .rollup(
+            F.col("l_linestatus").alias("channel"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(F.expr(sales6)).cast("bigint").alias("sales6"),
+            F.sum(F.expr(ret6)).cast("bigint").alias("returns6"),
+        )
+        .select(
+            "channel",
+            "brand",
+            "sales6",
+            "returns6",
+            (F.col("sales6") - F.col("returns6")).alias("net6"),
+        )
+        .orderBy(
+            F.asc_nulls_first("channel"), F.asc_nulls_first("brand")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q6",
+    oracle="""
+WITH pc AS (
+  SELECT p_partkey, p_type,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part
+),
+cat AS (
+  SELECT p_type, CAST(SUM(price_c) AS BIGINT) AS sum_c,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM pc GROUP BY p_type
+),
+pricey AS (
+  SELECT p_partkey FROM pc JOIN cat USING (p_type)
+  WHERE pc.price_c * 20 * cat.n_parts > 21 * cat.sum_c
+)
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM pricey)
+GROUP BY n_name
+HAVING COUNT(*) >= 10
+ORDER BY n_lines DESC, nation
+""",
+)
+def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape: customer geographies buying items priced above
+    1.05x their category's average — a dimension filtered by an
+    aggregate OVER the dimension (category-average subquery), semijoined
+    into the fact, then a HAVING-banded geo count. (TPC-DS uses 1.2x;
+    this corpus's retail prices are uniform on [900, 1000], so 1.2x avg
+    selects nothing — 1.05x lands near p95 and exercises both the filter
+    and the HAVING band.)
+
+    Exactness: the 1.05x category-average test is the integer
+    cross-multiplication price_c * 20 * n_parts > 21 * sum_c on cent
+    prices — no division, no float.
+
+    Scale: the category average is dimension-sized work (never touches
+    the fact); the pricey-part set is a LEFT SEMI broadcast into the
+    fact scan; customer/nation joins follow house dim rules."""
+    t = Tables(spark, sf_dir)
+    pc = t.part.select(
+        "p_partkey",
+        "p_type",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    cat = pc.groupBy("p_type").agg(
+        F.sum("price_c").cast("bigint").alias("sum_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    pricey = (
+        pc.join(F.broadcast(cat), "p_type")
+        .where(
+            F.col("price_c") * F.lit(20) * F.col("n_parts")
+            > F.lit(21) * F.col("sum_c")
+        )
+        .select("p_partkey")
+    )
+    return (
+        _fact(t)
+        .join(
+            F.broadcast(pricey),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .where(F.col("n_lines") >= 10)
+        .orderBy(F.desc("n_lines"), "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q23",
+    oracle=f"""
+WITH freq AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY l_partkey HAVING COUNT(DISTINCT o_orderkey) >= 5
+),
+spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY o_custkey
+),
+mx AS (SELECT CAST(MAX(sp) AS BIGINT) AS mx FROM spend),
+best AS (SELECT o_custkey FROM spend, mx WHERE sp * 2 > mx)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({_SQL_REV6}) AS BIGINT) AS total6
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = 1996
+  AND l_partkey IN (SELECT l_partkey FROM freq)
+  AND o_custkey IN (SELECT o_custkey FROM best)
+""",
+)
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: revenue in a later period restricted to TWO
+    derived sets — frequently-sold items (>= 5 distinct orders in the
+    base year) and best customers (spend > half the max customer spend
+    across the two years). The signature is the double semijoin of a
+    fact against sets that are themselves aggregates of the fact.
+
+    Exactness: the best-customer threshold is sp * 2 > max(sp) — integer
+    only; the max is a 1-row scalar merge (house broadcast pattern).
+
+    Scale: both derived sets reduce to keys before touching the probe
+    fact (freq is part-grain, best is customer-grain); both enter as
+    LEFT SEMI broadcasts; one probe pass, one final 1-row reduce."""
+    t = Tables(spark, sf_dir)
+    yr = F.year("o_orderdate")
+    freq = (
+        _fact(t)
+        .where(yr == 1995)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
+        .where(F.col("n_ord") >= 5)
+        .select("l_partkey")
+    )
+    spend = (
+        t.orders.where(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sp")
+        )
+    )
+    mx = spend.agg(F.max("sp").cast("bigint").alias("mx"))
+    best = (
+        spend.crossJoin(F.broadcast(mx))  # 1-row scalar merge
+        .where(F.col("sp") * 2 > F.col("mx"))
+        .select("o_custkey")
+    )
+    probe = _fact(t).where(yr == 1996)
+    return (
+        probe.join(
+            F.broadcast(freq.withColumnRenamed("l_partkey", "fk")),
+            F.col("l_partkey") == F.col("fk"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(best.withColumnRenamed("o_custkey", "bk")),
+            F.col("o_custkey") == F.col("bk"),
+            "left_semi",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.expr(_REV6)).cast("bigint").alias("total6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q31",
+    oracle=f"""
+WITH q AS (
+  SELECT n_name AS nation, CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {_SQL_REV6} ELSE 0 END)
+           AS BIGINT) AS o6,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {_SQL_REV6} ELSE 0 END)
+           AS BIGINT) AS f6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY n_name, CAST(quarter(o_orderdate) AS INT)
+)
+SELECT a.nation, a.qtr AS q_from,
+       b.o6 // nullif(a.o6 // 1000000, 0) AS o_growth_ppm,
+       b.f6 // nullif(a.f6 // 1000000, 0) AS f_growth_ppm
+FROM q a JOIN q b ON a.nation = b.nation AND b.qtr = a.qtr + 1
+WHERE b.o6 // nullif(a.o6 // 1000000, 0)
+      > b.f6 // nullif(a.f6 // 1000000, 0)
+ORDER BY a.nation, q_from
+""",
+)
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: quarter-over-quarter growth compared BETWEEN
+    channels per geography — one aggregate CTE self-joined on
+    (nation, quarter+1), keeping geographies where the online channel
+    outgrew the offline one. TPC-DS spells the per-(channel, quarter)
+    sums as six CTE instances; the conditional-aggregation pivot
+    collapses them to ONE fact pass feeding one self-join.
+
+    Exactness: growth ratios are divide-first integer ppm (house q4
+    pattern — next6 div (prev6 div 1e6) keeps every intermediate in
+    int64 at any scale); the channel comparison compares those ppm
+    integers directly."""
+    t = Tables(spark, sf_dir)
+    o6 = f"CASE WHEN l_linestatus = 'O' THEN {_REV6} ELSE 0 END"
+    f6 = f"CASE WHEN l_linestatus = 'F' THEN {_REV6} ELSE 0 END"
+    q = (
+        _fact(t)
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.sum(F.expr(o6)).cast("bigint").alias("o6"),
+            F.sum(F.expr(f6)).cast("bigint").alias("f6"),
+        )
+    )
+    a = q.select(
+        F.col("nation").alias("nation_a"),
+        F.col("qtr").alias("qtr_a"),
+        F.col("o6").alias("o6_a"),
+        F.col("f6").alias("f6_a"),
+    )
+    b = q.select(
+        F.col("nation").alias("nation_b"),
+        F.col("qtr").alias("qtr_b"),
+        F.col("o6").alias("o6_b"),
+        F.col("f6").alias("f6_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("nation_a") == F.col("nation_b"))
+        & (F.col("qtr_b") == F.col("qtr_a") + 1),
+    )
+    o_growth = F.expr("o6_b div nullif(o6_a div 1000000, 0)")
+    f_growth = F.expr("f6_b div nullif(f6_a div 1000000, 0)")
+    return (
+        joined.select(
+            F.col("nation_a").alias("nation"),
+            F.col("qtr_a").alias("q_from"),
+            o_growth.alias("o_growth_ppm"),
+            f_growth.alias("f_growth_ppm"),
+        )
+        .where(F.col("o_growth_ppm") > F.col("f_growth_ppm"))
+        .orderBy("nation", "q_from")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q38",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+) t
+""",
+)
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape: |A INTERSECT B INTERSECT C| — customers present
+    in ALL THREE behavioral sets (both channels AND the returners). The
+    three-way INTERSECT is the shape q97's two-way full-outer overlap
+    does not exercise; Spark plans each INTERSECT as a left-semi join of
+    deduped sets, so nothing ever exceeds customer cardinality."""
+    t = Tables(spark, sf_dir)
+    base = _fact(t)
+
+    def ck(cond):
+        return base.where(cond).select("o_custkey")
+
+    three = (
+        ck(F.col("l_linestatus") == "O")
+        .intersect(ck(F.col("l_linestatus") == "F"))
+        .intersect(ck(F.col("l_returnflag") == "R"))
+    )
+    return three.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q54",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+  FROM orders WHERE year(o_orderdate) = 1995
+  GROUP BY o_custkey
+)
+SELECT sp // 5000000 AS band_50k,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM spend
+GROUP BY band_50k
+ORDER BY band_50k
+""",
+)
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: the revenue-band HISTOGRAM of an aggregate —
+    per-customer yearly spend bucketed into $50k bands, then the count
+    of customers per band. Aggregate-of-aggregate where the outer group
+    key is a FUNCTION of the inner aggregate's value.
+
+    Scale: inner agg is customer-grain partial-first; the outer
+    histogram reduce is band-cardinality (tens of rows)."""
+    t = Tables(spark, sf_dir)
+    spend = (
+        t.orders.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sp")
+        )
+    )
+    return (
+        spend.groupBy(F.expr("sp div 5000000").alias("band_50k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("band_50k")
+    )
+
+
+# --------------------------------------------------------------------------
+#: q66's 12-month pivot columns, generated once and shared verbatim by the
+#: Spark builder and the oracle string so the two can never drift
+_Q66_MONTH_SQL = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN month(o_orderdate) = {m} THEN {_SQL_REV6}"
+    f" ELSE 0 END) AS BIGINT) AS m{m:02d}_6"
+    for m in range(1, 13)
+)
+
+
+@query(
+    "tpcds_q66",
+    oracle=f"""
+SELECT n_name AS nation, l_linestatus AS channel,
+       {_Q66_MONTH_SQL}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1995
+GROUP BY n_name, l_linestatus
+ORDER BY 1, 2
+""",
+)
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape: the wide calendar pivot — per (geography,
+    channel), twelve month-revenue columns from ONE conditional-agg pass
+    (TPC-DS spells the channels as a UNION of two facts; one in-row
+    channel column halves the I/O, same report).
+
+    Scale: 12 conditional sums are map-side partials; output cardinality
+    is nations x channels (~50 rows). Nothing wide ever shuffles — the
+    pivot happens inside the aggregate, not as 12 self-joins."""
+    t = Tables(spark, sf_dir)
+    aggs = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN month(o_orderdate) = {m} THEN {_REV6}"
+                " ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias(f"m{m:02d}_6")
+        for m in range(1, 13)
+    ]
+    return (
+        _fact(t)
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("l_linestatus").alias("channel"),
+        )
+        .agg(*aggs)
+        .orderBy("nation", "channel")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q67",
+    oracle=f"""
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(year(o_orderdate) AS INT) AS d_year,
+         CAST(quarter(o_orderdate) AS INT) AS d_qtr,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS sales6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP(p_type, p_brand, d_year, d_qtr)
+)
+SELECT * FROM (
+  SELECT p_type, p_brand, d_year, d_qtr, sales6,
+         CAST(rank() OVER (
+           PARTITION BY p_type
+           ORDER BY sales6 DESC NULLS LAST, COALESCE(p_brand, ''),
+                    COALESCE(d_year, 0), COALESCE(d_qtr, 0)
+         ) AS INT) AS rk
+  FROM agg
+) ranked
+WHERE rk <= 3
+ORDER BY p_type NULLS FIRST, rk
+""",
+)
+def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: top-k rank ACROSS every level of a deep ROLLUP
+    within each category — the category partition mixes its own total,
+    per-brand totals, per-year and per-quarter leaves, and rank picks
+    the 3 largest aggregates regardless of level. Distinct from q36,
+    which ranks siblings WITHIN one parent level at a time.
+
+    NULLS explicit everywhere (rollup emits NULL keys; rank ties break
+    on coalesced brand/year/quarter so both engines agree; DESC NULLS
+    LAST stated even though both engines default to it)."""
+    t = Tables(spark, sf_dir)
+    part = F.broadcast(t.part.select("p_partkey", "p_type", "p_brand"))
+    agg = (
+        _fact(t)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .rollup(
+            "p_type",
+            "p_brand",
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            F.quarter("o_orderdate").cast("int").alias("d_qtr"),
+        )
+        .agg(F.sum(F.expr(_REV6)).cast("bigint").alias("sales6"))
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.desc_nulls_last("sales6"),
+        F.coalesce(F.col("p_brand"), F.lit("")),
+        F.coalesce(F.col("d_year"), F.lit(0)),
+        F.coalesce(F.col("d_qtr"), F.lit(0)),
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("p_type", "p_brand", "d_year", "d_qtr", "sales6", "rk")
+        .orderBy(F.asc_nulls_first("p_type"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q87",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_only_open FROM (
+  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+) t
+""",
+)
+def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape: the EXCEPT chain — customers active in the open
+    channel who never appear in the finished channel and never returned
+    anything. Complements q38 (3-way INTERSECT) and q97 (full-outer
+    overlap); Spark plans each EXCEPT as a left-anti join of deduped
+    key sets, so the chain never exceeds customer cardinality."""
+    t = Tables(spark, sf_dir)
+    base = _fact(t)
+
+    def ck(cond):
+        return base.where(cond).select("o_custkey")
+
+    only_open = (
+        ck(F.col("l_linestatus") == "O")
+        .subtract(ck(F.col("l_linestatus") == "F"))
+        .subtract(ck(F.col("l_returnflag") == "R"))
+    )
+    return only_open.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_only_open")
     )

@@ -164,16 +164,36 @@ def test_tpcds_plan_shapes(spark):
     assert "Expand" in p36, "q36 rollup lost its grouping-set Expand"
     assert q36["scans"] == 2, f"q36 re-scans for the window: {q36}"
 
+    # q4/q23 carry a documented 1-row scalar-merge broadcast crossJoin
+    # (global ratio / max-spend threshold); everything else must be
+    # equi-join only
+    scalar_merge_ok = {"tpcds_q4": 1, "tpcds_q23": 1}
     for name in ("tpcds_q4", "tpcds_q14", "tpcds_q35", "tpcds_q49",
                  "tpcds_q51", "tpcds_q59", "tpcds_q65", "tpcds_q75",
-                 "tpcds_q93", "tpcds_q97"):
+                 "tpcds_q93", "tpcds_q97",
+                 # r6 widening
+                 "tpcds_q1", "tpcds_q5", "tpcds_q6", "tpcds_q23",
+                 "tpcds_q31", "tpcds_q38", "tpcds_q54", "tpcds_q66",
+                 "tpcds_q67", "tpcds_q87"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         counts = node_counts(plan)
-        # q4's 1-row global-ratio merge is the documented broadcast
-        # scalar crossJoin; everything else must be equi-join only
-        assert counts["nested_loop"] <= (1 if name == "tpcds_q4" else 0), (
+        assert counts["nested_loop"] <= scalar_merge_ok.get(name, 0), (
             f"{name} degraded to nested-loop: {counts}"
         )
+
+    # r6 widening shape gates: q5's rollup netting and q67's deep rollup
+    # must run as grouping-set Expand over ONE fact pass (no re-scan per
+    # level); q66's 12-month pivot must be one scan + one aggregate pair
+    # (no 12-way self-join); q6's pricey-part set must reach the fact as
+    # a broadcast semijoin
+    p5 = formatted_plan(QUERIES["tpcds_q5"](spark, SF_DIR))
+    assert "Expand" in p5 and node_counts(p5)["scans"] == 2, p5[:500]
+    p67 = formatted_plan(QUERIES["tpcds_q67"](spark, SF_DIR))
+    assert "Expand" in p67 and node_counts(p67)["scans"] == 3, p67[:500]
+    p66 = node_counts(formatted_plan(QUERIES["tpcds_q66"](spark, SF_DIR)))
+    assert p66["aggregates"] == 2, f"q66 pivot is not one agg pair: {p66}"
+    p6 = formatted_plan(QUERIES["tpcds_q6"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p6 and "LeftSemi" in p6, p6[:500]
 
 
 def test_ivf_codebook_cap_is_loud(spark):
