@@ -250,23 +250,41 @@ def main() -> int:
 
     ordered = sorted(QUERIES, key=canon_key)
 
-    # NO family-boundary clearCache/System.gc: the experiment was run
-    # (PERF.md r6) and measured a net LOSS — families legitimately share
-    # caches (dedup/text shingles, sim embeddings), and dropping them at
-    # every boundary cost ~60s of rebuilds across the suite while buying
-    # the TPC-H headline nothing (it runs first now, before any litter).
+    # Family-boundary clearCache + synchronous System.gc (PERF.md r6 A/B):
+    # query functions cache family-shared relations and never unpersist, so
+    # a no-clear suite accumulates dozens of cached tables whose eviction /
+    # ContextCleaner work lands STOCHASTICALLY mid-flight — three identical
+    # no-clear runs read 284/316/347s with a different 5-10x slow cluster
+    # each time (ev block after dedup, sim block, ...). Clearing once per
+    # family boundary bounds storage pressure and made the suite
+    # deterministic (~308s) at the cost of ~20s of intra-suite cache
+    # rebuilds: determinism wins for the official artifact. The TPC-H
+    # block is one family ("q") — it runs first, before any litter.
+    def family(name: str) -> str:
+        return "q" if re.fullmatch(r"q\d+", name) else name.split("_", 1)[0]
+
+    # BLOCK-level warmup for the suite-opening TPC-H queries: the fresh
+    # JVM's C2 compile queue churns across the first ~8 plans, so a
+    # single per-query discard is not enough (measured: q1-q8 read
+    # 1.4-2.8x high while q9-q22, running JIT-warm, hit solo parity).
+    # One untimed pass of the whole block (~20s) drains the compile
+    # queue the way a solo run's discard iteration does for one query;
+    # every non-q query runs mid-suite on a warm JVM and needs nothing.
+    for name in ordered:
+        if re.fullmatch(r"q\d+", name):
+            QUERIES[name](spark, sf_dir).collect()
+
     times: dict[str, float] = {}
+    prev_family = None
     for name in ordered:
         fn = QUERIES[name]
         if isolate:
             spark.catalog.clearCache()
+        elif prev_family is not None and family(name) != prev_family:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        prev_family = family(name)
         samples = []
-        # The TPC-H block opens the suite in a FRESH JVM, so its first
-        # iteration carries JIT/page-cache warmup the late-suite queries
-        # never see — discard it, exactly as solo_one documents. Later
-        # queries run JIT-warm; their 3-iter median needs no discard.
-        if re.fullmatch(r"q\d+", name):
-            fn(spark, sf_dir).collect()
         for _ in range(iters):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
