@@ -101,10 +101,10 @@ def values_sql(rows: list[tuple]) -> str:
 
 def gen_queries(
     rng: random.Random, n: int, with_distinct: bool
-) -> list[tuple[str, int]]:
-    """(sql, n_select_columns) pairs — the column count is tracked here
-    because parsing it back out is ambiguous (correlated subqueries in
-    the select list contain their own FROM t1)."""
+) -> list[tuple[str, int, str]]:
+    """(sql, n_select_columns, types) triples — the column count is
+    tracked here because parsing it back out is ambiguous (correlated
+    subqueries in the select list contain their own FROM t1)."""
     out = []
     for _ in range(n):
         k = rng.randint(1, 4)
@@ -119,7 +119,48 @@ def gen_queries(
             a, b = rng.sample(CONDS, 2)
             op = rng.choice(["AND", "OR"])
             q += f"\n WHERE {a}\n   {op} {b}"
-        out.append((q, k))
+        out.append((q, k, "I" * k))
+    return out
+
+
+#: integer-valued group keys that form multi-row groups over 30 rows
+#: (raw columns are near-unique; the public aggregate sweeps group on
+#: low-cardinality keys the same way)
+GROUP_KEYS = ["a % 5", "b % 3", "c % 4", "(d + e) % 3", "abs(a - b) % 4"]
+
+#: (aggregate expression, result type letter) — sums cast to BIGINT so
+#: both engines render identical integers; avg stays R (sum is integer-
+#: exact in double range, so the one divide is IEEE-identical)
+AGGS = [
+    ("CAST(count(*) AS BIGINT)", "I"),
+    ("CAST(count(b) AS BIGINT)", "I"),
+    ("CAST(count(DISTINCT c) AS BIGINT)", "I"),
+    ("CAST(sum(a) AS BIGINT)", "I"),
+    ("CAST(sum(b + c * 2) AS BIGINT)", "I"),
+    ("CAST(min(d) AS BIGINT)", "I"),
+    ("CAST(max(e) AS BIGINT)", "I"),
+    ("avg(a)", "R"),
+    ("CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT)", "I"),
+]
+
+
+def gen_agg_queries(rng: random.Random, n: int) -> list[tuple[str, int, str]]:
+    """(sql, n_cols, types) triples in the public corpus's aggregate
+    grammar: grouped aggregates with optional WHERE and HAVING."""
+    out = []
+    for _ in range(n):
+        key = rng.choice(GROUP_KEYS)
+        k = rng.randint(1, 3)
+        aggs = rng.sample(AGGS, k)
+        sel = ",\n       ".join(e for e, _ in aggs)
+        types = "I" + "".join(t for _, t in aggs)
+        q = f"SELECT {key} AS g,\n       {sel}\n  FROM t1"
+        if rng.random() < 0.4:
+            q += f"\n WHERE {rng.choice(CONDS)}"
+        q += "\n GROUP BY g"
+        if rng.random() < 0.3:
+            q += "\nHAVING count(*) > 1"
+        out.append((q, 1 + k, types))
     return out
 
 
@@ -141,12 +182,14 @@ def main() -> int:
     files = {
         "select_gen1.slt": gen_queries(rng, 40, with_distinct=False),
         "select_gen2.slt": gen_queries(rng, 40, with_distinct=True),
+        # the aggregate sweep (the public corpus's random/aggregates
+        # grammar): grouped aggregates + WHERE + HAVING
+        "select_gen3.slt": gen_agg_queries(rng, 40),
     }
     for fname, queries in files.items():
         blocks: list[str] = []
         skipped: list[str] = []
-        for q, n_cols in queries:
-            types = "I" * n_cols
+        for q, n_cols, types in queries:
             try:
                 srows = [tuple(r) for r in spark.sql(q).collect()]
             except Exception as e:  # noqa: BLE001
