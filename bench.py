@@ -285,7 +285,14 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
         prev_family = family(name)
         samples = []
-        for _ in range(iters):
+        # the headline TPC-H block gets median-of-5 (vs 3 elsewhere):
+        # it is 22 queries timed in the run's first minutes, where
+        # transient host interference lands hardest (identical code has
+        # read 17.0s quiet and 34.5s under a noisy co-tenant window);
+        # a wider median keeps one bad iteration from moving the number
+        # the scoreboard reads
+        n_iters = iters + 2 if re.fullmatch(r"q\d+", name) else iters
+        for _ in range(n_iters):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
