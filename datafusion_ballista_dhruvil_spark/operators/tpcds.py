@@ -1007,7 +1007,9 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctr = (
         _fact(t)
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            # customer scales with SF — no hint; AQE broadcasts at small
+            # SF and shuffles at 100 TB (the tpch.py house rule)
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -1168,7 +1170,9 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            # customer scales with SF — no hint; AQE broadcasts at small
+            # SF and shuffles at 100 TB (the tpch.py house rule)
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -1307,7 +1311,9 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         _fact(t)
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            # customer scales with SF — no hint; AQE broadcasts at small
+            # SF and shuffles at 100 TB (the tpch.py house rule)
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -1487,7 +1493,9 @@ def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _fact(t)
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            # customer scales with SF — no hint; AQE broadcasts at small
+            # SF and shuffles at 100 TB (the tpch.py house rule)
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
