@@ -1256,7 +1256,10 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .join(
-            F.broadcast(best.withColumnRenamed("o_custkey", "bk")),
+            # best is customer-derived (scales with SF) — no hint, AQE
+            # decides; the part-derived freq set keeps the module's
+            # declared part-dim broadcast posture
+            best.withColumnRenamed("o_custkey", "bk"),
             F.col("o_custkey") == F.col("bk"),
             "left_semi",
         )
