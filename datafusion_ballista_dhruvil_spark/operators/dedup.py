@@ -2263,7 +2263,10 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % p == 0)
         .cache()
     )
-    mh = minhash_wide(arrs)
+    # cache the signature table too: the 4 config bandings union as
+    # INDEPENDENT subplans, so without this each branch re-hashes all K
+    # signatures over arrs (4x the md5 work — the sweep's dominant cost)
+    mh = minhash_wide(arrs).cache()
     per_config = []
     for b, r in _TUNE_CONFIGS:
         band_sigs = [
