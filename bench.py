@@ -301,6 +301,22 @@ def main() -> int:
     total = round(sum(times.values()), 4)
     tpch_total = round(sum(v for k, v in times.items() if re.fullmatch(r"q\d+", k)), 4)
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
+    # Protocol marker (ADVICE r6 #2): the r6 protocol change (canonical
+    # order, untimed TPC-H warm-up pass, median-of-5 headline block,
+    # family-boundary gc) made totals systematically more favorable than
+    # r01-r05's — record WHICH protocol produced each artifact plus the
+    # ACTUAL per-block iteration counts, so cross-round comparisons can't
+    # conflate protocol changes with code speedups (PERF.md has the
+    # comparability note).
+    protocol = {
+        "version": 2,
+        "canonical_order": True,
+        "tpch_warmup_pass": True,
+        "family_boundary_gc": not isolate,
+        "isolate": isolate,
+        "iters_tpch": iters + 2,
+        "iters_rest": iters,
+    }
     # Full per-query detail goes to a FILE; the final stdout line stays
     # compact so the driver's bounded tail capture parses it (the r1
     # artifact had parsed:null because the 130-entry dict overflowed it).
@@ -315,7 +331,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "iters": iters,
+                "iters": iters,  # kept for r01-r05 artifact compatibility
+                "protocol": protocol,
             },
             f,
             indent=1,
@@ -332,6 +349,7 @@ def main() -> int:
                 "tpch_total_sec": tpch_total,
                 "slowest": {k: v for k, v in slowest},
                 "queries_file": "bench_queries.json",
+                "protocol": protocol,
             }
         )
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datafusion_ballista_dhruvil_spark.operators.registry import query
+from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
 from datafusion_ballista_dhruvil_spark.session import Tables
 
 #: MinHash parameters: k = BANDS * ROWS_PER_BAND signatures.
@@ -194,6 +195,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingle-explode -> self equi-join on shingle -> count common -> Jaccard.
     This is the exact verifier; at scale the same verification runs only on
     LSH candidates (dedup_minhash_lsh), never all pairs.
+
+    Cache lifecycle: the shingle cache is self-owning — released by
+    owned_result when this query's action completes (VERDICT r6 #3).
     """
     arrs = _shingle_arrays(spark, sf_dir).cache()
     sh = arrs.select("doc_id", F.explode("ss").alias("s"))
@@ -219,14 +223,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = arrs.select(F.col("doc_id").alias("d1"), F.array_size("ss").alias("n1"))
     s2 = arrs.select(F.col("doc_id").alias("d2"), F.array_size("ss").alias("n2"))
     jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
+    return owned_result(
         pairs.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.5)
         .select("d1", "d2", "common", "n1", "n2", "jaccard")
         .orderBy(F.desc("jaccard"), "d1", "d2")
-        .limit(100)
+        .limit(100),
+        arrs,
     )
 
 
@@ -295,11 +300,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage (PERF.md #9). h0 is materialized as a projection so
     the K aggregate expressions share it instead of re-hashing.
     """
-    return (
-        _verified_pairs(spark, sf_dir)
+    owned: list[DataFrame] = []
+    return owned_result(
+        _verified_pairs(spark, sf_dir, owned)
         .select("d1", "d2", "jaccard")
         .orderBy(F.desc("jaccard"), "d1", "d2")
-        .limit(100)
+        .limit(100),
+        *owned,
     )
 
 
@@ -343,7 +350,9 @@ def _band_signatures(arrs: DataFrame) -> DataFrame:
     )
 
 
-def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_pairs(
+    spark: SparkSession, sf_dir: str, owned: list[DataFrame] | None = None
+) -> DataFrame:
     """(d1, d2, jaccard): LSH candidate pairs verified at J >= 0.5, d1 < d2.
 
     The full MinHash->bands->bucket-group->exact-verify pipeline shared by
@@ -366,8 +375,16 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       |s1 ∩ s2| over distinct-element arrays is the same number with zero
       shuffle past the joins, and the join build sides are doc-count-sized,
       not shingle-count-sized.
+
+    Cache lifecycle (VERDICT r6 #3): the shingle cache this helper creates
+    is appended to ``owned`` so the CALLING query function can hand it to
+    owned_result — each query releases its caches when its action
+    completes instead of leaking them into the long-lived session.
     """
-    return verified_pairs_of(_shingle_arrays(spark, sf_dir).cache())
+    arrs = _shingle_arrays(spark, sf_dir).cache()
+    if owned is not None:
+        owned.append(arrs)
+    return verified_pairs_of(arrs)
 
 
 def lsh_candidates(arrs: DataFrame) -> DataFrame:
@@ -697,12 +714,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min reachable label — same
     fixpoint, declaratively.
     """
-    pairs = _verified_pairs(spark, sf_dir).select("d1", "d2")
+    owned: list[DataFrame] = []
+    pairs = _verified_pairs(spark, sf_dir, owned).select("d1", "d2")
     edges = (
         pairs.union(pairs.select(F.col("d2"), F.col("d1")))
         .toDF("src", "dst")
         .localCheckpoint()
     )
+    # localCheckpoint is EAGER: edges is materialized here, so the shingle
+    # cache is dead weight from this point — release it now (VERDICT r6 #3)
+    for c in owned:
+        c.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -898,11 +920,12 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever paired.
     """
     t = Tables(spark, sf_dir)
-    pairs = _verified_pairs(spark, sf_dir)
+    owned: list[DataFrame] = []
+    pairs = _verified_pairs(spark, sf_dir, owned)
     a = t.documents.select(F.col("doc_id").alias("d1"), F.col("text").alias("ta"))
     b = t.documents.select(F.col("doc_id").alias("d2"), F.col("text").alias("tb"))
     ed = F.levenshtein("ta", "tb")
-    return (
+    return owned_result(
         pairs.join(a, "d1")
         .join(b, "d2")
         .select(
@@ -917,7 +940,8 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
         .orderBy(F.desc("jaccard"), "d1", "d2")
-        .limit(100)
+        .limit(100),
+        *owned,
     )
 
 
@@ -988,7 +1012,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("common").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("common")
     )
-    return (
+    return owned_result(
         cand.join(s1, "new_doc")
         .join(s2, "old_doc")
         .select(
@@ -1002,7 +1026,8 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("new_doc", "old_doc", "jaccard")
         .orderBy(F.desc("jaccard"), "new_doc", "old_doc")
-        .limit(100)
+        .limit(100),
+        arrs,
     )
 
 
@@ -1282,7 +1307,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
 
     raw_s = _stage(t.documents, "n_raw")
-    return (
+    return owned_result(
         raw_s.join(_stage(clean0, "n_quality"), "source", "left")
         .join(_stage(clean1, "n_exact"), "source", "left")
         .join(_stage(clean2, "n_final"), "source", "left")
@@ -1296,7 +1321,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_final", F.lit(0)).cast("double") / F.col("n_raw")
             ).alias("keep_rate"),
         )
-        .orderBy("source")
+        .orderBy("source"),
+        arrs,
     )
 
 
@@ -1374,7 +1400,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("u", F.col("n1") + F.col("n2") - F.col("common"))
     )
-    return (
+    return owned_result(
         x.select(
             "d1",
             "d2",
@@ -1389,7 +1415,8 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
         .orderBy(F.desc("err_ppm"), "d1", "d2")
-        .limit(100)
+        .limit(100),
+        arrs,
     )
 
 
@@ -1438,7 +1465,9 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the triangle join's fan-out is bounded by per-node degree
     — dup-cluster degrees, already capped upstream by MAX_BUCKET_DOCS.
     """
-    e = _verified_pairs(spark, sf_dir).select("d1", "d2").cache()
+    owned: list[DataFrame] = []
+    e = _verified_pairs(spark, sf_dir, owned).select("d1", "d2").cache()
+    owned.append(e)
     tri = (
         e.alias("ab")
         .join(e.alias("bc"), F.col("ab.d2") == F.col("bc.d1"))
@@ -1462,7 +1491,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
     )
     ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    return owned_result(
         ne.crossJoin(F.broadcast(w))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -1477,7 +1506,8 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("clustering_ppm"),
-        )
+        ),
+        *owned,
     )
 
 
@@ -2340,7 +2370,7 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b", "r")
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
-    return (
+    return owned_result(
         counts.join(truth, ["b", "r"], "left")
         .select(
             F.col("b").alias("bands"),
@@ -2355,7 +2385,9 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r")), 6
             ).alias("s_threshold"),
         )
-        .orderBy("rows_per_band")
+        .orderBy("rows_per_band"),
+        arrs,
+        mh,
     )
 
 

@@ -34,93 +34,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 6). The driver's correctness gate
+#: Driver-facing export order (round 7). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. Cumulative record through r5: 239/239 driver-verified green,
-#: zero failures ever outstanding; the 79 queries without a verdict were
-#: ALL judge-verified green via tests/driver_diff.py in the r5 judge
-#: session (0 bad of 79).
-#: The 50 below are the third rotation tranche: first the 5 queries whose
-#: CODE CHANGED in r6 (the un-hinted bigram-LM/tf-idf joins — VERDICT r5
-#: scale flags; the fixed-size LSH tuning sample; the explicit NULLS LAST
-#: rank in tpcds_q36; text_bigram_lm_score also carries the r5 refactor
-#: re-verdict note), then the remaining TPC-DS subset (14), the sim_*
-#: similarity family (16), and 15 of the 16 remaining ops_*.
-#:
-#: ROUND-7 ROTATION NOTE (39 never-verdicted remain after r6 — the 29
-#: below plus the r6 TPC-DS widening: tpcds_q1, tpcds_q5, tpcds_q6,
-#: tpcds_q23, tpcds_q31, tpcds_q38, tpcds_q54, tpcds_q66, tpcds_q67,
-#: tpcds_q87, which should go FIRST in r7 as the newest code; the
-#: tests/test_query_coverage.py::test_unverdicted_queries_are_local_green
-#: marker keeps them continuously diffed) — r7 order:
-#: ops_interval_bucket_join, text_gopher_filters, text_feature_hashing,
-#: text_boilerplate_lines, text_mojibake_score, dedup_cdc_chunks,
-#: dedup_sorted_neighborhood, dedup_keep_best, dedup_url_canonical,
-#: dedup_bucket_skew_audit, sample_pps_systematic, sample_weighted_expjump,
-#: sample_neyman_allocation, sample_bootstrap_ci, mix_temperature_sampling,
-#: mix_source_caps, mix_token_apportionment, ssb_q1_1, ssb_q2_1, ssb_q3_1,
-#: ssb_q4_1, mm_image_dhash, mm_audio_vad_segments, mm_image_neardup_pairs,
-#: mm_image_entropy, asof_nearest_alignment, asof_tolerance_attribution,
-#: pipeline_incremental_agg, pipeline_dataset_card, pipeline_k_anonymity,
-#: pack_shard_manifest, snapshot_pysource_agg
-#: — then anything whose code changes in r7. All names above are asserted
-#: against QUERIES at import (see bottom of load_all in __init__); a typo
-#: here raises instead of silently dropping a verdict slot.
+#: coverage. Cumulative record through r6: 286/286 driver-verified green,
+#: zero failures ever outstanding; the 42 queries without a verdict were
+#: ALL judge-verified green via tests/driver_diff.py in the r6 judge
+#: session (0 bad of 42).
+#: The 50 below CLOSE THE LEDGER (VERDICT r6 next-round #1): all 42
+#: never-verdicted queries are in this tranche, so a green r7 makes the
+#: cumulative record 328/328 driver-verified. Changed-code-first rule:
+#: (a) sim_mmr_rerank — candidate generation swapped from the brute-force
+#: corpus crossJoin onto the bucketed SRP-band path (VERDICT r6 #2);
+#: (b) the 11 TPC-DS queries whose part-derived broadcast hints were
+#: dropped per ADVICE r6 #1 (part scales with SF like customer — AQE now
+#: decides: q3/q5/q6/q14/q23/q36/q49/q65/q67/q75/q89); q5/q6/q23/q67 of
+#: those are also never-verdicted, so the union is 50 exactly. r7
+#: cache-lifecycle changes (family caches now persist->use->unpersist,
+#: VERDICT r6 #3) are timing-only — persist/unpersist cannot change
+#: results — and every touched family was locally re-diffed green via
+#: tests/driver_diff.py.
+#: All names below are asserted against QUERIES at import (see bottom of
+#: load_all in __init__); a typo here raises instead of silently dropping
+#: a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # changed in r6 — need fresh verdicts (5)
-    "text_tfidf_topterms",
-    "text_bigram_lm_score",
-    "text_ccnet_ppl_buckets",
-    "dedup_lsh_tuning_curve",
-    "tpcds_q36",
-    # TPC-DS plan-shape subset, rest of the family (14)
+    # changed in r7: bucketed candidate generation (VERDICT r6 #2)
+    "sim_mmr_rerank",
+    # changed in r7 (un-hinted part-derived sets) AND never-verdicted (4)
+    "tpcds_q5",
+    "tpcds_q6",
+    "tpcds_q23",
+    "tpcds_q67",
+    # never-verdicted, may change in r7 (second-doubling pre-agg, #5)
+    "tpcds_q87",
+    # changed in r7 (un-hinted part-derived sets), re-verdict (7)
     "tpcds_q3",
-    "tpcds_q4",
     "tpcds_q14",
-    "tpcds_q34",
-    "tpcds_q35",
+    "tpcds_q36",
     "tpcds_q49",
-    "tpcds_q51",
-    "tpcds_q59",
     "tpcds_q65",
     "tpcds_q75",
-    "tpcds_q88",
     "tpcds_q89",
-    "tpcds_q93",
-    "tpcds_q97",
-    # similarity/ANN family, complete (16)
-    "sim_bitext_margin_mining",
-    "sim_centroid_drift",
-    "sim_matryoshka_recall",
-    "sim_ndcg_eval",
-    "sim_triplet_margin",
-    "sim_hard_negatives",
-    "sim_mmr_rerank",
-    "sim_cluster_purity_nmi",
-    "sim_silhouette",
-    "sim_dbscan_core",
-    "sim_anisotropy_audit",
-    "sim_class_separation",
-    "sim_srp_agreement_audit",
-    "sim_residual_quantize",
-    "sim_ivf_balance_audit",
-    "sim_recall_at_k_curve",
-    # ops_* dialect batch, 15 of the remaining 16
-    "ops_listagg_within_group",
-    "ops_pipe_syntax",
-    "ops_collation_group",
-    "ops_bitmap_distinct",
-    "ops_zorder_pruning",
-    "ops_group_order_by_all",
-    "ops_session_variables",
-    "ops_execute_immediate",
-    "ops_hll_sketch_union",
-    "ops_approx_top_k",
-    "ops_identifier_clause",
-    "ops_lateral_column_alias",
-    "ops_agg_mode_deterministic",
-    "ops_skyline_pareto",
-    "ops_not_in_null_semantics",
+    # never-verdicted rest of the r6 TPC-DS widening (5)
+    "tpcds_q1",
+    "tpcds_q31",
+    "tpcds_q38",
+    "tpcds_q54",
+    "tpcds_q66",
+    # never-verdicted tails (32) — the full remainder of the registry
+    "ops_interval_bucket_join",
+    "text_gopher_filters",
+    "text_feature_hashing",
+    "text_boilerplate_lines",
+    "text_mojibake_score",
+    "dedup_cdc_chunks",
+    "dedup_sorted_neighborhood",
+    "dedup_keep_best",
+    "dedup_url_canonical",
+    "dedup_bucket_skew_audit",
+    "sample_pps_systematic",
+    "sample_weighted_expjump",
+    "sample_neyman_allocation",
+    "sample_bootstrap_ci",
+    "mix_temperature_sampling",
+    "mix_source_caps",
+    "mix_token_apportionment",
+    "ssb_q1_1",
+    "ssb_q2_1",
+    "ssb_q3_1",
+    "ssb_q4_1",
+    "mm_image_dhash",
+    "mm_audio_vad_segments",
+    "mm_image_neardup_pairs",
+    "mm_image_entropy",
+    "asof_nearest_alignment",
+    "asof_tolerance_attribution",
+    "pipeline_incremental_agg",
+    "pipeline_dataset_card",
+    "pipeline_k_anonymity",
+    "pack_shard_manifest",
+    "snapshot_pysource_agg",
 ]
 
 

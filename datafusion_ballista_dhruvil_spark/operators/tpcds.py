@@ -45,7 +45,11 @@ bit-identical with no float anywhere. At true 100 TB row counts a
 BIGINT x1e6 revenue sum approaches int64 range — production would keep
 the same dataflow on DECIMAL(38,6); the testdata stays ~1e15.
 
-Scale posture: part/date dims broadcast; every fact aggregation is a
+Scale posture: part scales linearly with SF (SF*200k rows, same class as
+customer) so part-keyed relations carry NO broadcast hint — AQE broadcasts
+them at small SF and shuffles at 100 TB (the tpch.py house rule; only
+nation, 1-row scalars, and bounded-vocabulary grains like p_type/p_brand/
+week profiles keep explicit ``F.broadcast``). Every fact aggregation is a
 partial-agg shuffle on its group keys; window partitions are bounded
 (years, weeks, categories); no query materializes more than (groups)
 rows after its first aggregate.
@@ -94,12 +98,11 @@ ORDER BY d_year, revenue6 DESC, p_brand
 def tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q3 shape: date x fact x item with a category filter,
     aggregated by (year, brand), ordered by revenue within year. The
-    item filter broadcasts and prunes the fact scan via the join."""
+    item filter prunes the fact scan via the join (AQE broadcasts the
+    filtered part side at small SF; part scales with SF, so no hint)."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(
-        t.part.where(F.col("p_type") == "PROMO").select(
-            "p_partkey", "p_brand"
-        )
+    part = t.part.where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_brand"
     )
     return (
         _fact(t)
@@ -267,7 +270,7 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted over undiscounted revenue; the rank's ORDER BY carries
     full tiebreaks so both engines assign identical ranks."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_type", "p_brand"))
+    part = t.part.select("p_partkey", "p_type", "p_brand")
     agg = (
         t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .rollup("p_type", "p_brand")
@@ -465,7 +468,7 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact — integer cross-multiplication avoids division entirely in
     the filter."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_type", "p_brand"))
+    part = t.part.select("p_partkey", "p_type", "p_brand")
     brand_rev = (
         t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand")
@@ -573,7 +576,7 @@ def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|rev*12 - yearsum| * 1000 div yearsum), and the top-k carries a
     total-order tiebreak so both engines select the same rows."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    part = t.part.select("p_partkey", "p_brand")
     monthly = (
         _fact(t)
         .where(F.year("o_orderdate") == 1996)
@@ -674,7 +677,7 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intersect never sees fact cardinality; the surviving brand list
     broadcasts back as a semi-join filter."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    part = t.part.select("p_partkey", "p_brand")
     li = t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
     common = (
         li.where(F.col("l_linestatus") == "O")
@@ -791,7 +794,7 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel-partitioned rank window replaces the union — same rows, one
     fact scan instead of three."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    part = t.part.select("p_partkey", "p_brand")
     rates = (
         t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_linestatus").alias("channel"), "p_brand")
@@ -848,7 +851,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature aggregate-then-self-join plan. Both join sides are the
     same tiny aggregate, so the second leg broadcasts."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    part = t.part.select("p_partkey", "p_brand")
     yearly = (
         _fact(t)
         .where(F.year("o_orderdate").isin(1995, 1996))
@@ -1071,7 +1074,7 @@ def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS FIRST is explicit on both engines (rollup emits NULL group
     keys; Spark ASC defaults null-first, DuckDB null-last)."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_brand"))
+    part = t.part.select("p_partkey", "p_brand")
     sales6 = f"CASE WHEN l_returnflag = 'R' THEN 0 ELSE {_REV6} END"
     ret6 = f"CASE WHEN l_returnflag = 'R' THEN {_REV6} ELSE 0 END"
     return (
@@ -1140,8 +1143,10 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices — no division, no float.
 
     Scale: the category average is dimension-sized work (never touches
-    the fact); the pricey-part set is a LEFT SEMI broadcast into the
-    fact scan; customer/nation joins follow house dim rules."""
+    the fact); the pricey-part set is part-derived (scales with SF) so
+    it enters the LEFT SEMI un-hinted — AQE broadcasts it at small SF;
+    customer/nation joins follow house dim rules. The cat profile IS
+    broadcast: p_type is a fixed ~150-value vocabulary at every SF."""
     t = Tables(spark, sf_dir)
     pc = t.part.select(
         "p_partkey",
@@ -1165,7 +1170,9 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _fact(t)
         .join(
-            F.broadcast(pricey),
+            # pricey is part-derived (scales with SF) — no hint, AQE
+            # decides (same treatment as customer-derived sets)
+            pricey,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -1221,8 +1228,9 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     only; the max is a 1-row scalar merge (house broadcast pattern).
 
     Scale: both derived sets reduce to keys before touching the probe
-    fact (freq is part-grain, best is customer-grain); both enter as
-    LEFT SEMI broadcasts; one probe pass, one final 1-row reduce."""
+    fact (freq is part-grain, best is customer-grain); both grains scale
+    with SF, so both LEFT SEMI joins are un-hinted (AQE broadcasts at
+    small SF, shuffles at 100 TB); one probe pass, one 1-row reduce."""
     t = Tables(spark, sf_dir)
     yr = F.year("o_orderdate")
     freq = (
@@ -1251,14 +1259,13 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _fact(t).where(yr == 1996)
     return (
         probe.join(
-            F.broadcast(freq.withColumnRenamed("l_partkey", "fk")),
+            # freq is part-grain and best is customer-grain — both scale
+            # with SF, so neither carries a hint; AQE decides per run
+            freq.withColumnRenamed("l_partkey", "fk"),
             F.col("l_partkey") == F.col("fk"),
             "left_semi",
         )
         .join(
-            # best is customer-derived (scales with SF) — no hint, AQE
-            # decides; the part-derived freq set keeps the module's
-            # declared part-dim broadcast posture
             best.withColumnRenamed("o_custkey", "bk"),
             F.col("o_custkey") == F.col("bk"),
             "left_semi",
@@ -1553,7 +1560,7 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     on coalesced brand/year/quarter so both engines agree; DESC NULLS
     LAST stated even though both engines default to it)."""
     t = Tables(spark, sf_dir)
-    part = F.broadcast(t.part.select("p_partkey", "p_type", "p_brand"))
+    part = t.part.select("p_partkey", "p_type", "p_brand")
     agg = (
         _fact(t)
         .join(part, F.col("l_partkey") == F.col("p_partkey"))

@@ -203,7 +203,11 @@ def main() -> int:
                     f"ENGINE DISAGREEMENT (conformance bug, do not skip):\n"
                     f"{q}\nspark: {sgot[:5]}\nduck:  {dgot[:5]}"
                 )
-            expected = "\n".join(sgot)
+            # the expected block IS DuckDB's rendering (matching the
+            # docstring/header provenance claim); the assertion above
+            # guarantees it equals Spark's byte-for-byte, so committed
+            # files are unchanged either way
+            expected = "\n".join(dgot)
             blocks.append(
                 f"query {types} rowsort\n{q}\n----\n{expected}\n"
             )
