@@ -231,6 +231,12 @@ def main() -> int:
     # for order reasons alone, PERF.md). Default OFF to keep continuity
     # with the BENCH_r01+ history; totals/solos are the comparable signal.
     isolate = os.environ.get("BENCH_ISOLATE") == "1"
+    # BENCH_FAMILY_GC=0 disables the family-boundary clearCache+gc — the
+    # A/B knob for the r7 self-owning-cache change (VERDICT r6 #3): query
+    # functions now unpersist their own caches when their action
+    # completes, so a no-clear suite should stay deterministic. Default
+    # stays ON until the A/B in PERF.md says otherwise.
+    family_gc = os.environ.get("BENCH_FAMILY_GC", "1") != "0" and not isolate
 
     # CANONICAL suite order, decoupled from registration/rotation order
     # (VERDICT r5 #1): the official BENCH_r05 read TPC-H at 36.9s on code
@@ -280,7 +286,7 @@ def main() -> int:
         fn = QUERIES[name]
         if isolate:
             spark.catalog.clearCache()
-        elif prev_family is not None and family(name) != prev_family:
+        elif family_gc and prev_family is not None and family(name) != prev_family:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         prev_family = family(name)
@@ -312,7 +318,7 @@ def main() -> int:
         "version": 2,
         "canonical_order": True,
         "tpch_warmup_pass": True,
-        "family_boundary_gc": not isolate,
+        "family_boundary_gc": family_gc,
         "isolate": isolate,
         "iters_tpch": iters + 2,
         "iters_rest": iters,

@@ -53,6 +53,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: VERDICT r6 #3) are timing-only — persist/unpersist cannot change
 #: results — and every touched family was locally re-diffed green via
 #: tests/driver_diff.py.
+#: R8 ROTATION NOTE: tpcds_q47 and tpcds_q57 (the r7 windowed-series
+#: widening) are the only queries registered after this tranche was
+#: frozen — they go FIRST in r8 as the newest code (locally
+#: driver-diffed green + plan-gated this round), followed by anything
+#: whose code changes in r8.
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.

@@ -36,6 +36,11 @@ r6 widening (shapes the first fifteen still missed):
   q66  wide 12-month calendar pivot in one conditional-agg pass
   q67  top-k rank across ALL levels of a deep rollup within category
   q87  EXCEPT chain (open-channel-only, never-returning customers)
+r7 widening (the windowed-series shapes the 25 still missed):
+  q47  monthly deviation from the multi-month mean with lag/lead
+       neighbors resolved over the FULL series, then year-filtered
+  q57  same series windows at a different grain + per-group top-k rank
+       over the deviation (WindowGroupLimit shape)
 
 Exactness contract: every revenue is the scaled-integer
 ``rev6 = round(l_extendedprice*100) * (10000 - round(l_discount*10000))``
@@ -1625,4 +1630,225 @@ def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return only_open.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_only_open")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q47",
+    oracle=f"""
+WITH monthly AS (
+  SELECT p_type, p_brand, CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS rev6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) IN (1995, 1996, 1997)
+  GROUP BY p_type, p_brand, y, m
+),
+win AS (
+  SELECT p_type, p_brand, y, m, rev6,
+         CAST(SUM(rev6) OVER (PARTITION BY p_type, p_brand, y) AS BIGINT)
+           AS year6,
+         CAST(COUNT(*) OVER (PARTITION BY p_type, p_brand, y) AS BIGINT)
+           AS n_months,
+         lag(rev6) OVER (PARTITION BY p_type, p_brand ORDER BY y, m)
+           AS psum6,
+         lead(rev6) OVER (PARTITION BY p_type, p_brand ORDER BY y, m)
+           AS nsum6
+  FROM monthly
+)
+SELECT p_type, p_brand, y, m, rev6, psum6, nsum6,
+       CAST(CASE WHEN rev6 * n_months >= year6 THEN 1 ELSE -1 END
+            * (abs(rev6 * n_months - year6) * 1000 // year6) AS BIGINT)
+         AS dev_milli
+FROM win
+WHERE y = 1996
+  AND abs(rev6 * n_months - year6) * 10 > year6
+ORDER BY dev_milli, p_type, p_brand, m
+LIMIT 50
+""",
+)
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape: monthly sales vs the within-year monthly mean
+    per (category, brand), WITH the previous/next month's sales carried
+    alongside — the lag/lead neighbors resolve over the FULL three-year
+    series BEFORE the output filters to the middle year, so January's
+    psum is December of the prior year (the detail that distinguishes
+    q47 from a per-year q89). TPC-DS spells the alignment as rank() +
+    two self-joins on rn +/- 1; lag/lead over the same order is the
+    Spark-first equivalent — one window pass, no self-joins.
+
+    Exactness: the >10% deviation test is the integer cross-
+    multiplication |rev6*n - year6|*10 > year6; dev_milli carries an
+    explicit sign times an ABS integer division — Spark ``div`` truncates
+    toward zero while DuckDB ``//`` floors, so negative deviations must
+    never reach the division operand.
+
+    Scale: one fact pass into a (type, brand, y, m)-grain aggregate;
+    every window partitions by (type, brand[, y]) over that bounded
+    monthly table — never the fact; part joins un-hinted (module rule).
+    """
+    t = Tables(spark, sf_dir)
+    part = t.part.select("p_partkey", "p_type", "p_brand")
+    monthly = (
+        _fact(t)
+        .where(F.year("o_orderdate").isin(1995, 1996, 1997))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_type",
+            "p_brand",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(F.sum(F.expr(_REV6)).cast("bigint").alias("rev6"))
+    )
+    wy = Window.partitionBy("p_type", "p_brand", "y")
+    ws = Window.partitionBy("p_type", "p_brand").orderBy("y", "m")
+    win = monthly.select(
+        "p_type",
+        "p_brand",
+        "y",
+        "m",
+        "rev6",
+        F.sum("rev6").over(wy).cast("bigint").alias("year6"),
+        F.count(F.lit(1)).over(wy).cast("bigint").alias("n_months"),
+        F.lag("rev6").over(ws).alias("psum6"),
+        F.lead("rev6").over(ws).alias("nsum6"),
+    )
+    dev = (
+        F.when(F.col("rev6") * F.col("n_months") >= F.col("year6"), 1)
+        .otherwise(-1)
+        * F.expr("abs(rev6 * n_months - year6) * 1000 div year6")
+    ).cast("bigint")
+    return (
+        win.where(F.col("y") == 1996)
+        .where(
+            F.expr("abs(rev6 * n_months - year6) * 10 > year6")
+        )
+        .select(
+            "p_type",
+            "p_brand",
+            "y",
+            "m",
+            "rev6",
+            "psum6",
+            "nsum6",
+            dev.alias("dev_milli"),
+        )
+        .orderBy("dev_milli", "p_type", "p_brand", "m")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q57",
+    oracle=f"""
+WITH monthly AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS rev6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) IN (1995, 1996, 1997)
+  GROUP BY n_name, y, m
+),
+win AS (
+  SELECT n_name, y, m, rev6,
+         CAST(SUM(rev6) OVER (PARTITION BY n_name, y) AS BIGINT) AS year6,
+         CAST(COUNT(*) OVER (PARTITION BY n_name, y) AS BIGINT) AS n_months,
+         lag(rev6) OVER (PARTITION BY n_name ORDER BY y, m) AS psum6,
+         lead(rev6) OVER (PARTITION BY n_name ORDER BY y, m) AS nsum6
+  FROM monthly
+),
+dev AS (
+  SELECT n_name, y, m, rev6, psum6, nsum6,
+         CAST(abs(rev6 * n_months - year6) * 1000 // year6 AS BIGINT)
+           AS absdev_milli
+  FROM win WHERE y = 1996
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY n_name ORDER BY absdev_milli DESC, m) AS rn
+  FROM dev
+)
+SELECT n_name, y, m, rev6, psum6, nsum6, absdev_milli
+FROM ranked WHERE rn <= 3
+ORDER BY n_name, absdev_milli DESC, m
+""",
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q57 shape: q47's series windows at a different grain (the
+    call-center analog is customer nation) plus a per-group TOP-K over
+    the deviation — the 3 most anomalous months per nation, with their
+    lag/lead neighbors resolved over the full three-year series before
+    the year filter.
+
+    Scale: the rank<=3 filter plans as WindowGroupLimit (a per-partition
+    top-k heap BELOW the rank's exchange), so even the bounded monthly
+    table never fully sorts per group; all windows partition by nation
+    (25 groups) over (nation, y, m)-grain rows — never the fact. The
+    nation dim broadcasts (constant 25 rows); customer join un-hinted
+    (house rule). absdev_milli is non-negative by construction, so the
+    integer division is floor/trunc-agnostic across engines.
+    """
+    t = Tables(spark, sf_dir)
+    monthly = (
+        _fact(t)
+        .where(F.year("o_orderdate").isin(1995, 1996, 1997))
+        .join(
+            # customer scales with SF — no hint; AQE broadcasts at small
+            # SF and shuffles at 100 TB (the tpch.py house rule)
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(F.sum(F.expr(_REV6)).cast("bigint").alias("rev6"))
+    )
+    wy = Window.partitionBy("n_name", "y")
+    ws = Window.partitionBy("n_name").orderBy("y", "m")
+    win = monthly.select(
+        "n_name",
+        "y",
+        "m",
+        "rev6",
+        F.sum("rev6").over(wy).cast("bigint").alias("year6"),
+        F.count(F.lit(1)).over(wy).cast("bigint").alias("n_months"),
+        F.lag("rev6").over(ws).alias("psum6"),
+        F.lead("rev6").over(ws).alias("nsum6"),
+    )
+    dev = (
+        win.where(F.col("y") == 1996)
+        .select(
+            "n_name",
+            "y",
+            "m",
+            "rev6",
+            "psum6",
+            "nsum6",
+            F.expr("abs(rev6 * n_months - year6) * 1000 div year6")
+            .cast("bigint")
+            .alias("absdev_milli"),
+        )
+    )
+    wr = Window.partitionBy("n_name").orderBy(
+        F.desc("absdev_milli"), F.asc("m")
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 3)
+        .select("n_name", "y", "m", "rev6", "psum6", "nsum6", "absdev_milli")
+        .orderBy("n_name", F.desc("absdev_milli"), "m")
     )

@@ -174,7 +174,9 @@ def test_tpcds_plan_shapes(spark):
                  # r6 widening
                  "tpcds_q1", "tpcds_q5", "tpcds_q6", "tpcds_q23",
                  "tpcds_q31", "tpcds_q38", "tpcds_q54", "tpcds_q66",
-                 "tpcds_q67", "tpcds_q87"):
+                 "tpcds_q67", "tpcds_q87",
+                 # r7 widening
+                 "tpcds_q47", "tpcds_q57"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         counts = node_counts(plan)
         assert counts["nested_loop"] <= scalar_merge_ok.get(name, 0), (
@@ -206,6 +208,21 @@ def test_tpcds_plan_shapes(spark):
         r"BroadcastHashJoin \[l_partkey[^\]]*\], \[p_partkey[^\]]*\], LeftSemi",
         p6,
     ), p6[:800]
+
+
+def test_q47_q57_series_windows_over_monthly_grain(spark):
+    """r7 widening: the lag/lead series shapes must run their windows
+    over the (grain, y, m) MONTHLY aggregate, never a second fact pass —
+    q47 reads exactly its three join inputs once (lineitem, orders,
+    part); q57's per-nation top-3 deviation rank must push the
+    WindowGroupLimit heap below the rank's exchange."""
+    from tools.plan_fingerprint import node_counts
+
+    p47 = formatted_plan(QUERIES["tpcds_q47"](spark, SF_DIR))
+    assert node_counts(p47)["scans"] == 3, node_counts(p47)
+    p57 = formatted_plan(QUERIES["tpcds_q57"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p57
+    assert node_counts(p57)["scans"] == 4, node_counts(p57)
 
 
 def test_ivf_codebook_cap_is_loud(spark):

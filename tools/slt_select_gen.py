@@ -164,6 +164,100 @@ def gen_agg_queries(rng: random.Random, n: int) -> list[tuple[str, int, str]]:
     return out
 
 
+def values_sql_t2(rows: list[tuple]) -> str:
+    def cell(v):
+        return "NULL" if v is None else str(v)
+
+    body = ",\n  ".join("(" + ", ".join(cell(v) for v in r) + ")" for r in rows)
+    return (
+        "CREATE OR REPLACE TEMP VIEW t2 AS\nSELECT * FROM (VALUES\n  "
+        f"{body}\n) AS v(v, w, x, y, z)"
+    )
+
+
+#: two-table expression pool (the public corpus's select4/select5-style
+#: join sweeps reference both sides); integer-exact like EXPRS
+JEXPRS = [
+    "t1.a",
+    "t2.v",
+    "t1.b + t2.w",
+    "t1.a - t2.v",
+    "abs(t1.c - t2.x)",
+    "coalesce(t1.d, t2.y, 0)",
+    "CASE WHEN t1.a > t2.v THEN 111 WHEN t1.a = t2.v THEN 222 ELSE 333 END",
+    "t1.e * 2 + t2.z",
+    "coalesce(t1.a, 0) + coalesce(t2.w, 0)",
+]
+
+#: (join type, ON condition) pool — equi keys land in the 100-250 value
+#: range both tables draw from, modular keys guarantee dense matches
+JOINS = [
+    ("JOIN", "t1.b = t2.w"),
+    ("JOIN", "t1.c = t2.x"),
+    ("JOIN", "t1.a % 5 = t2.v % 5"),
+    ("JOIN", "t1.b % 4 = t2.w % 4 AND t1.a > t2.v"),
+    ("LEFT JOIN", "t1.b = t2.w"),
+    ("LEFT JOIN", "t1.a % 3 = t2.v % 3 AND t2.z > t1.e"),
+    ("RIGHT JOIN", "t1.c = t2.x"),
+    ("FULL JOIN", "t1.d = t2.y"),
+]
+
+#: cross-table WHERE conditions, including the correlated-subquery shapes
+JCONDS = [
+    "t1.a > t2.v",
+    "t2.w BETWEEN t1.b - 5 AND t1.b + 5",
+    "coalesce(t1.c, 0) + coalesce(t2.x, 0) > 300",
+    "EXISTS(SELECT 1 FROM t2 AS s WHERE s.v < t1.a)",
+    "NOT EXISTS(SELECT 1 FROM t2 AS s WHERE s.w = t1.b AND s.z > t1.e)",
+    "t1.d IN (SELECT y FROM t2 AS s WHERE s.v > 150)",
+]
+
+
+def gen_join_queries(rng: random.Random, n: int) -> list[tuple[str, int, str]]:
+    """(sql, n_cols, types) triples in the public corpus's multi-table
+    grammar (select4/select5-style): t1 x t2 equi/outer joins with
+    two-sided select expressions, optional cross-table WHERE (correlated
+    EXISTS / IN included), and a grouped-aggregate-over-join variant."""
+    out = []
+    for i in range(n):
+        jt, on = rng.choice(JOINS)
+        if i % 4 == 3:
+            # grouped aggregate over the join (one in four)
+            key = rng.choice(
+                ["t1.a % 4", "t2.v % 3", "abs(coalesce(t1.b, 0) - coalesce(t2.w, 0)) % 5"]
+            )
+            k = rng.randint(1, 2)
+            aggs = rng.sample(
+                [
+                    "CAST(count(*) AS BIGINT)",
+                    "CAST(count(t2.z) AS BIGINT)",
+                    "CAST(sum(coalesce(t1.a, 0)) AS BIGINT)",
+                    "CAST(min(t2.w) AS BIGINT)",
+                    "CAST(max(coalesce(t1.e, 0) + coalesce(t2.z, 0)) AS BIGINT)",
+                ],
+                k,
+            )
+            sel = ",\n       ".join(aggs)
+            q = (
+                f"SELECT {key} AS g,\n       {sel}\n"
+                f"  FROM t1 {jt} t2 ON {on}\n GROUP BY g"
+            )
+            out.append((q, 1 + k, "I" * (1 + k)))
+            continue
+        k = rng.randint(1, 3)
+        cols = rng.sample(JEXPRS, k)
+        sel = ",\n       ".join(cols)
+        q = f"SELECT {sel}\n  FROM t1 {jt} t2 ON {on}"
+        r = rng.random()
+        if r < 0.45:
+            q += f"\n WHERE {rng.choice(JCONDS)}"
+        elif r < 0.65:
+            a, b = rng.sample(JCONDS, 2)
+            q += f"\n WHERE {a}\n   AND {b}"
+        out.append((q, k, "I" * k))
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -173,20 +267,37 @@ def main() -> int:
     rng = random.Random(SEED)
     rows = make_rows(rng)
     create = values_sql(rows)
+    # t2 draws 25 rows from the SAME value range so equi-joins match. It
+    # uses its OWN seeded stream (SEED + 1): drawing from `rng` here would
+    # shift the stream feeding gen1-3 and silently regenerate those files.
+    rng2 = random.Random(SEED + 1)
+    rows2 = []
+    for _ in range(25):
+        vals = [
+            None if rng2.random() < 0.10 else rng2.randint(100, 250)
+            for _ in range(5)
+        ]
+        rows2.append(tuple(vals))
+    create2 = values_sql_t2(rows2)
 
     spark = create_session(app_name="slt-select-gen")
     duck = duckdb.connect()
-    spark.sql(create)
-    duck.execute(create)
+    for stmt in (create, create2):
+        spark.sql(stmt)
+        duck.execute(stmt)
 
     files = {
-        "select_gen1.slt": gen_queries(rng, 40, with_distinct=False),
-        "select_gen2.slt": gen_queries(rng, 40, with_distinct=True),
+        "select_gen1.slt": ([create], gen_queries(rng, 40, with_distinct=False)),
+        "select_gen2.slt": ([create], gen_queries(rng, 40, with_distinct=True)),
         # the aggregate sweep (the public corpus's random/aggregates
         # grammar): grouped aggregates + WHERE + HAVING
-        "select_gen3.slt": gen_agg_queries(rng, 40),
+        "select_gen3.slt": ([create], gen_agg_queries(rng, 40)),
+        # the multi-table sweep (select4/select5-style): t1 x t2
+        # equi/outer joins, correlated EXISTS/IN, aggregates over joins
+        # (rng2: gen1-3 streams stay untouched, files byte-stable)
+        "select_gen4.slt": ([create, create2], gen_join_queries(rng2, 44)),
     }
-    for fname, queries in files.items():
+    for fname, (creates, queries) in files.items():
         blocks: list[str] = []
         skipped: list[str] = []
         for q, n_cols, types in queries:
@@ -211,6 +322,7 @@ def main() -> int:
             blocks.append(
                 f"query {types} rowsort\n{q}\n----\n{expected}\n"
             )
+        create_blocks = "\n\n".join(f"statement ok\n{c}" for c in creates)
         header = (
             "# GENERATED by tools/slt_select_gen.py (seed "
             f"{SEED}) in the public sqllogictest select*.test grammar\n"
@@ -220,7 +332,7 @@ def main() -> int:
             f"# must match them on every run. {len(blocks)} queries"
             f"{'' if not skipped else f', {len(skipped)} skipped (unsupported on Spark)'}.\n"
             "# DO NOT EDIT BY HAND — re-run the generator.\n\n"
-            f"statement ok\n{create}\n\n"
+            f"{create_blocks}\n\n"
         )
         path = os.path.join(_REPO, "tests", "slt", fname)
         with open(path, "w") as f:
