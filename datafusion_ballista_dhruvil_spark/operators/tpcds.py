@@ -41,6 +41,13 @@ r7 widening (the windowed-series shapes the 25 still missed):
        neighbors resolved over the FULL series, then year-filtered
   q57  same series windows at a different grain + per-group top-k rank
        over the deviation (WindowGroupLimit shape)
+r7 session-2 widening:
+  q44  best AND worst items: two opposite-direction top-10 rankings of
+       one per-item aggregate joined positionally on rank (spelled as
+       two TakeOrderedAndProject heaps, not global rank windows)
+  q70  rollup restricted to top geographies where "top" is itself a
+       windowed rank over an aggregate; SUM decomposability collapses
+       TPC-DS's two fact passes to one (plan-gated single scan)
 
 Exactness contract: every revenue is the scaled-integer
 ``rev6 = round(l_extendedprice*100) * (10000 - round(l_discount*10000))``
@@ -1851,4 +1858,200 @@ def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("n_name", "y", "m", "rev6", "psum6", "nsum6", "absdev_milli")
         .orderBy("n_name", F.desc("absdev_milli"), "m")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q44",
+    oracle=f"""
+WITH perf AS (
+  SELECT l_partkey,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS sum6,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+),
+av AS (SELECT l_partkey, CAST(sum6 // cnt AS BIGINT) AS avg6 FROM perf),
+best AS (
+  SELECT l_partkey, avg6, rn FROM (
+    SELECT l_partkey, avg6,
+           CAST(row_number() OVER (ORDER BY avg6 DESC, l_partkey) AS INT)
+             AS rn
+    FROM av
+  ) WHERE rn <= 10
+),
+worst AS (
+  SELECT l_partkey, avg6, rn FROM (
+    SELECT l_partkey, avg6,
+           CAST(row_number() OVER (ORDER BY avg6 ASC, l_partkey) AS INT)
+             AS rn
+    FROM av
+  ) WHERE rn <= 10
+)
+SELECT b.rn AS rn, pb.p_name AS best_name, pw.p_name AS worst_name
+FROM best b
+JOIN worst w ON b.rn = w.rn
+JOIN part pb ON b.l_partkey = pb.p_partkey
+JOIN part pw ON w.l_partkey = pw.p_partkey
+ORDER BY rn
+""",
+)
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape: the best AND worst performing items by average
+    net value, two opposite-direction top-10 rankings of the same
+    per-item aggregate joined positionally on rank, item names resolved
+    in a second join (TPC-DS's i1/i2 double item join).
+
+    Exactness: the per-item average is the truncated integer division
+    ``sum6 div cnt`` (both operands non-negative BIGINTs, so Spark
+    ``div`` and DuckDB ``//`` agree); rank ties break on l_partkey.
+
+    Scale: TPC-DS spells each direction as a windowed rank over ALL
+    items — a global sort of an SF-scaling relation. Here each
+    direction is ``ORDER BY ... LIMIT 10`` (TakeOrderedAndProject: per-
+    partition top-10 heaps + a 10-row driver merge, no global sort, no
+    single-partition window over the item grain — plan-gated); the
+    row_number that positions the final join runs over the 10 kept
+    rows. The name-resolution joins put a 10-row set against part, so
+    AQE broadcasts the rank side — part itself scales with SF and
+    carries no hint (module rule)."""
+    t = Tables(spark, sf_dir)
+    av = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr(_REV6)).cast("bigint").alias("sum6"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        .select("l_partkey", F.expr("sum6 div cnt").cast("bigint").alias("avg6"))
+    )
+
+    def top10(direction) -> DataFrame:
+        ordered = av.orderBy(direction("avg6"), F.asc("l_partkey")).limit(10)
+        w = Window.orderBy(direction("avg6"), F.asc("l_partkey"))
+        return ordered.select(
+            "l_partkey", F.row_number().over(w).cast("int").alias("rn")
+        )
+
+    names = t.part.select("p_partkey", "p_name")
+    return (
+        top10(F.desc)
+        .alias("b")
+        .join(top10(F.asc).alias("w"), "rn")
+        .join(names.alias("pb"), F.col("b.l_partkey") == F.col("pb.p_partkey"))
+        .join(names.alias("pw"), F.col("w.l_partkey") == F.col("pw.p_partkey"))
+        .select(
+            "rn",
+            F.col("pb.p_name").alias("best_name"),
+            F.col("pw.p_name").alias("worst_name"),
+        )
+        .orderBy("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q70",
+    oracle=f"""
+WITH nat AS (
+  SELECT r_name, n_name, CAST(SUM({_SQL_REV6}) AS BIGINT) AS rev6
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+),
+keep AS (
+  SELECT r_name, n_name, rev6 FROM (
+    SELECT r_name, n_name, rev6,
+           rank() OVER (PARTITION BY r_name
+                        ORDER BY rev6 DESC, n_name) AS rk
+    FROM nat
+  ) WHERE rk <= 2
+),
+roll AS (
+  SELECT r_name, n_name, CAST(SUM(rev6) AS BIGINT) AS total6,
+         CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS lochierarchy
+  FROM keep GROUP BY ROLLUP(r_name, n_name)
+)
+SELECT total6, r_name, n_name, lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN r_name END
+         ORDER BY total6 DESC, COALESCE(n_name, ''), COALESCE(r_name, '')
+       ) AS INT) AS rank_within_parent
+FROM roll
+ORDER BY lochierarchy DESC, COALESCE(r_name, ''), rank_within_parent,
+         COALESCE(n_name, '')
+""",
+)
+def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q70 shape: a geography rollup restricted to the TOP
+    geographies, where "top" is itself a windowed rank over an
+    aggregate — the windowed-restriction-feeding-a-rollup composite
+    that q36/q67 (plain rollup+rank) don't cover. Region->nation maps
+    TPC-DS state->county.
+
+    Scale — one fact pass, not two: TPC-DS spells the restriction as
+    ``s_state IN (windowed-rank subquery)`` over a SECOND scan of the
+    fact, then re-aggregates the semijoined fact under ROLLUP. SUM is
+    decomposable, so rolling up the already-restricted (region, nation)
+    aggregate is value-identical to re-aggregating the restricted fact
+    — the rollup's Expand runs over <= 25 rows instead of the fact, and
+    the plan reads lineitem exactly ONCE (plan-gated). The restriction
+    window partitions by region over the same bounded aggregate.
+
+    Exactness: integer rev6 sums; every rank ties-break on coalesced
+    names so rollup NULLs never reach a comparator."""
+    t = Tables(spark, sf_dir)
+    nat = (
+        _fact(t)
+        .join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.expr(_REV6)).cast("bigint").alias("rev6"))
+    )
+    wk = Window.partitionBy("r_name").orderBy(F.desc("rev6"), F.asc("n_name"))
+    keep = (
+        nat.withColumn("rk", F.rank().over(wk))
+        .where(F.col("rk") <= 2)
+        .drop("rk")
+    )
+    roll = keep.rollup("r_name", "n_name").agg(
+        F.sum("rev6").cast("bigint").alias("total6"),
+        (F.grouping("r_name") + F.grouping("n_name"))
+        .cast("int")
+        .alias("lochierarchy"),
+    )
+    wr = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("r_name")),
+    ).orderBy(
+        F.desc("total6"),
+        F.coalesce(F.col("n_name"), F.lit("")),
+        F.coalesce(F.col("r_name"), F.lit("")),
+    )
+    return (
+        roll.withColumn(
+            "rank_within_parent", F.rank().over(wr).cast("int")
+        )
+        .select(
+            "total6", "r_name", "n_name", "lochierarchy", "rank_within_parent"
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.coalesce(F.col("r_name"), F.lit("")),
+            "rank_within_parent",
+            F.coalesce(F.col("n_name"), F.lit("")),
+        )
     )

@@ -176,7 +176,7 @@ def test_tpcds_plan_shapes(spark):
                  "tpcds_q31", "tpcds_q38", "tpcds_q54", "tpcds_q66",
                  "tpcds_q67", "tpcds_q87",
                  # r7 widening
-                 "tpcds_q47", "tpcds_q57"):
+                 "tpcds_q47", "tpcds_q57", "tpcds_q44", "tpcds_q70"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         counts = node_counts(plan)
         assert counts["nested_loop"] <= scalar_merge_ok.get(name, 0), (
@@ -223,6 +223,31 @@ def test_q47_q57_series_windows_over_monthly_grain(spark):
     p57 = formatted_plan(QUERIES["tpcds_q57"](spark, SF_DIR))
     assert "WindowGroupLimit" in p57
     assert node_counts(p57)["scans"] == 4, node_counts(p57)
+
+
+def test_q44_q70_rank_shapes(spark):
+    """r7 session-2 widening: q44's two top-10 directions must each run
+    as a TakeOrderedAndProject heap (per-partition top-10 + 10-row
+    merge), never a global rank window over the SF-scaling item grain —
+    the only Window nodes allowed are the positional row_numbers over
+    the 10 kept rows (bounded input, AFTER the TOAP). q70's rollup
+    Expand must run over the restricted (region, nation) aggregate with
+    the fact read exactly once — the SUM-decomposability collapse of
+    TPC-DS's two-pass spelling that the docstring claims."""
+    from tools.plan_fingerprint import node_counts
+
+    p44 = formatted_plan(QUERIES["tpcds_q44"](spark, SF_DIR))
+    assert p44.count("TakeOrderedAndProject") >= 2, p44[:600]
+    # both Windows sit above their TOAP: no Sort of the item grain
+    # other than inside the heaps (TOAP is not a Sort node)
+    c44 = node_counts(p44)
+    assert c44["nested_loop"] == 0, c44
+
+    p70 = formatted_plan(QUERIES["tpcds_q70"](spark, SF_DIR))
+    c70 = node_counts(p70)
+    assert "Expand" in p70, "q70 rollup lost its grouping-set Expand"
+    assert c70["scans"] == 5, f"q70 re-scans a table: {c70}"
+    assert c70["nested_loop"] == 0, c70
 
 
 def test_ivf_codebook_cap_is_loud(spark):
