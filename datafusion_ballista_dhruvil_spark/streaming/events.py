@@ -1798,17 +1798,17 @@ c AS (
   FROM u
 )
 SELECT conv_a, noconv_a, conv_b, noconv_b,
-       CAST(conv_a AS DOUBLE) / (conv_a + noconv_a) AS rate_a,
-       CAST(conv_b AS DOUBLE) / (conv_b + noconv_b) AS rate_b,
+       CAST(conv_a AS DOUBLE) / NULLIF(conv_a + noconv_a, 0) AS rate_a,
+       CAST(conv_b AS DOUBLE) / NULLIF(conv_b + noconv_b, 0) AS rate_b,
        CAST(conv_a + noconv_a + conv_b + noconv_b AS DOUBLE)
          * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)
             - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
          * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)
             - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
-         / (CAST(conv_a + noconv_a AS DOUBLE)
+         / NULLIF(CAST(conv_a + noconv_a AS DOUBLE)
             * CAST(conv_b + noconv_b AS DOUBLE)
             * CAST(conv_a + conv_b AS DOUBLE)
-            * CAST(noconv_a + noconv_b AS DOUBLE)) AS chi2
+            * CAST(noconv_a + noconv_b AS DOUBLE), 0) AS chi2
 FROM c
 """,
 )
@@ -1827,6 +1827,15 @@ def ev_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate identically, so the hash gate holds with no quantization.
     (N(ad-bc)^2 can exceed int64, so the chain casts to DOUBLE before the
     square rather than computing an exact-integer numerator.)
+
+    Degenerate margins: every division is NULLIF-guarded in BOTH engines
+    — a corpus where one margin is empty (all users converted, or one
+    variant arm unpopulated; the r7 Zipf-skew stress produced exactly
+    this, every collapsed hot user clearing the purchase threshold)
+    yields NULL rate/chi2 instead of an ANSI DIVIDE_BY_ZERO crash. The
+    statistic is genuinely undefined there, so NULL is the right answer;
+    values are bit-identical to the unguarded form whenever all four
+    cells are populated (the oracle-checked scale).
 
     Scale: one user-keyed shuffle for the per-user conversion flag (same
     shuffle sessionization already pays), then a 4-counter global
@@ -1873,18 +1882,18 @@ def ev_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))"
         " * (CAST(conv_a AS DOUBLE) * CAST(noconv_b AS DOUBLE)"
         "    - CAST(noconv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))"
-        " / (CAST(conv_a + noconv_a AS DOUBLE)"
+        " / NULLIF(CAST(conv_a + noconv_a AS DOUBLE)"
         "    * CAST(conv_b + noconv_b AS DOUBLE)"
         "    * CAST(conv_a + conv_b AS DOUBLE)"
-        "    * CAST(noconv_a + noconv_b AS DOUBLE))"
+        "    * CAST(noconv_a + noconv_b AS DOUBLE), 0)"
     )
     return c.select(
         "conv_a",
         "noconv_a",
         "conv_b",
         "noconv_b",
-        (F.col("conv_a").cast("double") / (F.col("conv_a") + F.col("noconv_a"))).alias("rate_a"),
-        (F.col("conv_b").cast("double") / (F.col("conv_b") + F.col("noconv_b"))).alias("rate_b"),
+        F.expr("CAST(conv_a AS DOUBLE) / NULLIF(conv_a + noconv_a, 0)").alias("rate_a"),
+        F.expr("CAST(conv_b AS DOUBLE) / NULLIF(conv_b + noconv_b, 0)").alias("rate_b"),
         chi2.alias("chi2"),
     )
 
