@@ -367,14 +367,12 @@ def _verified_pairs(
       degenerate boilerplate mega-buckets are capped at MAX_BUCKET_DOCS
       (deterministic smallest-doc_id sample) so no task ever owns an
       unbounded quadratic explode.
-    - verification joins each candidate to the per-doc shingle SET array
-      (_shingle_arrays — built map-side, no explode) and computes
-      |intersection| with array_intersect in the join's projection. The
-      old form joined the exploded shingle table twice (candidates x
-      ~shingles-per-doc intermediate rows) then re-aggregated; set size
-      |s1 ∩ s2| over distinct-element arrays is the same number with zero
-      shuffle past the joins, and the join build sides are doc-count-sized,
-      not shingle-count-sized.
+    - verification is digest-representative (see verified_pairs_of): one
+      array_intersect per DISTINCT canonical-digest pair, joined back to
+      all candidate pairs by digest — pair-grain shuffles carry 16-byte
+      digests, shingle arrays ship only at rep grain. (The earlier direct
+      form attached both arrays to every pair; before that, two exploded
+      shingle self-joins — each step removed a corpus-sized shuffle.)
 
     Cache lifecycle (VERDICT r6 #3): the shingle cache this helper creates
     is appended to ``owned`` so the CALLING query function can hand it to
@@ -384,7 +382,7 @@ def _verified_pairs(
     arrs = _shingle_arrays(spark, sf_dir).cache()
     if owned is not None:
         owned.append(arrs)
-    return verified_pairs_of(arrs)
+    return verified_pairs_of(arrs, owned)
 
 
 def lsh_candidates(arrs: DataFrame) -> DataFrame:
@@ -416,29 +414,70 @@ def lsh_candidates(arrs: DataFrame) -> DataFrame:
     )
 
 
-def verified_pairs_of(arrs: DataFrame) -> DataFrame:
+def verified_pairs_of(arrs: DataFrame, owned: list | None = None) -> DataFrame:
     """_verified_pairs over an explicit (doc_id, ss) shingle-set relation —
     lets pipeline compositions run near-dup detection on an already
-    filtered/exact-deduped corpus (see pipeline_clean_corpus)."""
+    filtered/exact-deduped corpus (see pipeline_clean_corpus).
+
+    Digest-representative verification (r7, from the Zipf-skew stress):
+    Jaccard is a function of the two shingle SETS only, so docs with
+    identical canonical digests (xxhash64 of the sorted set) contribute
+    identical scores against any fixed partner set. Candidates therefore
+    verify ONE representative pair per (dg1, dg2) and the verdict joins
+    back to every pair by digest. On a template-heavy corpus (the
+    realistic web shape — the skew stress's 3.7k-doc shared-text cluster)
+    this collapses the capped mega-bucket's ~524k array-intersections to
+    a handful, and the pair-grain shuffles carry 16-byte digests instead
+    of full shingle arrays (arrays ship only at rep grain <= pair grain).
+    On a corpus with no exact-set duplicates, reps == pairs: the same
+    number of intersections as the direct spelling, plus two narrow
+    digest shuffles. Results are bit-identical under the same digest
+    semantics dedup_exact/CDC already rely on (a 64-bit same-bucket
+    collision is the accepted failure model of every digest-keyed kernel
+    in this module).
+
+    ``owned``: the digest-annotated pair set feeds BOTH the rep groupBy
+    and the verdict back-join; it is persisted (pair-grain, four longs a
+    row — bounded by the capped candidate count) so the bucket explode
+    runs once, and appended to ``owned`` for the caller's owned_result
+    release (same lifecycle contract as _verified_pairs' shingle cache)."""
     cand = lsh_candidates(arrs)
+    dg = arrs.select("doc_id", F.xxhash64(F.array_sort("ss")).alias("dg"))
+    cd = (
+        cand.join(
+            dg.select(F.col("doc_id").alias("d1"), F.col("dg").alias("dg1")),
+            "d1",
+        ).join(
+            dg.select(F.col("doc_id").alias("d2"), F.col("dg").alias("dg2")),
+            "d2",
+        )
+    ).persist()
+    if owned is not None:
+        owned.append(cd)
+    reps = (
+        cd.groupBy("dg1", "dg2")
+        .agg(F.min(F.struct("d1", "d2")).alias("r"))
+        .select("dg1", "dg2", F.col("r.d1").alias("d1"), F.col("r.d2").alias("d2"))
+    )
     s1 = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
     s2 = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
     common = F.array_size(F.array_intersect(F.col("ss1"), F.col("ss2")))
     jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
-        cand.join(s1, "d1")
+    verdicts = (
+        reps.join(s1, "d1")
         .join(s2, "d2")
         .select(
-            "d1",
-            "d2",
+            "dg1",
+            "dg2",
             common.alias("common"),
             F.array_size("ss1").alias("n1"),
             F.array_size("ss2").alias("n2"),
         )
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.5)
-        .select("d1", "d2", "jaccard")
+        .select("dg1", "dg2", "jaccard")
     )
+    return cd.join(verdicts, ["dg1", "dg2"]).select("d1", "d2", "jaccard")
 
 
 # --------------------------------------------------------------------------
@@ -1298,8 +1337,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean1 = clean0.join(exact_keep, "doc_id", "left_semi")
     arrs = shingle_arrays_of(clean1.select("doc_id", "text")).cache()
+    owned: list[DataFrame] = [arrs]
     near_drop = (
-        verified_pairs_of(arrs).select(F.col("d2").alias("doc_id")).distinct()
+        verified_pairs_of(arrs, owned)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
     )
     clean2 = clean1.join(near_drop, "doc_id", "left_anti")
 
@@ -1322,7 +1364,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
         .orderBy("source"),
-        arrs,
+        *owned,
     )
 
 
