@@ -128,6 +128,27 @@ def _norm_expected(lines: list[str], sort: str) -> list[str]:
     return out
 
 
+#: per-query DuckDB watchdog. An engine livelock must surface as a test
+#: FAILURE, not a wedged CI: a FULL-JOIN + range-LEFT-JOIN shape once
+#: spun DuckDB's executor at 100% CPU indefinitely (three pytest
+#: sessions hung at the same query; the identical query completes in
+#: 0.01s on most fresh connections — a scheduler race, see
+#: slt_select_gen.JOINS3). The timer calls connection.interrupt(),
+#: which makes the in-flight execute raise duckdb.InterruptException.
+_DUCK_TIMEOUT_S = 120
+
+
+def _duck_with_watchdog(duck, sql: str):
+    import threading
+
+    timer = threading.Timer(_DUCK_TIMEOUT_S, duck.interrupt)
+    timer.start()
+    try:
+        return duck.execute(sql).fetchall()
+    finally:
+        timer.cancel()
+
+
 def run_slt(path: str, spark, duck) -> list[str]:
     """Run one .slt file on both engines. Returns a list of failure
     strings (empty = pass). ``duck`` is a duckdb connection."""
@@ -152,7 +173,7 @@ def run_slt(path: str, spark, duck) -> list[str]:
             failures.append(f"{path}:{rec.line} spark error: {e}")
             continue
         try:
-            drows = duck.execute(rec.sql).fetchall()
+            drows = _duck_with_watchdog(duck, rec.sql)
             dgot = _render_rows(drows, rec.types, rec.sort)
         except Exception as e:  # noqa: BLE001
             failures.append(f"{path}:{rec.line} duck error: {e}")

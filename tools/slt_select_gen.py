@@ -258,6 +258,104 @@ def gen_join_queries(rng: random.Random, n: int) -> list[tuple[str, int, str]]:
     return out
 
 
+def values_sql_t3(rows: list[tuple]) -> str:
+    def cell(v):
+        return "NULL" if v is None else str(v)
+
+    body = ",\n  ".join("(" + ", ".join(cell(v) for v in r) + ")" for r in rows)
+    return (
+        "CREATE OR REPLACE TEMP VIEW t3 AS\nSELECT * FROM (VALUES\n  "
+        f"{body}\n) AS v(p, q, r, s, t)"
+    )
+
+
+#: second-hop join pool for the 3-table chains (t2->t3 or t1->t3).
+#: NO range predicate (BETWEEN) in a second-hop ON: a FULL JOIN first
+#: hop followed by a LEFT JOIN whose ON is a range on the full-join's
+#: left side intermittently LIVELOCKED DuckDB 1.x's executor (same
+#: query: 0.01s on most runs, infinite-spin on others — three pytest
+#: sessions wedged at 100% CPU with zero progress; reproduced and then
+#: un-reproduced on identical fresh connections). The conformance sweep
+#: must never depend on a racy engine path, so the hop pool is
+#: equi/modular only; range predicates stay in WHERE clauses (gen4),
+#: where both engines are stable.
+JOINS3 = [
+    ("JOIN", "t2.x = t3.p"),
+    ("JOIN", "t1.a % 4 = t3.r % 4"),
+    ("LEFT JOIN", "t2.w % 3 = t3.q % 3"),
+    ("LEFT JOIN", "t3.s % 7 = t1.b % 7"),
+    ("RIGHT JOIN", "t1.c = t3.q"),
+]
+
+#: three-table expression pool; integer-exact like EXPRS/JEXPRS
+JEXPRS3 = [
+    "t3.p",
+    "t1.a + t3.q",
+    "coalesce(t2.w, t3.r, 0)",
+    "abs(coalesce(t1.b, 0) - coalesce(t3.s, 0))",
+    "CASE WHEN t3.p > t1.a THEN 11 WHEN t3.p = t1.a THEN 22 ELSE 33 END",
+    "coalesce(t1.e, 0) + coalesce(t2.z, 0) + coalesce(t3.t, 0)",
+]
+
+JCONDS3 = [
+    "t3.p > t1.a",
+    "coalesce(t3.q, 0) + coalesce(t2.w, 0) > 300",
+    "EXISTS(SELECT 1 FROM t3 AS s3 WHERE s3.p < t1.a)",
+    "t1.d IN (SELECT q FROM t3 AS s3 WHERE s3.r > 150)",
+]
+
+#: set operations — a grammar family gen1-4 do not cover; both engines
+#: use identical NULLs-are-equal set-distinct semantics
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+SETSIDES = [
+    ("SELECT a, b FROM t1", "SELECT v, w FROM t2"),
+    ("SELECT b, c FROM t1 WHERE a > 150", "SELECT w, x FROM t2"),
+    ("SELECT a % 5, b % 3 FROM t1", "SELECT v % 5, w % 3 FROM t2"),
+    ("SELECT d, e FROM t1", "SELECT s, t FROM t3 WHERE p > 120"),
+    ("SELECT c, d FROM t1 WHERE b < 200", "SELECT q, r FROM t3"),
+]
+
+
+def gen_three_table_queries(rng: random.Random, n: int) -> list[tuple[str, int, str]]:
+    """(sql, n_cols, types) triples: 3-table join chains (mixed
+    inner/outer hops), grouped aggregates over the chain, and two-sided
+    set operations (UNION [ALL] / INTERSECT / EXCEPT) — the select5-ish
+    tail of the public corpus grammar."""
+    out = []
+    for i in range(n):
+        if i % 5 == 0:
+            left, right = rng.choice(SETSIDES)
+            op = rng.choice(SETOPS)
+            out.append((f"{left}\n{op}\n{right}", 2, "II"))
+            continue
+        jt1, on1 = rng.choice(JOINS)
+        jt2, on2 = rng.choice(JOINS3)
+        frm = f"  FROM t1 {jt1} t2 ON {on1}\n       {jt2} t3 ON {on2}"
+        if i % 5 == 4:
+            key = rng.choice(["t1.a % 4", "t3.p % 3", "coalesce(t2.v, 0) % 5"])
+            aggs = rng.sample(
+                [
+                    "CAST(count(*) AS BIGINT)",
+                    "CAST(count(t3.t) AS BIGINT)",
+                    "CAST(sum(coalesce(t3.q, 0)) AS BIGINT)",
+                    "CAST(max(coalesce(t1.e, 0) + coalesce(t3.t, 0)) AS BIGINT)",
+                ],
+                rng.randint(1, 2),
+            )
+            sel = ",\n       ".join(aggs)
+            q = f"SELECT {key} AS g,\n       {sel}\n{frm}\n GROUP BY g"
+            out.append((q, 1 + len(aggs), "I" * (1 + len(aggs))))
+            continue
+        k = rng.randint(1, 3)
+        cols = rng.sample(JEXPRS3, k)
+        sel = ",\n       ".join(cols)
+        q = f"SELECT {sel}\n{frm}"
+        if rng.random() < 0.5:
+            q += f"\n WHERE {rng.choice(JCONDS3)}"
+        out.append((q, k, "I" * k))
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -279,10 +377,20 @@ def main() -> int:
         ]
         rows2.append(tuple(vals))
     create2 = values_sql_t2(rows2)
+    # t3: 20 rows, own stream (SEED + 2) — gen1-4 files stay byte-stable
+    rng3 = random.Random(SEED + 2)
+    rows3 = []
+    for _ in range(20):
+        vals = [
+            None if rng3.random() < 0.10 else rng3.randint(100, 250)
+            for _ in range(5)
+        ]
+        rows3.append(tuple(vals))
+    create3 = values_sql_t3(rows3)
 
     spark = create_session(app_name="slt-select-gen")
     duck = duckdb.connect()
-    for stmt in (create, create2):
+    for stmt in (create, create2, create3):
         spark.sql(stmt)
         duck.execute(stmt)
 
@@ -296,6 +404,13 @@ def main() -> int:
         # equi/outer joins, correlated EXISTS/IN, aggregates over joins
         # (rng2: gen1-3 streams stay untouched, files byte-stable)
         "select_gen4.slt": ([create, create2], gen_join_queries(rng2, 44)),
+        # the 3-table + set-operation sweep (select5-ish tail): join
+        # chains with mixed hops, aggregates over chains, UNION [ALL] /
+        # INTERSECT / EXCEPT (rng3: gen1-4 streams untouched)
+        "select_gen5.slt": (
+            [create, create2, create3],
+            gen_three_table_queries(rng3, 45),
+        ),
     }
     for fname, (creates, queries) in files.items():
         blocks: list[str] = []
