@@ -45,19 +45,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: cumulative record 328/328 driver-verified. Changed-code-first rule:
 #: (a) sim_mmr_rerank — candidate generation swapped from the brute-force
 #: corpus crossJoin onto the bucketed SRP-band path (VERDICT r6 #2);
-#: (b) the 11 TPC-DS queries whose part-derived broadcast hints were
-#: dropped per ADVICE r6 #1 (part scales with SF like customer — AQE now
-#: decides: q3/q5/q6/q14/q23/q36/q49/q65/q67/q75/q89); q5/q6/q23/q67 of
-#: those are also never-verdicted, so the union is 50 exactly. r7
+#: (b) representatives of the 11 TPC-DS queries whose part-derived
+#: broadcast hints were dropped per ADVICE r6 #1 (part scales with SF
+#: like customer — AQE now decides); q5/q6/q23/q67 of those are also
+#: never-verdicted, q36/q75/q89 stand for the rest (hint drops are
+#: results-neutral), and the freed slots went to the r7 session-2
+#: result-relevant kernel changes (ev_ab_chisquare NULLIF guards,
+#: digest-representative LSH verification) — union is 50 exactly. r7
 #: cache-lifecycle changes (family caches now persist->use->unpersist,
 #: VERDICT r6 #3) are timing-only — persist/unpersist cannot change
 #: results — and every touched family was locally re-diffed green via
 #: tests/driver_diff.py.
-#: R8 ROTATION NOTE: tpcds_q47 and tpcds_q57 (the r7 windowed-series
-#: widening) are the only queries registered after this tranche was
-#: frozen — they go FIRST in r8 as the newest code (locally
-#: driver-diffed green + plan-gated this round), followed by anything
-#: whose code changes in r8.
+#: R8 ROTATION NOTE: tpcds_q47/q57 (r7 windowed-series widening) and
+#: tpcds_q44/q70 (r7 session-2: dual top-10 rank join; windowed-
+#: restriction rollup) are the only queries registered after this
+#: tranche was frozen — they go FIRST in r8 as the newest code (locally
+#: driver-diffed green + plan-gated this round), followed by
+#: ev_ab_chisquare (r7 session-2: every division NULLIF-guarded after
+#: the Zipf-skew stress hit an empty-margin DIVIDE_BY_ZERO; value-
+#: transparent at oracle scale, locally re-diffed green), the
+#: verified_pairs_of consumers NOT already re-verdicted in the r7
+#: tranche below (r7 session-2 digest-representative verification —
+#: dedup_graph_triangles/kcore_peel/chunk_pagerank/minhash_accuracy/
+#: incremental_lsh; minhash_lsh, cluster_cc and pipeline_clean_corpus
+#: took three of this tranche's slots; all locally re-diffed green),
+#: and anything whose code changes in r8.
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.
@@ -71,12 +83,20 @@ EXPORT_PRIORITY: list[str] = [
     "tpcds_q67",
     # never-verdicted, may change in r7 (second-doubling pre-agg, #5)
     "tpcds_q87",
-    # changed in r7 (un-hinted part-derived sets), re-verdict (7)
-    "tpcds_q3",
-    "tpcds_q14",
+    # changed in r7 session-2 (results-relevant kernels): NULLIF-guarded
+    # chi-square; digest-representative LSH verification and its two
+    # heaviest consumers (all locally re-diffed green; remaining
+    # consumers queue for r8 per the rotation note above)
+    "ev_ab_chisquare",
+    "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "pipeline_clean_corpus",
+    # changed in r7 (un-hinted part-derived sets), re-verdict
+    # representatives (hint drops are results-neutral; q5/q6/q23/q67
+    # cover the rest of that class in the never-verdicted block, so
+    # three representatives suffice — the slots freed went to the
+    # session-2 changed kernels above)
     "tpcds_q36",
-    "tpcds_q49",
-    "tpcds_q65",
     "tpcds_q75",
     "tpcds_q89",
     # never-verdicted rest of the r6 TPC-DS widening (5)
