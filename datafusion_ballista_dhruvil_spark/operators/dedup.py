@@ -379,8 +379,11 @@ def _verified_pairs(
     owned_result — each query releases its caches when its action
     completes instead of leaking them into the long-lived session.
     """
-    arrs = _shingle_arrays(spark, sf_dir).cache()
+    arrs = _shingle_arrays(spark, sf_dir)
     if owned is not None:
+        # cache only when a query-owned lifecycle will release it (ADVICE
+        # r7 #1) — unowned callers (tests, ad-hoc) get the plain plan
+        arrs = arrs.cache()
         owned.append(arrs)
     return verified_pairs_of(arrs, owned)
 
@@ -440,9 +443,25 @@ def verified_pairs_of(arrs: DataFrame, owned: list | None = None) -> DataFrame:
     and the verdict back-join; it is persisted (pair-grain, four longs a
     row — bounded by the capped candidate count) so the bucket explode
     runs once, and appended to ``owned`` for the caller's owned_result
-    release (same lifecycle contract as _verified_pairs' shingle cache)."""
+    release (same lifecycle contract as _verified_pairs' shingle cache).
+    Callers that pass no ``owned`` list get the unpersisted plan instead
+    (the explode recomputes once more; nothing leaks past the call) —
+    a persist with no owner would outlive the query (ADVICE r7 #1).
+
+    The canonical key is (xxhash64 of the sorted set, set size) — the
+    size rider costs nothing (array_size of an already-built array) and
+    shrinks the digest-collision surface to same-cardinality sets; a
+    residual collision still assigns one representative's jaccard to the
+    whole collided class, the accepted 64-bit failure model shared with
+    dedup_exact/CDC keying (ADVICE r7 #3)."""
     cand = lsh_candidates(arrs)
-    dg = arrs.select("doc_id", F.xxhash64(F.array_sort("ss")).alias("dg"))
+    dg = arrs.select(
+        "doc_id",
+        F.struct(
+            F.xxhash64(F.array_sort("ss")).alias("h"),
+            F.array_size("ss").alias("n"),
+        ).alias("dg"),
+    )
     cd = (
         cand.join(
             dg.select(F.col("doc_id").alias("d1"), F.col("dg").alias("dg1")),
@@ -451,8 +470,9 @@ def verified_pairs_of(arrs: DataFrame, owned: list | None = None) -> DataFrame:
             dg.select(F.col("doc_id").alias("d2"), F.col("dg").alias("dg2")),
             "d2",
         )
-    ).persist()
+    )
     if owned is not None:
+        cd = cd.persist()
         owned.append(cd)
     reps = (
         cd.groupBy("dg1", "dg2")

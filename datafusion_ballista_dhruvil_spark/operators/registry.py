@@ -34,110 +34,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 7). The driver's correctness gate
+#: Driver-facing export order (round 8). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. Cumulative record through r6: 286/286 driver-verified green,
-#: zero failures ever outstanding; the 42 queries without a verdict were
-#: ALL judge-verified green via tests/driver_diff.py in the r6 judge
-#: session (0 bad of 42).
-#: The 50 below CLOSE THE LEDGER (VERDICT r6 next-round #1): all 42
-#: never-verdicted queries are in this tranche, so a green r7 makes the
-#: cumulative record 328/328 driver-verified. Changed-code-first rule:
-#: (a) sim_mmr_rerank — candidate generation swapped from the brute-force
-#: corpus crossJoin onto the bucketed SRP-band path (VERDICT r6 #2);
-#: (b) representatives of the 11 TPC-DS queries whose part-derived
-#: broadcast hints were dropped per ADVICE r6 #1 (part scales with SF
-#: like customer — AQE now decides); q5/q6/q23/q67 of those are also
-#: never-verdicted, q36/q75/q89 stand for the rest (hint drops are
-#: results-neutral), and the freed slots went to the r7 session-2
-#: result-relevant kernel changes (ev_ab_chisquare NULLIF guards,
-#: digest-representative LSH verification) — union is 50 exactly. r7
-#: cache-lifecycle changes (family caches now persist->use->unpersist,
-#: VERDICT r6 #3) are timing-only — persist/unpersist cannot change
-#: results — and every touched family was locally re-diffed green via
-#: tests/driver_diff.py.
-#: R8 ROTATION NOTE: tpcds_q47/q57 (r7 windowed-series widening) and
-#: tpcds_q44/q70 (r7 session-2: dual top-10 rank join; windowed-
-#: restriction rollup) are the only queries registered after this
-#: tranche was frozen — they go FIRST in r8 as the newest code (locally
-#: driver-diffed green + plan-gated this round), followed by
-#: ev_ab_chisquare (r7 session-2: every division NULLIF-guarded after
-#: the Zipf-skew stress hit an empty-margin DIVIDE_BY_ZERO; value-
-#: transparent at oracle scale, locally re-diffed green), the
-#: verified_pairs_of consumers NOT already re-verdicted in the r7
-#: tranche below (r7 session-2 digest-representative verification —
-#: dedup_graph_triangles/kcore_peel/chunk_pagerank/minhash_accuracy/
-#: incremental_lsh; minhash_lsh, cluster_cc and pipeline_clean_corpus
-#: took three of this tranche's slots; all locally re-diffed green),
-#: and anything whose code changes in r8.
+#: coverage. Cumulative record through r7: 328/328 driver-verified green,
+#: zero failures ever; the 4 queries registered after the r7 tranche
+#: froze (tpcds_q44/q47/q57/q70) were judge-verified green in the r7
+#: judge session (0 bad of 4 via tests/driver_diff.py) and lead this
+#: tranche, completing the 332-query ledger plus every r8 code change.
+#: Tranche composition (changed-code-first rule): the r7 rotation note's
+#: queue verbatim (4 newest TPC-DS + ev_ab_chisquare + the 5 digest-path
+#: consumers), then everything whose results-relevant code changed in r8
+#: (the digest canonical key gained an array_size rider — ADVICE r7 #3 —
+#: re-hashing ALL verified_pairs_of consumers), the 3 new r8 TPC-DS
+#: shapes, the 6 persist-sweep queries (results-neutral but re-hashed
+#: anyway), and a refresh block: the 22 TPC-H queries plus 4 keystone
+#: kernels whose verdicts date to r1/r2 — the oldest rows in the ledger.
+#: R9 ROTATION NOTE: no queries are registered after this tranche froze;
+#: queue whatever code changes in r9, then continue refreshing oldest-
+#: verdict rows (the r3-era approx/window families are next-oldest).
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # changed in r7: bucketed candidate generation (VERDICT r6 #2)
-    "sim_mmr_rerank",
-    # changed in r7 (un-hinted part-derived sets) AND never-verdicted (4)
-    "tpcds_q5",
-    "tpcds_q6",
-    "tpcds_q23",
-    "tpcds_q67",
-    # never-verdicted, may change in r7 (second-doubling pre-agg, #5)
-    "tpcds_q87",
-    # changed in r7 session-2 (results-relevant kernels): NULLIF-guarded
-    # chi-square; digest-representative LSH verification and its two
-    # heaviest consumers (all locally re-diffed green; remaining
-    # consumers queue for r8 per the rotation note above)
+    # ---- r8 tranche (VERDICT r7 next-round #1: drive the rotation as
+    # queued). Newest code first: the four TPC-DS shapes registered after
+    # the r7 tranche froze (judge pre-verified 0 bad of 4 via
+    # tests/driver_diff.py in the r7 judge session)
+    "tpcds_q44",
+    "tpcds_q47",
+    "tpcds_q57",
+    "tpcds_q70",
+    # r7 session-2 results-relevant kernel change (NULLIF-guarded
+    # chi-square), locally re-diffed green in r7, queued here per the
+    # rotation note
     "ev_ab_chisquare",
+    # the five verified_pairs_of/lsh consumers NOT re-verdicted in r7
+    # (r7 digest-representative kernel; r8 widens the canonical digest
+    # key with array_size — ADVICE r7 #3 — so ALL digest-path consumers
+    # are results-relevant again; every one locally re-diffed green
+    # this round, 0 bad)
+    "dedup_graph_triangles",
+    "dedup_kcore_peel",
+    "dedup_chunk_pagerank",
+    "dedup_minhash_accuracy",
+    "dedup_incremental_lsh",
+    # r8 digest-key change: remaining verified_pairs_of consumers
+    # (re-verdicted in r7 but the canonical key changed THIS round)
     "dedup_minhash_lsh",
     "dedup_cluster_cc",
+    "dedup_editdist_verify",
     "pipeline_clean_corpus",
-    # changed in r7 (un-hinted part-derived sets), re-verdict
-    # representatives (hint drops are results-neutral; q5/q6/q23/q67
-    # cover the rest of that class in the never-verdicted block, so
-    # three representatives suffice — the slots freed went to the
-    # session-2 changed kernels above)
-    "tpcds_q36",
-    "tpcds_q75",
-    "tpcds_q89",
-    # never-verdicted rest of the r6 TPC-DS widening (5)
-    "tpcds_q1",
-    "tpcds_q31",
-    "tpcds_q38",
-    "tpcds_q54",
-    "tpcds_q66",
-    # never-verdicted tails (32) — the full remainder of the registry
-    "ops_interval_bucket_join",
-    "text_gopher_filters",
-    "text_feature_hashing",
-    "text_boilerplate_lines",
-    "text_mojibake_score",
-    "dedup_cdc_chunks",
-    "dedup_sorted_neighborhood",
-    "dedup_keep_best",
-    "dedup_url_canonical",
-    "dedup_bucket_skew_audit",
-    "sample_pps_systematic",
-    "sample_weighted_expjump",
-    "sample_neyman_allocation",
-    "sample_bootstrap_ci",
-    "mix_temperature_sampling",
-    "mix_source_caps",
-    "mix_token_apportionment",
-    "ssb_q1_1",
-    "ssb_q2_1",
-    "ssb_q3_1",
-    "ssb_q4_1",
-    "mm_image_dhash",
-    "mm_audio_vad_segments",
-    "mm_image_neardup_pairs",
-    "mm_image_entropy",
-    "asof_nearest_alignment",
-    "asof_tolerance_attribution",
-    "pipeline_incremental_agg",
-    "pipeline_dataset_card",
-    "pipeline_k_anonymity",
-    "pack_shard_manifest",
-    "snapshot_pysource_agg",
+    # new in r8 (VERDICT r7 #7 widening): count-having cohort on the
+    # line grain, 5-join snowflake year self-join, bought->returned->
+    # re-bought fact chain — all locally driver-diffed green + plan-gated
+    "tpcds_q73",
+    "tpcds_q64",
+    "tpcds_q29",
+    # r8 persist sweep (VERDICT r7 #2): multi-consumer bases persisted
+    # through owned_result. persist/unpersist is results-neutral, but the
+    # changed-code-first rule re-hashes them anyway (locally re-diffed
+    # green, 0 bad of 6)
+    "ev_rfm_segments",
+    "ev_chisquare_matrix",
+    "ev_markov_stationary",
+    "ev_lttb_downsample",
+    "ev_mann_kendall",
+    "sim_cluster_purity_nmi",
+    # ---- refresh block: the 22 TPC-H queries carry r2-era verdicts (the
+    # oldest in the ledger) and are the headline bench block — re-hash
+    # them on current code so every hot-path query has a recent verdict
+    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
+    "q22",
+    # remaining slots: r1-era verdicts on keystone kernels — the exact-
+    # dedup digest, the simhash near-dup variant, the brute-force ANN
+    # baseline, and the language-ID filter every pipeline query gates on
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_langid",
+    "ops_topk",
 ]
 
 

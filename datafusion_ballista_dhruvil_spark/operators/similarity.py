@@ -3037,7 +3037,13 @@ def sim_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "label", "cid")
     )
-    ct = asg.groupBy("cid", "label").agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
+    # the (cid x label) contingency table feeds FIVE consumers (both
+    # marginals, the total, the MI sum, purity) — persist the bounded
+    # K x labels grain so the corpus-wide assignment (distance agg +
+    # argmin window) runs once (r8 sweep, VERDICT r7 #2)
+    ct = asg.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cl")
+    ).persist()
     nc = ct.groupBy("cid").agg(F.sum("n_cl").cast("bigint").alias("n_c"))
     nl = ct.groupBy("label").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
     tot = ct.agg(F.sum("n_cl").cast("bigint").alias("n"))
@@ -3084,7 +3090,9 @@ def sim_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kc = nc.agg(F.count(F.lit(1)).alias("n_clusters"))
     kl = nl.agg(F.count(F.lit(1)).alias("n_labels"))
-    return (
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(
         tot.crossJoin(pur)
         .crossJoin(i)
         .crossJoin(hc)
@@ -3102,7 +3110,8 @@ def sim_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(2 * i_num AS DOUBLE) / CAST(hc_num + hl_num AS DOUBLE)"
             ).alias("nmi"),
-        )
+        ),
+        ct,
     )
 
 

@@ -48,6 +48,14 @@ r7 session-2 widening:
   q70  rollup restricted to top geographies where "top" is itself a
        windowed rank over an aggregate; SUM decomposability collapses
        TPC-DS's two fact passes to one (plan-gated single scan)
+r8 widening (VERDICT r7 #7 — the join-chain families the 29 missed):
+  q73  q34's cohort sibling built on the line grain (HAVING band above
+       the fact-fact join, not a single-table scan)
+  q64  5-join snowflake chain (orders/part/supplier->nation->region)
+       aggregated then SELF-JOINED across two years with the spec's
+       cnt2 <= cnt1 condition — one persisted fact pass, never two
+  q29  bought -> returned -> re-bought fact-to-fact chain on the
+       (customer, part) compound key (the q17/q25/q29 family)
 
 Exactness contract: every revenue is the scaled-integer
 ``rev6 = round(l_extendedprice*100) * (10000 - round(l_discount*10000))``
@@ -2054,4 +2062,217 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_within_parent",
             F.coalesce(F.col("n_name"), F.lit("")),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q73",
+    oracle="""
+WITH cnt AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 10 AND 20
+)
+SELECT c_custkey, c_name, n_lines
+FROM cnt JOIN customer ON o_custkey = c_custkey
+ORDER BY n_lines DESC, c_custkey
+""",
+)
+def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q73 shape: q34's spec sibling (same HAVING COUNT(*) BETWEEN
+    cohort, tighter band) — here built on the OTHER grain so it is not a
+    constant-swap of q34: the cohort counts open-channel LINE ITEMS
+    (lineitem x orders, l_linestatus = 'O'), not order headers, so the
+    band aggregate sits above the fact-fact equi-join rather than a
+    single-table scan.
+
+    Scale: the orderkey equi-join is the co-partitioned fact join; the
+    HAVING band collapses to bounded cohort rows BEFORE the customer
+    dimension join (AQE broadcasts the filtered cohort, never customer,
+    which scales with SF — no hint, the tpch.py house rule)."""
+    t = Tables(spark, sf_dir)
+    cnt = (
+        t.lineitem.where(F.col("l_linestatus") == "O")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .where(F.col("n_lines").between(10, 20))
+    )
+    return (
+        t.customer.join(cnt, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_lines")
+        .orderBy(F.desc("n_lines"), "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q64",
+    oracle=f"""
+WITH agg AS (
+  SELECT p_brand, n_name, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS rev6
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name IN ('ASIA', 'AMERICA')
+    AND year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2, 3
+)
+SELECT a1.p_brand, a1.n_name,
+       a1.cnt AS cnt1, a1.rev6 AS rev6_1,
+       a2.cnt AS cnt2, a2.rev6 AS rev6_2
+FROM agg a1 JOIN agg a2
+  ON a1.p_brand = a2.p_brand AND a1.n_name = a2.n_name
+WHERE a1.yr = 1996 AND a2.yr = 1997 AND a2.cnt <= a1.cnt
+ORDER BY a1.p_brand, a1.n_name
+""",
+)
+def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape: the multi-round snowflake join chain — the fact
+    resolved through FIVE joins (orders for the year, part for the brand,
+    supplier -> nation -> region for the 3-hop geography snowflake),
+    aggregated to (brand, nation, year), then SELF-JOINED across two
+    years with q64's signature cnt2 <= cnt1 retention condition.
+
+    Scale: region/nation are bounded dims (5/25 rows) and broadcast
+    explicitly; part and supplier scale with SF and carry no hint (AQE
+    decides); the orderkey join is the co-partitioned fact join. The
+    year self-join runs over the ALREADY-AGGREGATED bounded
+    (brand x nation) grain — a tiny broadcast join, never a second fact
+    pass: the two year slices come from ONE persisted aggregate (the
+    fact chain runs once; owned_result releases it)."""
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    t = Tables(spark, sf_dir)
+    yr = F.year("o_orderdate")
+    agg = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(yr.isin(1996, 1997))
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region.where(F.col("r_name").isin("ASIA", "AMERICA"))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("p_brand", "n_name", yr.cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.expr(_REV6)).cast("bigint").alias("rev6"),
+        )
+        .persist()
+    )
+    a1 = agg.where(F.col("yr") == 1996).select(
+        "p_brand", "n_name",
+        F.col("cnt").alias("cnt1"), F.col("rev6").alias("rev6_1"),
+    )
+    a2 = agg.where(F.col("yr") == 1997).select(
+        F.col("p_brand").alias("pb2"), F.col("n_name").alias("nn2"),
+        F.col("cnt").alias("cnt2"), F.col("rev6").alias("rev6_2"),
+    )
+    return owned_result(
+        a1.join(
+            a2,
+            (F.col("p_brand") == F.col("pb2"))
+            & (F.col("n_name") == F.col("nn2"))
+            & (F.col("cnt2") <= F.col("cnt1")),
+        )
+        .select("p_brand", "n_name", "cnt1", "rev6_1", "cnt2", "rev6_2")
+        .orderBy("p_brand", "n_name"),
+        agg,
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q29",
+    oracle="""
+WITH ret AS (
+  SELECT o_custkey AS cust, l_partkey AS pk, o_orderdate AS d1,
+         CAST(round(l_quantity) AS BIGINT) AS q1
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+),
+rep AS (
+  SELECT o_custkey AS cust, l_partkey AS pk, o_orderdate AS d2,
+         CAST(round(l_quantity) AS BIGINT) AS q2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R'
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_customers,
+       CAST(SUM(q1) AS BIGINT) AS ret_qty,
+       CAST(SUM(q2) AS BIGINT) AS rebuy_qty
+FROM ret JOIN rep USING (cust, pk)
+JOIN part ON pk = p_partkey
+WHERE d2 > d1
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17/q25/q29 family: the bought -> returned -> re-bought
+    FACT-TO-FACT chain. A customer's returned line (l_returnflag = 'R')
+    joins to the SAME customer re-purchasing the SAME part later
+    (d2 > d1), rolled up per brand — the item-quality signal every
+    returns-analysis stack computes. The spec spells this as
+    store_sales x store_returns x catalog_sales; on this schema the
+    return is an attribute of the sale line, so the chain is two slices
+    of the fact joined on the (customer, part) compound key.
+
+    Scale: both fact slices pre-filter on returnflag, then meet in ONE
+    co-partitioned equi-join on (cust, pk) — the same compound-key
+    shuffle on both sides, date condition applied post-join. Pair fanout
+    per (cust, part) is bounded by per-customer repeat-purchase
+    multiplicity (single digits in any sales corpus — there is no
+    quadratic blowup key). The brand rollup collapses everything to
+    bounded dimension grain; part scales with SF, so its join carries
+    no broadcast hint."""
+    t = Tables(spark, sf_dir)
+    fact = t.lineitem.join(
+        t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    q = F.round("l_quantity").cast("bigint")
+    ret = fact.where(F.col("l_returnflag") == "R").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("pk"),
+        F.col("o_orderdate").alias("d1"),
+        q.alias("q1"),
+    )
+    rep = fact.where(F.col("l_returnflag") != "R").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("pk"),
+        F.col("o_orderdate").alias("d2"),
+        q.alias("q2"),
+    )
+    return (
+        ret.join(rep, ["cust", "pk"])
+        .where(F.col("d2") > F.col("d1"))
+        .join(t.part, F.col("pk") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chains"),
+            F.countDistinct("cust").cast("bigint").alias("n_customers"),
+            F.sum("q1").cast("bigint").alias("ret_qty"),
+            F.sum("q2").cast("bigint").alias("rebuy_qty"),
+        )
+        .orderBy("p_brand")
     )

@@ -1342,10 +1342,16 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binned two-phase quantile, not a 3x-repeated global sort. Scores
     then need only a 3x4-value broadcast and a map-side CASE; recency is
     score-inverted (5 = most recent).
+
+    The per-user purchase aggregate ``u`` feeds FOUR consumers (the three
+    metric union branches and the final segment join); it is persisted
+    and released via owned_result (VERDICT r7 #2 — relying on AQE
+    exchange reuse recomputed the events scan + groupBy up to 4x).
     """
     from datafusion_ballista_dhruvil_spark.operators.relational import (
         weighted_quantile,
     )
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
 
     t = Tables(spark, sf_dir)
     u = (
@@ -1360,6 +1366,7 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("m_val"),
         )
+        .persist()
     )
     long = (
         u.select("user_id", F.lit("r").alias("metric"), F.col("r_val").cast("long").alias("v"))
@@ -1386,14 +1393,15 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("metric") == "f", F.col("raw"))).alias("f_score"),
         F.max(F.when(F.col("metric") == "m", F.col("raw"))).alias("m_score"),
     )
-    return (
+    return owned_result(
         wide.join(u, "user_id")
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum("m_val").cast("bigint").alias("sum_mon_cents"),
         )
-        .orderBy("r_score", "f_score", "m_score")
+        .orderBy("r_score", "f_score", "m_score"),
+        u,
     )
 
 
@@ -2175,9 +2183,12 @@ def ev_chisquare_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
     )
+    # the 35-cell contingency table feeds FOUR consumers (row/col/total
+    # marginals + the contrib join); persist it so the events scan+agg
+    # runs once, released via owned_result (r8 sweep, VERDICT r7 #2)
     cells = e.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("obs")
-    )
+    ).persist()
     rt = cells.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("rt"))
     ct = cells.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
     tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
@@ -2187,13 +2198,16 @@ def ev_chisquare_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("event_type", F.expr(_CHI_CELL).alias("contrib_q6"))
     )
-    return (
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(
         q.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("contrib_q6").cast("bigint").alias("row_chi2_q6"),
         )
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        cells,
     )
 
 
@@ -2413,7 +2427,12 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).where(F.col("dst").isNotNull())
-    tm = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # the K^2-row transition matrix feeds the row-normalize, the state
+    # init, AND every unrolled iteration's join — persist so the events
+    # scan + lead window runs once (r8 sweep, VERDICT r7 #2)
+    tm = nxt.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
     wsrc = Window.partitionBy("src")
     p = tm.select(
         "src",
@@ -2440,13 +2459,16 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i == 0:
             pi1 = pi
-    return (
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(
         pi.join(
             pi1.select(F.col("state").alias("s1"), F.col("pi").alias("pi_ppm_iter1")),
             F.col("state") == F.col("s1"),
         )
         .select("state", F.col("pi").alias("pi_ppm"), "pi_ppm_iter1")
-        .orderBy("state")
+        .orderBy("state"),
+        tm,
     )
 
 
@@ -3538,9 +3560,12 @@ def ev_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
     )
     mn = daily.agg(F.min("d").alias("d0"))
+    # the bucketed (type, day) points feed FOUR consumers (bucket sums,
+    # bounds, the mid-argmax join, the edge picker) — persist the bounded
+    # daily grain so the events scan+agg runs once (r8 sweep, VERDICT r7 #2)
     pts = daily.crossJoin(F.broadcast(mn)).select(
         "event_type", "d", "v", F.expr("(d - d0) DIV 3").alias("b")
-    )
+    ).persist()
     bs = pts.groupBy("event_type", "b").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("sx"),
@@ -3590,13 +3615,16 @@ def ev_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("b") == F.col("bmin"), "first").otherwise("last").alias("role"),
         )
     )
-    return (
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(
         sel_mid.unionAll(sel_edge)
         .select(
             "event_type", F.col("b").alias("bucket"),
             F.col("d").alias("day_index"), F.col("v").alias("v_cents"), "role",
         )
-        .orderBy("event_type", "day_index")
+        .orderBy("event_type", "day_index"),
+        pts,
     )
 
 
@@ -3671,7 +3699,10 @@ def ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("d"),
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"))
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents")).persist()
+    # ^ the bounded (type, day) rows feed the pair self-join's BOTH sides
+    # plus the tie-count pass — persist so the events scan+agg runs once
+    # (r8 sweep, VERDICT r7 #2)
     a = daily.select(
         "event_type", F.col("d").alias("da"), F.col("v_cents").alias("va")
     )
@@ -3711,7 +3742,9 @@ def ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("tie_term")
     )
     denom = F.sqrt(var18.cast("double") / F.lit(18.0))
-    return (
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(
         pairs.join(ties, "event_type")
         .select(
             "event_type",
@@ -3729,7 +3762,8 @@ def ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("z_score"),
         )
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        daily,
     )
 
 

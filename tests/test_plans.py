@@ -236,10 +236,18 @@ def test_q44_q70_rank_shapes(spark):
     TPC-DS's two-pass spelling that the docstring claims."""
     from tools.plan_fingerprint import node_counts
 
+    from tools.plan_fingerprint import _tree_nodes
+
     p44 = formatted_plan(QUERIES["tpcds_q44"](spark, SF_DIR))
     assert p44.count("TakeOrderedAndProject") >= 2, p44[:600]
-    # both Windows sit above their TOAP: no Sort of the item grain
-    # other than inside the heaps (TOAP is not a Sort node)
+    # both Windows sit above their TOAP — the positional row_numbers run
+    # over the 10 kept rows, so the ONLY Sort node in the whole plan is
+    # the final bounded orderBy of the joined 10-row result (ADVICE r7
+    # #5: assert the Sort count, not just TOAP presence — a global
+    # item-grain Sort sneaking in elsewhere must fail this gate)
+    nodes44 = _tree_nodes(p44)
+    assert nodes44.count("Sort") <= 1, [x for x in nodes44 if x == "Sort"]
+    assert nodes44.count("Window") == 2, nodes44
     c44 = node_counts(p44)
     assert c44["nested_loop"] == 0, c44
 
@@ -835,3 +843,41 @@ def test_time_to_convert_has_no_shrinking_frame(spark):
     # reversed growing frame, never (currentRow, unboundedFollowing)
     plan = formatted_plan(QUERIES["ev_time_to_convert"](spark, SF_DIR))
     assert "unboundedfollowing" not in plan.lower()
+
+
+def test_q64_one_fact_pass_snowflake(spark):
+    """r8 widening: q64's year self-join must run over the PERSISTED
+    (brand, nation, year) aggregate — the snowflake fact chain appears
+    under InMemoryTableScan (one materialization), never as a second
+    live fact pass; bounded nation/region broadcast; no nested loop."""
+    from tools.plan_fingerprint import node_counts
+
+    p64 = formatted_plan(QUERIES["tpcds_q64"](spark, SF_DIR))
+    assert "InMemoryTableScan" in p64, p64[:600]
+    c64 = node_counts(p64)
+    assert c64["nested_loop"] == 0, c64
+    assert c64["bhj"] >= 4, c64  # nation/region broadcast in the chain
+
+
+def test_q29_chain_is_equi_join(spark):
+    """r8 widening: the bought->returned->re-bought chain must meet in an
+    EQUI-join on the (cust, pk) compound key (the d2 > d1 condition is a
+    post-join filter), never a nested loop over the date predicate."""
+    from tools.plan_fingerprint import node_counts
+
+    p29 = formatted_plan(QUERIES["tpcds_q29"](spark, SF_DIR))
+    c29 = node_counts(p29)
+    assert c29["nested_loop"] == 0, c29
+    assert c29["smj"] + c29["shj"] + c29["bhj"] >= 3, c29
+
+
+def test_q73_cohort_before_dimension_join(spark):
+    """r8 widening: q73's HAVING band collapses the fact to cohort rows
+    BEFORE the customer join; customer must not be the broadcast build
+    side (it scales with SF — AQE may broadcast the bounded cohort)."""
+    from tools.plan_fingerprint import node_counts
+
+    p73 = formatted_plan(QUERIES["tpcds_q73"](spark, SF_DIR))
+    c73 = node_counts(p73)
+    assert c73["nested_loop"] == 0, c73
+    assert c73["aggregates"] >= 2, c73  # partial+final count agg above the join

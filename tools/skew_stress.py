@@ -181,6 +181,10 @@ def main() -> int:
     load_all()
 
     uniform_dir = "/tmp/spark_graft_skew_uniform"
+    # ADVICE r7 #4: only ever delete directories THIS RUN created — a
+    # user-supplied out_dir that already exists (possibly holding other
+    # data) is kept, along with whatever we wrote inside it.
+    created = [d for d in (out_dir, uniform_dir) if not os.path.exists(d)]
     os.makedirs(uniform_dir, exist_ok=True)
     t0 = time.perf_counter()
     build_skew(spark, out_dir)
@@ -217,8 +221,8 @@ def main() -> int:
         for line in rec.lines[:2]:
             print(f"|   ^ {line[:110]} |")
     if os.environ.get("SCALE_STRESS_KEEP") != "1":
-        shutil.rmtree(out_dir, ignore_errors=True)
-        shutil.rmtree(uniform_dir, ignore_errors=True)
+        for d in created:
+            shutil.rmtree(d, ignore_errors=True)
     return 0
 
 

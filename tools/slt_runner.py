@@ -30,6 +30,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import duckdb
+
 
 @dataclass
 class Record:
@@ -138,15 +140,40 @@ def _norm_expected(lines: list[str], sort: str) -> list[str]:
 _DUCK_TIMEOUT_S = 120
 
 
+class DuckTimeout(Exception):
+    """The watchdog interrupted a wedged DuckDB query."""
+
+
 def _duck_with_watchdog(duck, sql: str):
     import threading
 
-    timer = threading.Timer(_DUCK_TIMEOUT_S, duck.interrupt)
+    # ADVICE r7 #2: the naive Timer(duck.interrupt) raced — a fire between
+    # fetchall() returning and timer.cancel() landed interrupt() on the
+    # idle shared connection and spuriously killed the NEXT query. The
+    # lock + done flag makes fire-vs-finish atomic: once done is set under
+    # the lock, the callback can never call interrupt().
+    lock = threading.Lock()
+    state = {"done": False, "fired": False}
+
+    def _fire() -> None:
+        with lock:
+            if not state["done"]:
+                state["fired"] = True
+                duck.interrupt()
+
+    timer = threading.Timer(_DUCK_TIMEOUT_S, _fire)
     timer.start()
     try:
-        return duck.execute(sql).fetchall()
+        rows = duck.execute(sql).fetchall()
+    except duckdb.InterruptException as e:
+        if state["fired"]:
+            raise DuckTimeout(f"timeout after {_DUCK_TIMEOUT_S}s") from e
+        raise
     finally:
+        with lock:
+            state["done"] = True
         timer.cancel()
+    return rows
 
 
 def run_slt(path: str, spark, duck) -> list[str]:
@@ -175,6 +202,11 @@ def run_slt(path: str, spark, duck) -> list[str]:
         try:
             drows = _duck_with_watchdog(duck, rec.sql)
             dgot = _render_rows(drows, rec.types, rec.sort)
+        except DuckTimeout as e:
+            failures.append(
+                f"{path}:{rec.line} duck TIMEOUT (watchdog {e}): {rec.sql}"
+            )
+            continue
         except Exception as e:  # noqa: BLE001
             failures.append(f"{path}:{rec.line} duck error: {e}")
             continue
