@@ -178,14 +178,24 @@ def solo(names: list[str]) -> int:
         rec = json.loads(r.stdout.strip().splitlines()[-1])
         out[rec["query"]] = rec["sec"]
         print(f"{name}: {rec['sec']}s", file=sys.stderr)
+    # MERGE into the existing artifact — a partial --solo run must never
+    # drop the other queries' rows (the overwrite trap that cost an r7
+    # adjudication; rows for re-measured queries are replaced, the rest
+    # survive verbatim)
+    path = os.path.join(here, "BENCH_SOLO.json")
+    merged: dict[str, float] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f).get("queries", {})
+    merged.update(out)
     payload = {
         "metric": "solo_query_sec",
         "unit": "sec",
-        "queries": out,
+        "queries": merged,
         "iters": int(os.environ.get("BENCH_ITERS", "3")),
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     }
-    with open(os.path.join(here, "BENCH_SOLO.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(payload))
     return 0

@@ -1368,12 +1368,28 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    long = (
-        u.select("user_id", F.lit("r").alias("metric"), F.col("r_val").cast("long").alias("v"))
-        .unionAll(u.select("user_id", F.lit("f"), F.col("f_val").cast("long")))
-        .unionAll(u.select("user_id", F.lit("m"), F.col("m_val").cast("long")))
-        .withColumn("w", F.lit(1))
-    )
+    # one explode pass over the cached aggregate (not a 3-way union: same
+    # rows, but each downstream consumer reads the cache ONCE instead of
+    # three branch-reads — fewer stages on an already-stage-bound query)
+    long = u.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("r_val").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    F.col("f_val").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.col("m_val").cast("long").alias("v"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("user_id", "mv.metric", "mv.v", F.lit(1).alias("w"))
     cut = weighted_quantile(
         long, value="v", weight="w", group_cols=["metric"],
         qs={"c1": (1, 5), "c2": (2, 5), "c3": (3, 5), "c4": (4, 5)},

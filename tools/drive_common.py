@@ -20,15 +20,19 @@ def canon(v):
 
 
 def make_duckdb(sf_dir: str):
+    import os
+
     import duckdb
 
     from datafusion_ballista_dhruvil_spark.session import TABLE_NAMES
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            # Spark-written table (stress corpora): directory of part files
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
