@@ -356,6 +356,87 @@ def gen_three_table_queries(rng: random.Random, n: int) -> list[tuple[str, int, 
     return out
 
 
+#: correlated scalar subqueries in the SELECT list that reach ACROSS
+#: tables (gen1/2's only scalar subqueries are t1-self count(*)); every
+#: one is aggregated (both engines require it) and integer-exact. Range
+#: predicates live in subquery WHERE clauses — never join ONs (the
+#: DuckDB livelock fence, see JOINS3).
+SCALAR_SUBS = [
+    "(SELECT CAST(count(*) AS BIGINT) FROM t2 WHERE t2.v < t1.a)",
+    "(SELECT CAST(coalesce(sum(t2.w), 0) AS BIGINT)"
+    " FROM t2 WHERE t2.v % 3 = t1.a % 3)",
+    "(SELECT CAST(max(t2.x) AS BIGINT) FROM t2 WHERE t2.w > t1.b)",
+    "(SELECT CAST(count(*) AS BIGINT)"
+    " FROM t3 WHERE t3.p BETWEEN t1.a - 10 AND t1.a + 10)",
+    "(SELECT CAST(min(t3.q) AS BIGINT) FROM t3 WHERE t3.r % 4 = t1.b % 4)",
+    "(SELECT CAST(count(DISTINCT t2.x) AS BIGINT)"
+    " FROM t2 WHERE t2.v <= t1.c)",
+]
+
+#: HAVING conditions over join aggregates (gen4's 1-in-4 agg-over-join
+#: rows never drew a HAVING; the public aggregate grammar does)
+JHAVINGS = [
+    "count(*) > 2",
+    "count(*) BETWEEN 2 AND 40",
+    "sum(coalesce(t1.a, 0)) > 500",
+    "min(t2.w) < 200",
+]
+
+
+def gen_scalar_sub_queries(rng: random.Random, n: int) -> list[tuple[str, int, str]]:
+    """(sql, n_cols, types) triples for the two remaining public-grammar
+    families (VERDICT r7 #8): correlated scalar subqueries in the SELECT
+    list that cross tables, and grouped aggregates OVER joins with
+    HAVING. Three shapes, round-robin weighted:
+    - SELECT col(s) + 1-2 cross-table scalar subqueries FROM t1 [WHERE]
+    - scalar subquery combined arithmetically with a base column
+    - agg-over-join with HAVING (the gen4 family, HAVING added)"""
+    out = []
+    for i in range(n):
+        if i % 3 == 2:
+            jt, on = rng.choice(JOINS[:6])  # equi/left pool, no FULL hop
+            key = rng.choice(["t1.a % 4", "t2.v % 3", "t1.b % 5"])
+            k = rng.randint(1, 2)
+            aggs = rng.sample(
+                [
+                    "CAST(count(*) AS BIGINT)",
+                    "CAST(sum(coalesce(t1.a, 0)) AS BIGINT)",
+                    "CAST(min(t2.w) AS BIGINT)",
+                    "CAST(max(coalesce(t2.z, 0)) AS BIGINT)",
+                ],
+                k,
+            )
+            sel = ",\n       ".join(aggs)
+            q = (
+                f"SELECT {key} AS g,\n       {sel}\n"
+                f"  FROM t1 {jt} t2 ON {on}\n GROUP BY g"
+                f"\nHAVING {rng.choice(JHAVINGS)}"
+            )
+            out.append((q, 1 + k, "I" * (1 + k)))
+            continue
+        if i % 3 == 1:
+            # scalar subquery in arithmetic with a base column
+            sub = rng.choice(SCALAR_SUBS)
+            base = rng.choice(["a", "b", "coalesce(c, 0)"])
+            q = (
+                f"SELECT {base},\n       {base} + coalesce({sub}, 0)\n"
+                f"  FROM t1"
+            )
+            if rng.random() < 0.5:
+                q += f"\n WHERE {rng.choice(CONDS)}"
+            out.append((q, 2, "II"))
+            continue
+        k = rng.randint(1, 2)
+        subs = rng.sample(SCALAR_SUBS, k)
+        base = rng.choice(["a", "b", "c", "d"])
+        sel = ",\n       ".join([base, *subs])
+        q = f"SELECT {sel}\n  FROM t1"
+        if rng.random() < 0.5:
+            q += f"\n WHERE {rng.choice(CONDS)}"
+        out.append((q, 1 + k, "I" * (1 + k)))
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -410,6 +491,13 @@ def main() -> int:
         "select_gen5.slt": (
             [create, create2, create3],
             gen_three_table_queries(rng3, 45),
+        ),
+        # the correlated-scalar-subquery-in-SELECT + agg-over-join-with-
+        # HAVING sweep (VERDICT r7 #8 — the last public-grammar families
+        # gen1-5 don't draw from; rng4: gen1-5 streams untouched)
+        "select_gen6.slt": (
+            [create, create2, create3],
+            gen_scalar_sub_queries(random.Random(SEED + 3), 42),
         ),
     }
     for fname, (creates, queries) in files.items():
