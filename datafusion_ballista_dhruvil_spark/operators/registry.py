@@ -86,10 +86,13 @@ EXPORT_PRIORITY: list[str] = [
     "pipeline_clean_corpus",
     # new in r8 (VERDICT r7 #7 widening): count-having cohort on the
     # line grain, 5-join snowflake year self-join, bought->returned->
-    # re-bought fact chain — all locally driver-diffed green + plan-gated
+    # re-bought fact chain, anti-join channel compare, date-lag
+    # fulfilment audit — all locally driver-diffed green + plan-gated
     "tpcds_q73",
     "tpcds_q64",
     "tpcds_q29",
+    "tpcds_q78",
+    "tpcds_q72",
     # r8 persist sweep (VERDICT r7 #2): multi-consumer bases persisted
     # through owned_result. persist/unpersist is results-neutral, but the
     # changed-code-first rule re-hashes them anyway (locally re-diffed
@@ -107,13 +110,11 @@ EXPORT_PRIORITY: list[str] = [
     "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22",
     # remaining slots: r1-era verdicts on keystone kernels — the exact-
-    # dedup digest, the simhash near-dup variant, the brute-force ANN
-    # baseline, and the language-ID filter every pipeline query gates on
+    # dedup digest (now size-widened), the simhash near-dup variant, and
+    # the brute-force ANN baseline
     "dedup_exact",
     "dedup_simhash",
     "sim_cosine_topk",
-    "text_langid",
-    "ops_topk",
 ]
 
 

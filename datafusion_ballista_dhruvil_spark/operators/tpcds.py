@@ -56,6 +56,10 @@ r8 widening (VERDICT r7 #7 — the join-chain families the 29 missed):
        cnt2 <= cnt1 condition — one persisted fact pass, never two
   q29  bought -> returned -> re-bought fact-to-fact chain on the
        (customer, part) compound key (the q17/q25/q29 family)
+  q78  anti-join return exclusion (orders with any returned line drop
+       wholesale) + both channels from ONE conditional-agg pass
+  q72  the spec's date-lag trap (d3 > d1 + 5) spelled as a post-equi-
+       join filter inside one agg pass — never a range join
 
 Exactness contract: every revenue is the scaled-integer
 ``rev6 = round(l_extendedprice*100) * (10000 - round(l_discount*10000))``
@@ -2275,4 +2279,148 @@ def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q2").cast("bigint").alias("rebuy_qty"),
         )
         .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q78",
+    oracle=f"""
+WITH ret_orders AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+),
+clean AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr, l_linestatus,
+         {_SQL_REV6} AS rev6
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey NOT IN (SELECT l_orderkey FROM ret_orders)
+),
+ch AS (
+  SELECT o_custkey, yr,
+         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN rev6 ELSE 0 END)
+              AS BIGINT) AS rev_o,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN rev6 ELSE 0 END)
+              AS BIGINT) AS rev_f
+  FROM clean GROUP BY 1, 2
+  HAVING SUM(CASE WHEN l_linestatus = 'O' THEN rev6 ELSE 0 END) > 0
+     AND SUM(CASE WHEN l_linestatus = 'F' THEN rev6 ELSE 0 END) > 0
+)
+SELECT o_custkey, yr, rev_o, rev_f,
+       rev_o * 1000000 // rev_f AS ratio_ppm
+FROM ch
+ORDER BY ratio_ppm DESC, o_custkey, yr
+LIMIT 20
+""",
+)
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: per-(customer, year) cross-channel revenue ratio
+    over sales with NO associated return — the spec's left-anti of
+    store_sales against store_returns. On this schema the return lives on
+    sibling LINES of the same order, so the exclusion is a genuine
+    ANTI-JOIN: orders containing any returned line are removed wholesale
+    (not a row filter), then both channels ('O'/'F') pivot out of ONE
+    conditional-aggregation pass (the spec spells two channel CTEs = two
+    fact passes; SUM decomposability collapses them).
+
+    Exactness: scaled-integer rev6 sums; the ratio is divide-last integer
+    ppm (rev_o <= ~1e12 per customer-year at any SF, x1e6 stays in
+    int64). Top-20 carries the full (ratio, cust, yr) tie-break so the
+    selected set is total-ordered.
+
+    Scale: the anti-join and the orderkey equi-join share one orderkey
+    partitioning (the returned-order set derives from the same fact —
+    AQE reuses the exchange); everything after the (cust, yr) aggregate
+    is bounded; the top-20 is a TakeOrderedAndProject heap."""
+    t = Tables(spark, sf_dir)
+    ret_orders = (
+        t.lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    clean = (
+        t.lineitem.join(ret_orders, "l_orderkey", "left_anti")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "l_linestatus",
+            F.expr(_REV6).alias("rev6"),
+        )
+    )
+    ch = (
+        clean.groupBy("o_custkey", "yr")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("rev6")).otherwise(0))
+            .cast("bigint")
+            .alias("rev_o"),
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("rev6")).otherwise(0))
+            .cast("bigint")
+            .alias("rev_f"),
+        )
+        .where((F.col("rev_o") > 0) & (F.col("rev_f") > 0))
+    )
+    return (
+        ch.select(
+            "o_custkey", "yr", "rev_o", "rev_f",
+            F.expr("rev_o * 1000000 div rev_f").alias("ratio_ppm"),
+        )
+        .orderBy(F.desc("ratio_ppm"), "o_custkey", "yr")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q72",
+    oracle="""
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE l_shipdate >= o_orderdate
+                             + INTERVAL 5 DAY) AS BIGINT) AS n_late,
+       COUNT(*) FILTER (WHERE l_shipdate >= o_orderdate
+                        + INTERVAL 5 DAY) * 1000000 // COUNT(*) AS late_ppm
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY n_name, yr
+""",
+)
+def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape: the late-fulfilment audit — the spec's
+    notoriously slow inventory/date-lag multi-join (catalog_sales x
+    inventory x warehouse with d3.d_date > d1.d_date + 5). There is no
+    inventory table here, so the DATE-LAG CONDITION (the part that makes
+    q72 q72) lands on the fulfilment analog: lines shipped >= 5 days
+    after their order date, per supplier nation and year.
+
+    The spec's trap is spelling the lag as a join condition (forcing a
+    range join); here it is a post-equi-join FILTER inside one
+    conditional-aggregation pass — the fact chain stays all-equi
+    (orderkey co-partition + supplier -> nation broadcast snowflake),
+    and late/total both come from the same scan (no second pass, no
+    range join, no nested loop — plan-gated).
+
+    Exactness: pure counts + divide-last integer ppm; interval
+    arithmetic is timestamp + literal INTERVAL in both engines."""
+    t = Tables(spark, sf_dir)
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 5 DAY")
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count(F.when(late, 1)).cast("bigint").alias("n_late"),
+        )
+        .select(
+            "n_name", "yr", "n_lines", "n_late",
+            F.expr("n_late * 1000000 div n_lines").alias("late_ppm"),
+        )
+        .orderBy("n_name", "yr")
     )

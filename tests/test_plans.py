@@ -881,3 +881,31 @@ def test_q73_cohort_before_dimension_join(spark):
     c73 = node_counts(p73)
     assert c73["nested_loop"] == 0, c73
     assert c73["aggregates"] >= 2, c73  # partial+final count agg above the join
+
+
+def test_q78_anti_join_and_one_channel_pass(spark):
+    """r8 widening: q78's return exclusion must be a real ANTI-join on
+    orderkey (not a row filter) and both channels must pivot from ONE
+    conditional-agg pass — no second fact pass, top-20 as a heap."""
+    from tools.plan_fingerprint import node_counts
+
+    p78 = formatted_plan(QUERIES["tpcds_q78"](spark, SF_DIR))
+    assert "LeftAnti" in p78, p78[:600]
+    assert "TakeOrderedAndProject" in p78
+    c78 = node_counts(p78)
+    assert c78["nested_loop"] == 0, c78
+    assert c78["scans"] <= 3, f"q78 re-scans for a channel: {c78}"
+
+
+def test_q72_date_lag_is_filter_not_range_join(spark):
+    """r8 widening: q72's date-lag condition must be a post-equi-join
+    filter inside one conditional-agg pass — all joins equi (the spec's
+    range-join trap avoided), nation broadcast, fact read once."""
+    from tools.plan_fingerprint import node_counts
+
+    p72 = formatted_plan(QUERIES["tpcds_q72"](spark, SF_DIR))
+    c72 = node_counts(p72)
+    assert c72["nested_loop"] == 0, c72
+    assert c72["scans"] == 4, f"q72 re-scans a table: {c72}"
+    assert c72["aggregates"] == 2, f"q72 lost its single agg pass: {c72}"
+    assert c72["bhj"] >= 1, c72  # nation broadcast

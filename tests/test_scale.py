@@ -241,3 +241,32 @@ def test_spill_resilience(tmp_path):
         env={**os.environ, "PYTHONPATH": repo},
     )
     assert "SPILL_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_cache_lifecycle_no_leaks(spark):
+    """r8 (ADVICE r7 #1): the persist ledger must balance on BOTH kernel
+    paths — an UNOWNED call (no owned list: tests, ad-hoc) gets the
+    plain plan and persists nothing; an OWNED query (owned_result)
+    releases every cache when its own action completes. Either failure
+    re-opens the r6 leak pathology (stochastic eviction made suite
+    timing order-dependent)."""
+    import time as _time
+
+    from datafusion_ballista_dhruvil_spark.operators.dedup import _verified_pairs
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+
+    jsc = spark.sparkContext._jsc
+
+    def n_persisted() -> int:
+        # unpersist is async-marked; settle briefly before reading
+        for _ in range(20):
+            n = jsc.getPersistentRDDs().size()
+            _time.sleep(0.1)
+            if jsc.getPersistentRDDs().size() == n:
+                return n
+        return n
+
+    before = n_persisted()
+    _verified_pairs(spark, SF_DIR).collect()          # unowned path
+    QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()  # owned path
+    assert n_persisted() == before
