@@ -45,6 +45,12 @@ subset = [
             "q10",
             "q18",
             "ops_scalar_datetime",
+            # year(o_orderdate) renders in SESSION TZ — the exact class
+            # of foreign-session breakage this drive exists to catch;
+            # ensure_session_confs must keep the year grouping stable
+            "tpcds_q3",
+            "tpcds_q64",
+            "tpcds_q78",
             "ops_table_checksum",
             "ops_profile_stats",
             "text_pii_redact",
