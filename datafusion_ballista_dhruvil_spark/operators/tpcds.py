@@ -2306,8 +2306,9 @@ ch AS (
      AND SUM(CASE WHEN l_linestatus = 'F' THEN rev6 ELSE 0 END) > 0
 )
 SELECT o_custkey, yr, rev_o, rev_f,
-       rev_o * 1000000 // rev_f AS ratio_ppm
+       rev_o // nullif(rev_f // 1000000, 0) AS ratio_ppm
 FROM ch
+WHERE rev_f >= 1000000
 ORDER BY ratio_ppm DESC, o_custkey, yr
 LIMIT 20
 """,
@@ -2322,10 +2323,14 @@ def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-aggregation pass (the spec spells two channel CTEs = two
     fact passes; SUM decomposability collapses them).
 
-    Exactness: scaled-integer rev6 sums; the ratio is divide-last integer
-    ppm (rev_o <= ~1e12 per customer-year at any SF, x1e6 stays in
-    int64). Top-20 carries the full (ratio, cust, yr) tie-break so the
-    selected set is total-ordered.
+    Exactness: scaled-integer rev6 sums; the ratio is the house
+    DIVIDE-FIRST integer ppm (rev_o div (rev_f div 1e6)) — the naive
+    rev_o * 1e6 overflowed int64 the moment a customer-year's rev6 sum
+    passed ~9.2e12 (caught by the 20x copy stress, which multiplies
+    per-customer volume; a $10M whale customer at real scale does the
+    same). rev_f >= 1e6 (one whole dollar) keeps the reduced divisor
+    nonzero; nullif double-guards. Top-20 carries the full
+    (ratio, cust, yr) tie-break so the selected set is total-ordered.
 
     Scale: the anti-join and the orderkey equi-join share one orderkey
     partitioning (the returned-order set derives from the same fact —
@@ -2360,9 +2365,10 @@ def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rev_o") > 0) & (F.col("rev_f") > 0))
     )
     return (
-        ch.select(
+        ch.where(F.col("rev_f") >= 1000000)
+        .select(
             "o_custkey", "yr", "rev_o", "rev_f",
-            F.expr("rev_o * 1000000 div rev_f").alias("ratio_ppm"),
+            F.expr("rev_o div nullif(rev_f div 1000000, 0)").alias("ratio_ppm"),
         )
         .orderBy(F.desc("ratio_ppm"), "o_custkey", "yr")
         .limit(20)
