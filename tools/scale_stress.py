@@ -31,6 +31,17 @@ TABLES = {
     "events": ["event_id", "user_id"],
     "embeddings": ["vec_id"],
 }
+
+#: SCALE_STRESS_FRESH_CUSTKEYS=1 shifts o_custkey in lockstep with
+#: c_custkey, so each copy brings NEW customers instead of multiplying
+#: every base customer's volume. The default (shared custkeys) stresses
+#: hot-key aggregates; the fresh-keys mode models how a real corpus
+#: grows for CUSTOMER-KEYED JOINS — under shared keys, any fact-to-fact
+#: join on (custkey, ...) sees matched pairs grow ~copies^2 (each
+#: copy's rows match every copy's rows — the q29 20x artifact,
+#: PERF.md r8), which no real corpus does.
+if os.environ.get("SCALE_STRESS_FRESH_CUSTKEYS") == "1":
+    TABLES = {**TABLES, "orders": ["o_orderkey", "o_custkey"]}
 #: dimension tables copied verbatim (a 10x fact corpus keeps its dims —
 #: that is what makes them dims); lets dim-joining queries (SSB, TPC-H)
 #: run against the stress corpus
