@@ -45,9 +45,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: queue verbatim (4 newest TPC-DS + ev_ab_chisquare + the 5 digest-path
 #: consumers), then everything whose results-relevant code changed in r8
 #: (the digest canonical key gained an array_size rider — ADVICE r7 #3 —
-#: re-hashing ALL verified_pairs_of consumers), the 3 new r8 TPC-DS
+#: re-hashing ALL verified_pairs_of consumers), the 6 new r8 TPC-DS
 #: shapes, the 6 persist-sweep queries (results-neutral but re-hashed
-#: anyway), and a refresh block: the 22 TPC-H queries plus 4 keystone
+#: anyway), and a refresh block: the 22 TPC-H queries plus 2 keystone
 #: kernels whose verdicts date to r1/r2 — the oldest rows in the ledger.
 #: R9 ROTATION NOTE: no queries are registered after this tranche froze;
 #: queue whatever code changes in r9, then continue refreshing oldest-
@@ -93,6 +93,7 @@ EXPORT_PRIORITY: list[str] = [
     "tpcds_q29",
     "tpcds_q78",
     "tpcds_q72",
+    "tpcds_q39",
     # r8 persist sweep (VERDICT r7 #2): multi-consumer bases persisted
     # through owned_result. persist/unpersist is results-neutral, but the
     # changed-code-first rule re-hashes them anyway (locally re-diffed
@@ -110,11 +111,9 @@ EXPORT_PRIORITY: list[str] = [
     "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22",
     # remaining slots: r1-era verdicts on keystone kernels — the exact-
-    # dedup digest (now size-widened), the simhash near-dup variant, and
-    # the brute-force ANN baseline
+    # dedup digest (now size-widened) and the simhash near-dup variant
     "dedup_exact",
     "dedup_simhash",
-    "sim_cosine_topk",
 ]
 
 

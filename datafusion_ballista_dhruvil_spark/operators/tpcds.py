@@ -60,6 +60,9 @@ r8 widening (VERDICT r7 #7 — the join-chain families the 29 missed):
        wholesale) + both channels from ONE conditional-agg pass
   q72  the spec's date-lag trap (d3 > d1 + 5) spelled as a post-equi-
        join filter inside one agg pass — never a range join
+  q39  per-(brand, month) quantity coefficient of variation with the
+       consecutive-month volatility self-join (exact int64 moments,
+       one shared IEEE chain for the CoV)
 
 Exactness contract: every revenue is the scaled-integer
 ``rev6 = round(l_extendedprice*100) * (10000 - round(l_discount*10000))``
@@ -2429,4 +2432,105 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_late * 1000000 div n_lines").alias("late_ppm"),
         )
         .orderBy("n_name", "yr")
+    )
+
+
+# --------------------------------------------------------------------------
+#: q39's coefficient-of-variation in ppm — ONE identical double sequence
+#: in both engines (the ev_mann_kendall precedent): exact int64 moments
+#: (n, sq, sqq) first, then the same-operation-order IEEE chain, rounded
+#: half-away (positive domain, so Spark HALF_UP == DuckDB round()).
+_COV_PPM = (
+    "CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)"
+    " - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    " / (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "tpcds_q39",
+    oracle=f"""
+WITH inv AS (
+  SELECT p_brand, CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sqq
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT p_brand, mo, n, {_COV_PPM} AS cov_ppm
+  FROM inv WHERE n > 1 AND sq > 0
+)
+SELECT a.p_brand, a.mo AS mo1, a.cov_ppm AS cov1,
+       b.mo AS mo2, b.cov_ppm AS cov2
+FROM st a JOIN st b
+  ON a.p_brand = b.p_brand AND b.mo = a.mo + 1
+WHERE a.cov_ppm > 500000 AND b.cov_ppm > 500000
+ORDER BY a.p_brand, mo1
+""",
+)
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape: demand-volatility pairing — per (item-grain,
+    month) quantity coefficient of variation, then a CONSECUTIVE-PERIOD
+    self-join keeping grains volatile in BOTH adjacent months (the spec's
+    inventory stdev over (warehouse, item, month) with the Jan/Feb
+    join). The statistical-moment + period-pair family the other 34
+    shapes don't cover.
+
+    Exactness: the three moments (n, sq, sqq) are exact int64 sums of
+    bounded quantities; the CoV is one identical IEEE sequence in both
+    engines (see _COV_PPM) — no int64 product of moments, which WOULD
+    overflow at 100 TB group sizes (n^2 * sq^2 blows past 2^63 once a
+    brand-month holds ~1e6 lines; the double chain never does).
+
+    Scale: one fact pass into a bounded (brand x 12-month) aggregate —
+    map-side partials, part joins un-hinted (AQE) — and the month-pair
+    self-join runs over that bounded grain (broadcast-sized both sides).
+    """
+    t = Tables(spark, sf_dir)
+    qv = "CAST(round(l_quantity) AS BIGINT)"
+    inv = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.year("o_orderdate") == 1996)
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.month("o_orderdate").cast("int").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr(qv)).cast("bigint").alias("sq"),
+            F.sum(F.expr(f"{qv} * {qv}")).cast("bigint").alias("sqq"),
+        )
+    )
+    # both self-join sides read the SAME bounded (brand x month) stats —
+    # persist so the fact chain runs once (the q64 pattern), released via
+    # owned_result
+    st = (
+        inv.where((F.col("n") > 1) & (F.col("sq") > 0))
+        .select("p_brand", "mo", F.expr(_COV_PPM).alias("cov_ppm"))
+        .persist()
+    )
+    a = st.select("p_brand", F.col("mo").alias("mo1"), F.col("cov_ppm").alias("cov1"))
+    b = st.select(
+        F.col("p_brand").alias("pb2"),
+        F.col("mo").alias("mo2"),
+        F.col("cov_ppm").alias("cov2"),
+    )
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("pb2"))
+            & (F.col("mo2") == F.col("mo1") + 1),
+        )
+        .where((F.col("cov1") > 500000) & (F.col("cov2") > 500000))
+        .select("p_brand", "mo1", "cov1", "mo2", "cov2")
+        .orderBy("p_brand", "mo1"),
+        st,
     )

@@ -909,3 +909,15 @@ def test_q72_date_lag_is_filter_not_range_join(spark):
     assert c72["scans"] == 4, f"q72 re-scans a table: {c72}"
     assert c72["aggregates"] == 2, f"q72 lost its single agg pass: {c72}"
     assert c72["bhj"] >= 1, c72  # nation broadcast
+
+
+def test_q39_one_fact_pass_month_pair(spark):
+    """r8 widening: q39's consecutive-month self-join must run over the
+    PERSISTED bounded (brand, month) stats (InMemoryTableScan) — one
+    fact pass, equi-joins only."""
+    from tools.plan_fingerprint import node_counts
+
+    p39 = formatted_plan(QUERIES["tpcds_q39"](spark, SF_DIR))
+    assert "InMemoryTableScan" in p39, p39[:600]
+    c39 = node_counts(p39)
+    assert c39["nested_loop"] == 0, c39
