@@ -70,6 +70,14 @@ QUERIES_TO_RUN = [
     # r4 rewrites — growth curve for the new plans
     "sim_ivf_topk",                # map-side codebook assignment
     "sim_knn_label_agreement",     # IVF candidate join
+    # r8 widening — the new TPC-DS join-chain families (PERF.md r8 has
+    # their first 10x/20x rows; q29/q78 also have the fresh-custkeys A/B)
+    "tpcds_q73",
+    "tpcds_q64",
+    "tpcds_q29",
+    "tpcds_q78",
+    "tpcds_q72",
+    "tpcds_q39",
 ]
 
 
