@@ -104,16 +104,16 @@ EXPORT_PRIORITY: list[str] = [
     "ev_lttb_downsample",
     "ev_mann_kendall",
     "sim_cluster_purity_nmi",
+    "text_source_entropy_kl",
     # ---- refresh block: the 22 TPC-H queries carry r2-era verdicts (the
     # oldest in the ledger) and are the headline bench block — re-hash
     # them on current code so every hot-path query has a recent verdict
     "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
     "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22",
-    # remaining slots: r1-era verdicts on keystone kernels — the exact-
-    # dedup digest (now size-widened) and the simhash near-dup variant
+    # remaining slot: the r1-era exact-dedup keystone (its digest
+    # semantics, now size-widened, underpin every pipeline query)
     "dedup_exact",
-    "dedup_simhash",
 ]
 
 

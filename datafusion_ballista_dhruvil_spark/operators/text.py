@@ -1814,10 +1814,15 @@ def text_source_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded broadcasts. No per-row doubles are ever summed.
     """
     t = Tables(spark, sf_dir)
+    # the (lang, tok) vocab aggregate feeds THREE consumers (corpus
+    # vocab, per-lang totals, the log join) — persist the bounded
+    # vocabulary grain so the corpus explode+agg runs once, released
+    # via owned_result (r8 sweep, VERDICT r7 #2)
     v = (
         t.documents.select("lang", F.explode(_toks()).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .persist()
     )
     c = v.groupBy("tok").agg(F.sum("f").cast("bigint").alias("cf"))
     tl = v.groupBy("lang").agg(F.sum("f").cast("bigint").alias("tot"))
@@ -1858,7 +1863,9 @@ def text_source_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_bits"),
         )
     )
-    return out.orderBy("lang")
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    return owned_result(out.orderBy("lang"), v)
 
 
 # --------------------------------------------------------------------------
