@@ -257,16 +257,20 @@ def test_cache_lifecycle_no_leaks(spark):
 
     jsc = spark.sparkContext._jsc
 
-    def n_persisted() -> int:
-        # unpersist is async-marked; settle briefly before reading
-        for _ in range(20):
-            n = jsc.getPersistentRDDs().size()
-            _time.sleep(0.1)
-            if jsc.getPersistentRDDs().size() == n:
-                return n
-        return n
+    def persisted_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
 
-    before = n_persisted()
+    # the assertion is on NEW ids only: other tests' leftover caches may
+    # be asynchronously released mid-test (unpersist is async-marked),
+    # so an exact count comparison flakes — what this gate owns is that
+    # THESE two calls leave nothing behind
+    before = persisted_ids()
     _verified_pairs(spark, SF_DIR).collect()          # unowned path
     QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()  # owned path
-    assert n_persisted() == before
+    leaked = set()
+    for _ in range(20):
+        leaked = persisted_ids() - before
+        if not leaked:
+            break
+        _time.sleep(0.25)
+    assert not leaked, f"persisted RDDs leaked by the two calls: {leaked}"
