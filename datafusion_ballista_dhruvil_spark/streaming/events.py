@@ -1343,10 +1343,11 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     then need only a 3x4-value broadcast and a map-side CASE; recency is
     score-inverted (5 = most recent).
 
-    The per-user purchase aggregate ``u`` feeds FOUR consumers (the three
-    metric union branches and the final segment join); it is persisted
-    and released via owned_result (VERDICT r7 #2 — relying on AQE
-    exchange reuse recomputed the events scan + groupBy up to 4x).
+    The per-user purchase aggregate ``u`` feeds multiple consumers (the
+    exploded metric long-form, read by the quantile's histogram and
+    resolve passes plus the score join, and the final segment join); it
+    is persisted and released via owned_result (VERDICT r7 #2 — relying
+    on AQE exchange reuse recomputed the events scan + groupBy up to 4x).
     """
     from datafusion_ballista_dhruvil_spark.operators.relational import (
         weighted_quantile,
