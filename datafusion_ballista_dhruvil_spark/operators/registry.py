@@ -46,9 +46,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: consumers), then everything whose results-relevant code changed in r8
 #: (the digest canonical key gained an array_size rider — ADVICE r7 #3 —
 #: re-hashing ALL verified_pairs_of consumers), the 6 new r8 TPC-DS
-#: shapes, the 6 persist-sweep queries (results-neutral but re-hashed
-#: anyway), and a refresh block: the 22 TPC-H queries plus 2 keystone
-#: kernels whose verdicts date to r1/r2 — the oldest rows in the ledger.
+#: shapes, the 7 persist-sweep queries (results-neutral but re-hashed
+#: anyway), and a refresh block: the 22 TPC-H queries plus the r1-era
+#: exact-dedup keystone — the oldest rows in the ledger.
 #: R9 ROTATION NOTE: no queries are registered after this tranche froze;
 #: queue whatever code changes in r9, then continue refreshing oldest-
 #: verdict rows (the r3-era approx/window families are next-oldest).
@@ -95,9 +95,11 @@ EXPORT_PRIORITY: list[str] = [
     "tpcds_q72",
     "tpcds_q39",
     # r8 persist sweep (VERDICT r7 #2): multi-consumer bases persisted
-    # through owned_result. persist/unpersist is results-neutral, but the
-    # changed-code-first rule re-hashes them anyway (locally re-diffed
-    # green, 0 bad of 6)
+    # through owned_result (ev_rfm_segments also swapped its 3-way union
+    # for one explode over the cached base). persist/unpersist is
+    # results-neutral, but the changed-code-first rule re-hashes them
+    # anyway (locally re-diffed green, 0 bad of 7 incl.
+    # text_source_entropy_kl below)
     "ev_rfm_segments",
     "ev_chisquare_matrix",
     "ev_markov_stationary",
