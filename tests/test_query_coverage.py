@@ -126,3 +126,21 @@ def test_unverdicted_queries_are_driver_green(spark, oracle, name):
             assert str(a) == str(b), (
                 f"cell diff row {i} col {col}: spark={a!r} duck={b!r}"
             )
+
+
+def test_export_priority_covers_every_unverdicted_query():
+    """The driver's correctness gate consumes the FIRST 50 exported
+    queries, so a query without a tranche slot silently never gets a
+    verdict. Mechanical ledger guard (r8): the tranche is exactly 50
+    (no wasted slots, no overflow past what the driver reads) and every
+    query with no CORRECTNESS_r* row yet is in it."""
+    from datafusion_ballista_dhruvil_spark.operators.registry import (
+        EXPORT_PRIORITY,
+    )
+
+    assert len(EXPORT_PRIORITY) == 50
+    assert len(set(EXPORT_PRIORITY)) == 50, "duplicate tranche slots"
+    missing = set(UNVERDICTED) - set(EXPORT_PRIORITY)
+    assert not missing, (
+        f"unverdicted queries without a tranche slot: {sorted(missing)}"
+    )
