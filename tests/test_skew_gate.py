@@ -96,3 +96,22 @@ def test_bucket_cap_observer_fires_when_cap_binds(spark, skew_dir, monkeypatch):
     finally:
         logger.removeHandler(rec)
     assert rec.lines, "cap bound silently: no MAX_BUCKET_DOCS warning"
+
+
+def test_capped_bucket_emits_exactly_the_smallest_ids(spark, monkeypatch):
+    """The cap's OUTPUT contract, mechanically: a degenerate bucket (30
+    identical docs) with MAX_BUCKET_DOCS=8 must emit exactly C(8,2)=28
+    candidate pairs, all among the 8 SMALLEST doc_ids (the deterministic
+    truncation rule the capacity-planning docs promise)."""
+    from itertools import combinations
+
+    from datafusion_ballista_dhruvil_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MAX_BUCKET_DOCS", 8)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    arrs = dedup.shingle_arrays_of(docs)
+    pairs = {(r.d1, r.d2) for r in dedup.lsh_candidates(arrs).collect()}
+    assert pairs == set(combinations(range(8), 2))
