@@ -725,6 +725,59 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def min_label_components(pairs: DataFrame, after_edges=None, max_rounds: int = 25) -> DataFrame:
+    """(doc_id, label): connected components of the undirected pair graph
+    by iterative min-label propagation — the reusable Pregel-style kernel
+    behind dedup_cluster_cc (and fuzzed against a union-find oracle in
+    tests/test_property_cc.py).
+
+    ``pairs``: a (d1, d2) relation; edges are symmetrized internally.
+    ``after_edges``: optional callback invoked once the edge set has
+    EAGERLY materialized (localCheckpoint) — callers use it to release
+    upstream caches that are dead weight for the propagation rounds.
+    Each round is one equi-join + map-side-partial min; ONE scalar
+    (sum of labels, strictly decreasing until fixpoint) is collected per
+    round for convergence; localCheckpoint keeps the plan O(1) deep.
+    """
+    d1, d2 = pairs.columns[:2]
+    edges = (
+        pairs.union(pairs.select(F.col(d2), F.col(d1)))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    if after_edges is not None:
+        after_edges()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"min_label_components: no fixpoint after {max_rounds} rounds")
+
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
@@ -775,44 +828,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     owned: list[DataFrame] = []
     pairs = _verified_pairs(spark, sf_dir, owned).select("d1", "d2")
-    edges = (
-        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    # the shingle cache is dead weight once the edge set materializes
+    # (min_label_components' eager localCheckpoint) — release it then,
+    # before the propagation rounds (VERDICT r6 #3)
+    labels = min_label_components(
+        pairs, after_edges=lambda: [c.unpersist() for c in owned]
     )
-    # localCheckpoint is EAGER: edges is materialized here, so the shingle
-    # cache is dead weight from this point — release it now (VERDICT r6 #3)
-    for c in owned:
-        c.unpersist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(25):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError("dedup_cluster_cc: no fixpoint after 25 rounds")
     labels = labels.withColumnRenamed("label", "cluster_id")
     csize = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
