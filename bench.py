@@ -183,22 +183,69 @@ def solo(names: list[str]) -> int:
     # adjudication; rows for re-measured queries are replaced, the rest
     # survive verbatim)
     path = os.path.join(here, "BENCH_SOLO.json")
+    cur_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    cur_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     merged: dict[str, float] = {}
     if os.path.exists(path):
         with open(path) as f:
-            merged = json.load(f).get("queries", {})
+            prior = json.load(f)
+        merged = prior.get("queries", {})
+        # ADVICE r8 #1: the merged artifact stamps every row with ONE
+        # iters/sf_dir — mixing measurement settings would silently
+        # mislabel the retained rows, so a settings mismatch drops the
+        # stale rows (loudly) instead of re-stamping them.
+        if (
+            prior.get("iters", cur_iters) != cur_iters
+            or prior.get("sf_dir", cur_sf_dir) != cur_sf_dir
+        ):
+            print(
+                f"BENCH_SOLO.json settings changed (iters "
+                f"{prior.get('iters')}→{cur_iters}, sf_dir "
+                f"{prior.get('sf_dir')}→{cur_sf_dir}); discarding "
+                f"{len(merged)} prior rows measured under the old settings",
+                file=sys.stderr,
+            )
+            merged = {}
     merged.update(out)
+    # ADVICE r8 #1: prune rows for queries no longer in the registry —
+    # renamed/removed queries must not survive as stale timings.
+    from datafusion_ballista_dhruvil_spark.operators import load_all
+    from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
+
+    load_all()
+    stale = sorted(set(merged) - set(QUERIES))
+    if stale:
+        print(f"pruning rows no longer in registry: {stale}", file=sys.stderr)
+        for k in stale:
+            del merged[k]
     payload = {
         "metric": "solo_query_sec",
         "unit": "sec",
         "queries": merged,
-        "iters": int(os.environ.get("BENCH_ITERS", "3")),
-        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "iters": cur_iters,
+        "sf_dir": cur_sf_dir,
     }
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(payload))
     return 0
+
+
+#: Self-adjudication rule (VERDICT r8 #2), shared with tools/bench_gate.py:
+#: a family block is NOISY when its end-of-block sentinel re-run of the
+#: block's first query moved by more than 2x in either direction AND by
+#: more than 0.3s absolute (sub-second queries swing ~0.1-0.3s from JVM
+#: scheduling alone — PERF.md r4 — which a pure ratio misreads as noise).
+SENTINEL_RATIO = 2.0
+SENTINEL_DELTA_SEC = 0.3
+
+
+def block_is_noisy(info: dict) -> bool:
+    r = info.get("sentinel_ratio")
+    if r is None:
+        return False
+    delta = abs(info.get("sentinel_end_sec", 0.0) - info.get("sentinel_start_sec", 0.0))
+    return (r > SENTINEL_RATIO or r < 1.0 / SENTINEL_RATIO) and delta > SENTINEL_DELTA_SEC
 
 
 def main() -> int:
@@ -291,15 +338,41 @@ def main() -> int:
             QUERIES[name](spark, sf_dir).collect()
 
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    # Per-family noise sentinel (VERDICT r8 #2): this host has minutes-long
+    # co-tenant interference windows that inflate whatever happens to be
+    # executing. To make the artifact SELF-adjudicating, each family block
+    # re-runs its FIRST query once at block END and records
+    # end_sec/start_median as sentinel_ratio. A quiet window reads ~1.0;
+    # a window that turned noisy mid-block (or started noisy and cleared)
+    # reads far from 1.0 — tools/bench_gate.py treats queries inside such
+    # blocks as unadjudicated noise rather than code regressions, so a
+    # reading like r8's q15 5.61s no longer consumes a judge solo session.
+    blocks: dict[str, dict] = {}
+
+    def _end_block(fam: str) -> None:
+        info = blocks[fam]
+        t0 = time.perf_counter()
+        QUERIES[info["first"]](spark, sf_dir).collect()
+        end = time.perf_counter() - t0
+        info["sentinel_end_sec"] = round(end, 4)
+        start = info["sentinel_start_sec"]
+        info["sentinel_ratio"] = round(end / start, 3) if start > 0 else 1.0
+
     prev_family = None
     for name in ordered:
         fn = QUERIES[name]
+        fam = family(name)
+        if prev_family is not None and fam != prev_family:
+            # sentinel runs BEFORE the boundary clearCache/gc so it sees
+            # the same cache conditions the block's measurements did
+            _end_block(prev_family)
         if isolate:
             spark.catalog.clearCache()
-        elif family_gc and prev_family is not None and family(name) != prev_family:
+        elif family_gc and prev_family is not None and fam != prev_family:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-        prev_family = family(name)
+        prev_family = fam
         samples = []
         # the headline TPC-H block gets median-of-5 (vs 3 elsewhere):
         # it is 22 queries timed in the run's first minutes, where
@@ -313,6 +386,13 @@ def main() -> int:
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
+        # min-of-iters travels with the median: a regression claim that
+        # the fastest iteration contradicts is suite contention, not code
+        mins[name] = round(min(samples), 4)
+        if fam not in blocks:
+            blocks[fam] = {"first": name, "sentinel_start_sec": times[name]}
+    if prev_family is not None:
+        _end_block(prev_family)
 
     total = round(sum(times.values()), 4)
     tpch_total = round(sum(v for k, v in times.items() if re.fullmatch(r"q\d+", k)), 4)
@@ -325,6 +405,10 @@ def main() -> int:
     # conflate protocol changes with code speedups (PERF.md has the
     # comparability note).
     protocol = {
+        # still version 2: the r9 sentinel/min additions are purely
+        # additive instrumentation — timed iterations, ordering, warmup,
+        # and family gc are unchanged, so totals stay comparable with
+        # every protocol-v2 artifact (BENCH_r06 onward)
         "version": 2,
         "canonical_order": True,
         "tpch_warmup_pass": True,
@@ -332,6 +416,7 @@ def main() -> int:
         "isolate": isolate,
         "iters_tpch": iters + 2,
         "iters_rest": iters,
+        "noise_sentinel": True,
     }
     # Full per-query detail goes to a FILE; the final stdout line stays
     # compact so the driver's bounded tail capture parses it (the r1
@@ -346,6 +431,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_min": mins,
+                "blocks": blocks,
                 "sf": sf,
                 "iters": iters,  # kept for r01-r05 artifact compatibility
                 "protocol": protocol,
@@ -354,6 +441,9 @@ def main() -> int:
             indent=1,
             sort_keys=True,
         )
+    noisy_blocks = {
+        f: b["sentinel_ratio"] for f, b in blocks.items() if block_is_noisy(b)
+    }
     print(
         json.dumps(
             {
@@ -364,6 +454,7 @@ def main() -> int:
                 "n_queries": len(times),
                 "tpch_total_sec": tpch_total,
                 "slowest": {k: v for k, v in slowest},
+                "noisy_blocks": noisy_blocks,
                 "queries_file": "bench_queries.json",
                 "protocol": protocol,
             }

@@ -447,6 +447,11 @@ def verified_pairs_of(arrs: DataFrame, owned: list | None = None) -> DataFrame:
     Callers that pass no ``owned`` list get the unpersisted plan instead
     (the explode recomputes once more; nothing leaks past the call) —
     a persist with no owner would outlive the query (ADVICE r7 #1).
+    Documented and intentional (re-affirmed ADVICE r8 #4): all registry
+    queries pass ``owned``, so the unowned path is tests/ad-hoc only;
+    if its ~2x candidate-generation cost ever matters, switch the
+    unowned branch to ``cd.localCheckpoint()`` — self-releasing, so it
+    avoids both the leak and the recompute.
 
     The canonical key is (xxhash64 of the sorted set, set size) — the
     size rider costs nothing (array_size of an already-built array) and

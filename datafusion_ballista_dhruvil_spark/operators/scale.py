@@ -285,6 +285,15 @@ def owned_result(df: DataFrame, *caches: DataFrame) -> DataFrame:
     recomputes uncached (driver, bench, and pytest all build a fresh
     DataFrame per run, so in practice each cache lives for exactly one
     materialization).
+
+    Contract for plan-only consumers (ADVICE r8 #3): the .persist()
+    calls happen at plan-BUILD time, so a caller that never runs a
+    wrapped action (plan-fingerprint tooling, formatted_plan tests)
+    leaves the CacheManager registration in the long-lived session.
+    That is harmless — an unmaterialized persist holds zero executor
+    memory and zero storage blocks; it is a driver-side catalog entry
+    only — but callers that want the registration gone can call the
+    returned DataFrame's ``release_owned()`` explicitly.
     """
     released = False
 
@@ -315,4 +324,6 @@ def owned_result(df: DataFrame, *caches: DataFrame) -> DataFrame:
     # iterator, so a finally-release would fire before consumption.
     for name in ("collect", "toPandas", "count"):
         setattr(df, name, _wrap(name))
+    # explicit path for plan-only consumers (see docstring contract)
+    df.release_owned = _release
     return df

@@ -1,4 +1,4 @@
-"""Per-round bench regression gate (VERDICT r3 item 5).
+"""Per-round bench regression gate (VERDICT r3 item 5; r8 item 2).
 
 Compares the CURRENT per-query suite timings (bench_queries.json, written
 by ``python bench.py``) against a PREVIOUS round's file, flags >1.5x
@@ -8,6 +8,18 @@ suite contention can't masquerade as a code regression. The solo result
 is the verdict: a query is only a real regression if it is ALSO slow when
 run alone against the solo baseline (or, with no solo baseline yet,
 slower than its previous suite time — conservative).
+
+Self-adjudication (VERDICT r8 #2) — two cheap filters run BEFORE the
+expensive solo re-measure, both fed by instrumentation the suite now
+emits:
+
+* **min-of-iters**: if the query's fastest iteration this run is within
+  the ratio bar of the previous median, the slow median was suite/host
+  contention, not code — the code demonstrably still runs fast.
+* **block sentinel**: each family block re-runs its first query at block
+  end; a block whose sentinel moved >2x and >0.3s (bench.block_is_noisy)
+  was measured inside a co-tenant interference window, and its readings
+  are recorded as ``noisy_skipped`` instead of flagged.
 
 Usage: python tools/bench_gate.py PREV_bench_queries.json [CUR.json]
 Writes BENCH_SOLO.json via bench.py --solo; exits 1 on confirmed
@@ -29,6 +41,16 @@ RATIO = 1.5
 DELTA_SEC = 0.5
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from bench import block_is_noisy  # noqa: E402 — shared noise rule
+
+
+def _family(name: str) -> str:
+    # mirror of bench.py's family(): the TPC-H block is one family "q"
+    import re
+
+    return "q" if re.fullmatch(r"q\d+", name) else name.split("_", 1)[0]
 
 
 def main() -> int:
@@ -39,15 +61,38 @@ def main() -> int:
     with open(prev_path) as f:
         prev = json.load(f)["queries"]
     with open(cur_path) as f:
-        cur = json.load(f)["queries"]
-    flagged = sorted(
+        cur_doc = json.load(f)
+    cur = cur_doc["queries"]
+    cur_min = cur_doc.get("queries_min", {})
+    noisy_fams = {
+        fam
+        for fam, info in cur_doc.get("blocks", {}).items()
+        if block_is_noisy(info)
+    }
+
+    suite_slow = sorted(
         (n, prev[n], cur[n])
         for n in cur
         if n in prev and prev[n] > FLOOR_SEC and cur[n] > RATIO * prev[n]
     )
+    # min-of-iters rescue: fastest iteration within the bar → contention
+    min_ok = [
+        (n, p, c) for n, p, c in suite_slow if cur_min.get(n, c) <= RATIO * p
+    ]
+    rest = [t for t in suite_slow if t not in min_ok]
+    # sentinel skip: measured inside a self-documented noise window
+    noisy_skipped = [(n, p, c) for n, p, c in rest if _family(n) in noisy_fams]
+    flagged = [t for t in rest if t not in noisy_skipped]
+
+    base = {
+        "metric": "bench_gate",
+        "suite_slow": len(suite_slow),
+        "min_rescued": [n for n, _, _ in min_ok],
+        "noisy_skipped": [n for n, _, _ in noisy_skipped],
+        "noisy_blocks": sorted(noisy_fams),
+    }
     if not flagged:
-        print(json.dumps({"metric": "bench_gate", "regressions": [],
-                          "flagged": 0}))
+        print(json.dumps({**base, "regressions": [], "flagged": 0}))
         return 0
     names = [n for n, _, _ in flagged]
     print(f"suite-flagged (>{RATIO}x, prev>{FLOOR_SEC}s): "
@@ -67,7 +112,7 @@ def main() -> int:
         if solo[n] > RATIO * p and solo[n] - p > DELTA_SEC
     ]
     print(json.dumps({
-        "metric": "bench_gate",
+        **base,
         "flagged": len(flagged),
         "solo": solo,
         "regressions": confirmed,

@@ -184,7 +184,13 @@ def main() -> int:
     # ADVICE r7 #4: only ever delete directories THIS RUN created — a
     # user-supplied out_dir that already exists (possibly holding other
     # data) is kept, along with whatever we wrote inside it.
-    created = [d for d in (out_dir, uniform_dir) if not os.path.exists(d)]
+    created = [out_dir] if not os.path.exists(out_dir) else []
+    # ADVICE r8 #2: uniform_dir's path is tool-owned (fixed literal, never
+    # user-supplied), so clean it UNCONDITIONALLY — both at start (a dir
+    # left by a crashed or SCALE_STRESS_KEEP=1 prior run would otherwise
+    # make build() silently trust half-written tables — the r8 31.7x-bogus
+    # trap) and at end (it must not accumulate across runs).
+    shutil.rmtree(uniform_dir, ignore_errors=True)
     os.makedirs(uniform_dir, exist_ok=True)
     t0 = time.perf_counter()
     build_skew(spark, out_dir)
@@ -223,6 +229,8 @@ def main() -> int:
     if os.environ.get("SCALE_STRESS_KEEP") != "1":
         for d in created:
             shutil.rmtree(d, ignore_errors=True)
+        # tool-owned path: always cleaned, regardless of who created it
+        shutil.rmtree(uniform_dir, ignore_errors=True)
     return 0
 
 
