@@ -34,88 +34,58 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 8). The driver's correctness gate
+#: Driver-facing export order (round 9). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. Cumulative record through r7: 328/328 driver-verified green,
-#: zero failures ever; the 4 queries registered after the r7 tranche
-#: froze (tpcds_q44/q47/q57/q70) were judge-verified green in the r7
-#: judge session (0 bad of 4 via tests/driver_diff.py) and lead this
-#: tranche, completing the 332-query ledger plus every r8 code change.
-#: Tranche composition (changed-code-first rule): the r7 rotation note's
-#: queue verbatim (4 newest TPC-DS + ev_ab_chisquare + the 5 digest-path
-#: consumers), then everything whose results-relevant code changed in r8
-#: (the digest canonical key gained an array_size rider — ADVICE r7 #3 —
-#: re-hashing ALL verified_pairs_of consumers), the 6 new r8 TPC-DS
-#: shapes, the 7 persist-sweep queries (results-neutral but re-hashed
-#: anyway), and a refresh block: the 22 TPC-H queries plus the r1-era
-#: exact-dedup keystone — the oldest rows in the ledger.
-#: R9 ROTATION NOTE: no queries are registered after this tranche froze;
-#: queue whatever code changes in r9, then continue refreshing oldest-
-#: verdict rows (the r3-era approx/window families are next-oldest).
+#: coverage. Cumulative record through r8: 338/338 driver-verified green,
+#: zero failures ever, zero unverdicted tail (VERDICT r8).
+#: Tranche composition (changed-code-first rule, VERDICT r8 #3):
+#: 1) the 3 queries NEW in r9 -- mm_png_features (the PNG decoder
+#:    landing, VERDICT r8 #6) and the two EXISTS-family TPC-DS shapes
+#:    (#7) -- all locally driver-diffed green + plan-gated;
+#: 2) every decode_image consumer: the r9 PNG branch touched that
+#:    function, so all queries whose results flow through it re-hash
+#:    (the r8 digest-consumer precedent; all locally re-diffed green);
+#: 3) refresh block: the 40 queries whose ONLY verdict is r1-era (h2o_*,
+#:    ops_*, the metadata-grain mm trio, nyctaxi, the two r1 udf queries,
+#:    dedup_ngram_jaccard/simhash_pairs) -- these are the true oldest
+#:    rows in the ledger (the r8 note's "r3-era next-oldest" undercounted
+#:    the never-refreshed r1 block) -- plus 2 r2-era keystones.
+#: R10 ROTATION NOTE: no queries registered after this tranche froze;
+#: queue whatever code changes in r10, then continue the refresh with the
+#: remaining r2-era rows (22 left) and the r3-era approx/window families.
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # ---- r8 tranche (VERDICT r7 next-round #1: drive the rotation as
-    # queued). Newest code first: the four TPC-DS shapes registered after
-    # the r7 tranche froze (judge pre-verified 0 bad of 4 via
-    # tests/driver_diff.py in the r7 judge session)
-    "tpcds_q44",
-    "tpcds_q47",
-    "tpcds_q57",
-    "tpcds_q70",
-    # r7 session-2 results-relevant kernel change (NULLIF-guarded
-    # chi-square), locally re-diffed green in r7, queued here per the
-    # rotation note
-    "ev_ab_chisquare",
-    # the five verified_pairs_of/lsh consumers NOT re-verdicted in r7
-    # (r7 digest-representative kernel; r8 widens the canonical digest
-    # key with array_size — ADVICE r7 #3 — so ALL digest-path consumers
-    # are results-relevant again; every one locally re-diffed green
-    # this round, 0 bad)
-    "dedup_graph_triangles",
-    "dedup_kcore_peel",
-    "dedup_chunk_pagerank",
-    "dedup_minhash_accuracy",
-    "dedup_incremental_lsh",
-    # r8 digest-key change: remaining verified_pairs_of consumers
-    # (re-verdicted in r7 but the canonical key changed THIS round)
-    "dedup_minhash_lsh",
-    "dedup_cluster_cc",
-    "dedup_editdist_verify",
-    "pipeline_clean_corpus",
-    # new in r8 (VERDICT r7 #7 widening): count-having cohort on the
-    # line grain, 5-join snowflake year self-join, bought->returned->
-    # re-bought fact chain, anti-join channel compare, date-lag
-    # fulfilment audit — all locally driver-diffed green + plan-gated
-    "tpcds_q73",
-    "tpcds_q64",
-    "tpcds_q29",
-    "tpcds_q78",
-    "tpcds_q72",
-    "tpcds_q39",
-    # r8 persist sweep (VERDICT r7 #2): multi-consumer bases persisted
-    # through owned_result (ev_rfm_segments also swapped its 3-way union
-    # for one explode over the cached base). persist/unpersist is
-    # results-neutral, but the changed-code-first rule re-hashes them
-    # anyway (locally re-diffed green, 0 bad of 7 incl.
-    # text_source_entropy_kl below)
-    "ev_rfm_segments",
-    "ev_chisquare_matrix",
-    "ev_markov_stationary",
-    "ev_lttb_downsample",
-    "ev_mann_kendall",
-    "sim_cluster_purity_nmi",
-    "text_source_entropy_kl",
-    # ---- refresh block: the 22 TPC-H queries carry r2-era verdicts (the
-    # oldest in the ledger) and are the headline bench block — re-hash
-    # them on current code so every hot-path query has a recent verdict
-    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22",
-    # remaining slot: the r1-era exact-dedup keystone (its digest
-    # semantics, now size-widened, underpin every pipeline query)
-    "dedup_exact",
+    # ---- new in r9 (changed-code-first: brand-new registrations)
+    "mm_png_features",
+    "tpcds_q95",
+    "tpcds_q10",
+    # ---- decode_image consumers (its PNG branch is new in r9)
+    "mm_decode_features",
+    "mm_image_ahash",
+    "mm_image_dhash",
+    "mm_image_neardup_pairs",
+    "mm_image_entropy",
+    # ---- refresh block: every query still carrying an r1-era verdict
+    "h2o_corr_by_group", "h2o_join_big", "h2o_join_factor",
+    "h2o_join_left_medium", "h2o_join_medium", "h2o_join_small",
+    "h2o_mean_multi", "h2o_median_sd", "h2o_range_by_group",
+    "h2o_sum_composite", "h2o_sum_count_wide", "h2o_sum_hicard",
+    "h2o_sum_lowcard", "h2o_top2_per_group",
+    "ops_agg_filter_distinct", "ops_agg_stats", "ops_cross_join",
+    "ops_grouping_sets", "ops_histogram", "ops_join_left_right",
+    "ops_join_null_safe", "ops_join_outer_coalesce", "ops_join_semi_anti",
+    "ops_profile_stats", "ops_rollup_cube", "ops_setops",
+    "ops_table_checksum", "ops_topk", "ops_values_limit_offset",
+    "ops_window_analytic", "ops_window_frames", "ops_window_ranking",
+    "mm_frame_sample", "mm_metadata_stats", "mm_resize_thumbnail",
+    "nyctaxi_agg", "udf_table_function", "udf_vectorized_score",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    # ---- 2 r2-era keystones to fill the tranche: the temporal-join
+    # flagship and the semantic-dedup query whose perf moved in r8
+    "asof_click_attribution",
+    "dedup_semantic_keep",
 ]
 
 

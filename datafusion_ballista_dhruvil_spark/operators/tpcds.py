@@ -58,6 +58,14 @@ r8 widening (VERDICT r7 #7 — the join-chain families the 29 missed):
        (customer, part) compound key (the q17/q25/q29 family)
   q78  anti-join return exclusion (orders with any returned line drop
        wholesale) + both channels from ONE conditional-agg pass
+r9 widening (VERDICT r8 #7 — the EXISTS families the 35 still missed):
+  q95  multi-EXISTS same-fact reachability: nested EXISTS correlating
+       the fact to ITSELF (order shipped from >1 supplier) AND a second
+       EXISTS on the returns channel — both collapse to one order-grain
+       aggregation pass (plan-gated single fact scan)
+  q10  OR-of-EXISTS customer probe (q10/q69 class; q35 covers the AND
+       shape): the OR branches union into one qualifying key set before
+       a single semi-join — sequential semi-joins would compute AND
   q72  the spec's date-lag trap (d3 > d1 + 5) spelled as a post-equi-
        join filter inside one agg pass — never a range join
   q39  per-(brand, month) quantity coefficient of variation with the
@@ -2533,4 +2541,130 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "mo1", "cov1", "mo2", "cov2")
         .orderBy("p_brand", "mo1"),
         st,
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q95",
+    oracle=f"""
+WITH qual AS (
+  SELECT o_orderkey FROM orders o
+  WHERE year(o.o_orderdate) = 1997
+    AND EXISTS (SELECT 1 FROM lineitem l1
+                WHERE l1.l_orderkey = o.o_orderkey
+                  AND EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey))
+    AND EXISTS (SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = o.o_orderkey
+                  AND l3.l_returnflag = 'R')
+)
+SELECT CAST(COUNT(DISTINCT q.o_orderkey) AS BIGINT) AS order_count,
+       CAST(SUM({_SQL_REV6}) AS BIGINT) AS total_rev6
+FROM qual q JOIN lineitem l ON l.l_orderkey = q.o_orderkey
+""",
+)
+def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape (VERDICT r8 #7): the multi-EXISTS same-fact
+    reachability probe — 1997 orders that shipped from MORE THAN ONE
+    supplier (spelled in the spec, and the oracle, as an EXISTS whose
+    body correlates the fact TO ITSELF on the same order key with a
+    different-warehouse inequality) and that also appear in the returns
+    channel (second EXISTS over the same fact), counted and revenued.
+
+    Spark-first plan: both correlated EXISTS and the revenue collapse
+    into ONE order-grain aggregation pass over lineitem — ">1 distinct
+    supplier" is min(suppkey) != max(suppkey) (cheaper than a distinct
+    count and equivalent for the >1 test), "ever returned" is a max over
+    the flag, revenue is the partial sum. The nested same-alias EXISTS
+    never re-executes per row and the fact is never re-scanned for the
+    money (plan-gated: exactly one lineitem scan). The order-grain
+    aggregate (bounded by |orders|, not |lineitem|) then semi-joins the
+    year-filtered orders and reduces to the global pair. Two-level exact
+    integer sums are associative, so the per-order partials re-sum to
+    the oracle's single-level SUM bit-for-bit.
+
+    Reference analogue: decorrelated EXISTS handling
+    (/root/reference/datafusion/optimizer/src/decorrelate_predicate_subquery.rs).
+    """
+    t = Tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+        F.max(F.col("l_returnflag") == "R").alias("has_ret"),
+        F.sum(F.expr(_REV6)).alias("rev6"),
+    )
+    o97 = t.orders.where(F.year("o_orderdate") == 1997).select("o_orderkey")
+    return (
+        per_order.where((F.col("smin") != F.col("smax")) & F.col("has_ret"))
+        .join(o97, F.col("l_orderkey") == F.col("o_orderkey"), "semi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("order_count"),
+            F.sum("rev6").cast("bigint").alias("total_rev6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q10",
+    oracle="""
+SELECT n.n_name, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND year(o.o_orderdate) = 1997)
+  AND (EXISTS (SELECT 1 FROM orders u WHERE u.o_custkey = c.c_custkey
+               AND u.o_orderpriority = '1-URGENT')
+       OR EXISTS (SELECT 1 FROM orders r JOIN lineitem l
+                    ON l.l_orderkey = r.o_orderkey
+                  WHERE r.o_custkey = c.c_custkey
+                    AND l.l_returnflag = 'R'))
+GROUP BY n.n_name, c.c_mktsegment
+ORDER BY n.n_name, c.c_mktsegment
+""",
+)
+def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10/q69 shape (VERDICT r8 #7): the OR-of-EXISTS customer
+    probe — customers who bought in the window AND show up in channel A
+    OR channel B, profiled by demographics. The existing q35 covers the
+    AND-shaped dual EXISTS; the OR shape needs a different decorrelation
+    (two semi-joins in sequence would compute AND).
+
+    Spark-first plan: each OR branch reduces to a custkey set — urgent
+    orders project straight to o_custkey; the returns branch compresses
+    the fact to matching orders FIRST (orders SEMI JOIN returned lines,
+    so only order keys shuffle, never line rows) and then projects
+    o_custkey. The two sets UNION (dup keys are harmless to a semi
+    join — no distinct pass needed) and qualify customers as ONE
+    semi-join; the buy-window EXISTS is a second, independent semi-join.
+    The nation dim broadcasts. Everything that touches fact grain is
+    bounded before any customer-side join.
+    """
+    t = Tables(spark, sf_dir)
+    bought_97 = (
+        t.orders.where(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("b_custkey"))
+    )
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("or_custkey")
+    )
+    returned = (
+        t.orders.join(
+            t.lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "semi",
+        ).select(F.col("o_custkey").alias("or_custkey"))
+    )
+    or_set = urgent.union(returned)
+    return (
+        t.customer.join(
+            bought_97, F.col("c_custkey") == F.col("b_custkey"), "semi"
+        )
+        .join(or_set, F.col("c_custkey") == F.col("or_custkey"), "semi")
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("n_name", "c_mktsegment")
     )

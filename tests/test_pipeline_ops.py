@@ -191,15 +191,92 @@ def test_audio_gate_raises_on_compressed_formats():
 
 
 def test_codec_gate_raises_on_compressed_formats():
-    """PNG/JPEG magic must hit the loud NotImplementedError gate."""
+    """JPEG magic and unsupported PNG variants hit the loud gate (the
+    PNG 8-bit non-interlaced path itself is REAL as of r9)."""
+    import struct
+    import zlib
+
     import pytest as _pytest
 
     from datafusion_ballista_dhruvil_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG
+
+    def png_with_ihdr(bitdepth=8, ctype=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, bitdepth, ctype, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+        decode_image(png_with_ihdr(bitdepth=16))  # 16-bit
+    with _pytest.raises(NotImplementedError):
+        decode_image(png_with_ihdr(ctype=3))  # palette
+    with _pytest.raises(NotImplementedError):
+        decode_image(png_with_ihdr(interlace=1))  # Adam7
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # no IHDR
+
+
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """encode_png -> decode_image recovers exact pixels for gray/RGB/RGBA.
+    Heights >= 5 so the row-cycling encoder exercises ALL FIVE defilters
+    (None/Sub/Up/Average/Paeth) on every image."""
+    import numpy as np
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        for w, h in [(1, 6), (3, 5), (5, 7), (64, 48)]:
+            px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8)
+            w2, h2, arr = decode_image(encode_png(w, h, px.tobytes(), color_type=ct))
+            assert (w2, h2) == (w, h)
+            raw = px.reshape(h, w * ch)
+            if ct == 0:
+                exp = np.repeat(raw, 3, axis=1)  # gray -> replicated RGB
+            elif ct == 2:
+                exp = raw
+            else:
+                exp = raw.reshape(h, w, 4)[:, :, :3].reshape(h, w * 3)
+            assert arr.tobytes() == exp.tobytes(), (ct, w, h)
+
+
+def test_png_decode_independent_encoder_split_idat():
+    """Decode a PNG built by an INDEPENDENT minimal encoder (filter-0 rows,
+    IDAT deliberately split across two chunks) — proves decode_image
+    implements the spec, not just the inverse of encode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(17)
+    w, h = 4, 5
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    body = b"".join(b"\x00" + px.reshape(h, w * 3)[y].tobytes() for y in range(h))
+    comp = zlib.compress(body)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", comp[:7])
+        + chunk(b"IDAT", comp[7:])
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, arr = decode_image(blob)
+    assert (w2, h2) == (w, h) and arr.tobytes() == px.tobytes()
 
 
 def test_cluster_cc_is_transitive_closure(spark):

@@ -176,7 +176,9 @@ def test_tpcds_plan_shapes(spark):
                  "tpcds_q31", "tpcds_q38", "tpcds_q54", "tpcds_q66",
                  "tpcds_q67", "tpcds_q87",
                  # r7 widening
-                 "tpcds_q47", "tpcds_q57", "tpcds_q44", "tpcds_q70"):
+                 "tpcds_q47", "tpcds_q57", "tpcds_q44", "tpcds_q70",
+                 # r9 widening
+                 "tpcds_q95", "tpcds_q10"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         counts = node_counts(plan)
         assert counts["nested_loop"] <= scalar_merge_ok.get(name, 0), (
@@ -921,3 +923,32 @@ def test_q39_one_fact_pass_month_pair(spark):
     assert "InMemoryTableScan" in p39, p39[:600]
     c39 = node_counts(p39)
     assert c39["nested_loop"] == 0, c39
+
+
+def test_q95_single_fact_pass_and_q10_or_union(spark):
+    """r9 widening shape gates. q95: the nested same-fact EXISTS pair plus
+    the revenue must collapse to ONE lineitem scan (order-grain agg), with
+    orders as the only other scan — the spec spells three fact touches.
+    q10: the OR-of-EXISTS must qualify through a Union of the two channel
+    key sets (sequential semi-joins would compute AND), the returns branch
+    must compress lineitem via a semi-join BEFORE any customer-side work,
+    and nothing degrades to a nested loop."""
+    from tools.plan_fingerprint import node_counts
+
+    p95 = formatted_plan(QUERIES["tpcds_q95"](spark, SF_DIR))
+    c95 = node_counts(p95)
+    assert c95["scans"] == 2, f"q95 re-scans the fact: {c95}"
+    assert c95["nested_loop"] == 0, c95
+    # the >1-supplier + returned flags and the money live in one
+    # order-grain aggregate pair feeding the final global pair
+    assert c95["aggregates"] == 4, c95
+
+    p10 = formatted_plan(QUERIES["tpcds_q10"](spark, SF_DIR))
+    c10 = node_counts(p10)
+    assert "Union" in p10, "q10 lost the OR-branch union"
+    assert c10["nested_loop"] == 0, c10
+    # lineitem appears exactly once (returns branch); orders three times —
+    # the spec's three EXISTS bodies; plus customer and the nation dim:
+    # 6 scans total, no fact pass beyond the spec's
+    assert p10.count("lineitem") <= 2, p10[:800]  # scan node + its detail
+    assert c10["scans"] == 6, c10

@@ -78,6 +78,10 @@ QUERIES_TO_RUN = [
     "tpcds_q78",
     "tpcds_q72",
     "tpcds_q39",
+    # r9 widening — the EXISTS families (q95 nested same-fact EXISTS,
+    # q10 OR-of-EXISTS probe)
+    "tpcds_q95",
+    "tpcds_q10",
 ]
 
 
