@@ -952,3 +952,16 @@ def test_q95_single_fact_pass_and_q10_or_union(spark):
     # 6 scans total, no fact pass beyond the spec's
     assert p10.count("lineitem") <= 2, p10[:800]  # scan node + its detail
     assert c10["scans"] == 6, c10
+
+
+def test_png_features_map_only(spark):
+    # PNG encode + decode + features (r9): two chained MapInPandas stages,
+    # ZERO exchanges — payload/image bytes never shuffle, and with no
+    # orderBy (the driver compare sorts) the whole query is map-only.
+    from tools.plan_fingerprint import node_counts
+
+    df = QUERIES["mm_png_features"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert node_counts(plan)["py_map"] == 2
+    assert "Join" not in plan
+    assert exchange_count(df) == 0
