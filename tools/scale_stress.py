@@ -146,6 +146,17 @@ def main() -> int:
     print("|---|---|---|---|")
     for name in (only or QUERIES_TO_RUN):
         fn = QUERIES[name]
+        # per-query clearCache + synchronous gc (r9): bounds the long-lived
+        # JVM's broadcast/ContextCleaner backlog the way bench.py's
+        # family-boundary gc does, so a 35+-query sweep isn't timing query
+        # k under query k-1's un-collected litter. (The r9 sf1 sweep's
+        # broadcast OOM at dedup_ngram_jaccard was NOT this — it reproduces
+        # on a fresh JVM: the shared-key copy corpus grows that query's
+        # exact all-pairs set ~quadratically; see PERF.md r9. Queries own
+        # their caches via owned_result, so this clear never drops a
+        # semantic cache mid-query.)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         fn(spark, SRC).collect()  # warm both paths
         t0 = time.perf_counter()
         fn(spark, SRC).collect()
