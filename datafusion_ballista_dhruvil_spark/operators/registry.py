@@ -45,14 +45,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: 2) every decode_image consumer: the r9 PNG branch touched that
 #:    function, so all queries whose results flow through it re-hash
 #:    (the r8 digest-consumer precedent; all locally re-diffed green);
-#: 3) refresh block: the 40 queries whose ONLY verdict is r1-era (h2o_*,
-#:    ops_*, the metadata-grain mm trio, nyctaxi, the two r1 udf queries,
-#:    dedup_ngram_jaccard/simhash_pairs) -- these are the true oldest
-#:    rows in the ledger (the r8 note's "r3-era next-oldest" undercounted
-#:    the never-refreshed r1 block) -- plus 2 r2-era keystones.
+#: 3) refresh block: 38 of the 40 queries whose ONLY verdict is r1-era
+#:    (h2o_*, ops_*, the metadata-grain mm trio, nyctaxi,
+#:    dedup_ngram_jaccard/simhash_pairs) -- the true oldest rows in the
+#:    ledger (the r8 note's "r3-era next-oldest" undercounted the
+#:    never-refreshed r1 block). The session-2 TPC-DS widening displaced
+#:    udf_table_function / udf_vectorized_score (r1-era but wholly
+#:    covered by tests/test_udf_plugin.py) to r10.
 #: R10 ROTATION NOTE: no queries registered after this tranche froze;
-#: queue whatever code changes in r10, then continue the refresh with the
-#: remaining r2-era rows (22 left) and the r3-era approx/window families.
+#: queue whatever code changes in r10, then finish the r1-era refresh
+#: (udf_table_function, udf_vectorized_score), then the r2-era rows
+#: (24 left, incl. the asof keystone) and the r3-era approx/window
+#: families.
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.
@@ -61,6 +65,12 @@ EXPORT_PRIORITY: list[str] = [
     "mm_png_features",
     "tpcds_q95",
     "tpcds_q10",
+    # r9 session-2 TPC-DS widening (all locally driver-diffed green,
+    # 0 bad of 4)
+    "tpcds_q94",
+    "tpcds_q92",
+    "tpcds_q99",
+    "tpcds_q13",
     # ---- decode_image consumers (its PNG branch is new in r9)
     "mm_decode_features",
     "mm_image_ahash",
@@ -80,12 +90,8 @@ EXPORT_PRIORITY: list[str] = [
     "ops_table_checksum", "ops_topk", "ops_values_limit_offset",
     "ops_window_analytic", "ops_window_frames", "ops_window_ranking",
     "mm_frame_sample", "mm_metadata_stats", "mm_resize_thumbnail",
-    "nyctaxi_agg", "udf_table_function", "udf_vectorized_score",
+    "nyctaxi_agg",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    # ---- 2 r2-era keystones to fill the tranche: the temporal-join
-    # flagship and the semantic-dedup query whose perf moved in r8
-    "asof_click_attribution",
-    "dedup_semantic_keep",
 ]
 
 

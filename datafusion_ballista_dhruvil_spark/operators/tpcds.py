@@ -66,6 +66,19 @@ r9 widening (VERDICT r8 #7 — the EXISTS families the 35 still missed):
   q10  OR-of-EXISTS customer probe (q10/q69 class; q35 covers the AND
        shape): the OR branches union into one qualifying key set before
        a single semi-join — sequential semi-joins would compute AND
+r9 session-2 widening (the four families the 37 still missed):
+  q94  q95's anti sibling: nested same-fact EXISTS AND **NOT** EXISTS
+       returns — the negated flag rides the same one-pass order-grain
+       aggregate, no anti-join
+  q92  correlated scalar-aggregate threshold (q92/q32): price > 1.3x
+       the part's own window average — decorrelated to a part-grain
+       (sum, count) join-back with the 1.3x compare on cleared
+       denominators in exact int64
+  q99  latency-band pivot (q99/q50): date-diff bucket ladder counted
+       per (channel, year) in ONE conditional-agg pass — the
+       date-arithmetic band family q88/q66's value bands don't touch
+  q13  AND-of-ORs demographic band filter: disjunctions spanning both
+       join sides (can't push below the joins), exact-decimal average
   q72  the spec's date-lag trap (d3 > d1 + 5) spelled as a post-equi-
        join filter inside one agg pass — never a range join
   q39  per-(brand, month) quantity coefficient of variation with the
@@ -2667,4 +2680,234 @@ def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_mktsegment")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .orderBy("n_name", "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q94",
+    oracle=f"""
+WITH qual AS (
+  SELECT o_orderkey FROM orders o
+  WHERE year(o.o_orderdate) = 1996
+    AND EXISTS (SELECT 1 FROM lineitem l1
+                WHERE l1.l_orderkey = o.o_orderkey
+                  AND EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey))
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = o.o_orderkey
+                      AND l3.l_returnflag = 'R')
+)
+SELECT CAST(COUNT(DISTINCT q.o_orderkey) AS BIGINT) AS order_count,
+       CAST(SUM({_SQL_REV6}) AS BIGINT) AS total_rev6
+FROM qual q JOIN lineitem l ON l.l_orderkey = q.o_orderkey
+""",
+)
+def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q94 shape (r9 session-2 widening): q95's anti sibling —
+    1996 orders shipped from >1 supplier (the same nested same-fact
+    EXISTS) that were NEVER returned (NOT EXISTS over the returns
+    channel, where q95 demands EXISTS). The spec pair q94/q95 differ in
+    exactly this polarity; covering both pins that the decorrelation
+    handles the anti case without an anti-join pass.
+
+    Spark-first plan: identical ONE-pass order-grain kernel as q95 —
+    NOT EXISTS is just the negated max-flag (``NOT has_ret``), free in
+    the same aggregate; no anti-join, no second fact scan (plan-gated
+    2 scans like q95)."""
+    t = Tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+        F.max(F.col("l_returnflag") == "R").alias("has_ret"),
+        F.sum(F.expr(_REV6)).alias("rev6"),
+    )
+    o96 = t.orders.where(F.year("o_orderdate") == 1996).select("o_orderkey")
+    return (
+        per_order.where((F.col("smin") != F.col("smax")) & ~F.col("has_ret"))
+        .join(o96, F.col("l_orderkey") == F.col("o_orderkey"), "semi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("order_count"),
+            F.sum("rev6").cast("bigint").alias("total_rev6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q92",
+    oracle="""
+WITH w AS (
+  SELECT l.l_partkey, CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#4' AND year(l.l_shipdate) = 1997
+), pa AS (
+  SELECT l_partkey, SUM(cents) AS s, COUNT(*) AS c FROM w GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_excess,
+       CAST(SUM(w.cents) AS BIGINT) AS excess_cents
+FROM w JOIN pa ON w.l_partkey = pa.l_partkey
+WHERE w.cents * 10 * pa.c > 13 * pa.s
+""",
+)
+def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q92/q32 shape (r9 session-2 widening): the correlated
+    scalar-aggregate THRESHOLD — count and sum the lines whose price
+    exceeds 1.3x the average price of THEIR OWN part within the window
+    (the spec spells it as a correlated scalar subquery with a factor).
+
+    Spark-first plan: the correlated AVG decorrelates to a per-part
+    (sum, count) aggregate of the SAME filtered set, joined back on
+    partkey (part-grain — bounded by |part|, never line x line). The
+    1.3x comparison runs on CLEARED DENOMINATORS in exact int64
+    (cents * 10 * count > 13 * sum_cents): no double AVG whose
+    summation order could flip an ulp-close comparison between engines.
+    The brand dim reaches the fact as a broadcast semi/inner join.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        t.lineitem.where(F.year("l_shipdate") == 1997)
+        .join(
+            F.broadcast(
+                t.part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_partkey",
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    pa = w.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return (
+        w.join(pa, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("cents") * 10 * F.col("c") > 13 * F.col("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_excess"),
+            F.sum("cents").cast("bigint").alias("excess_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q99",
+    oracle="""
+SELECT l.l_linestatus, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+  CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS d_le0,
+  CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+            BETWEEN 1 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d_60,
+  CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+            BETWEEN 61 AND 180 THEN 1 ELSE 0 END) AS BIGINT) AS d_180,
+  CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+            BETWEEN 181 AND 365 THEN 1 ELSE 0 END) AS BIGINT) AS d_365,
+  CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 365
+            THEN 1 ELSE 0 END) AS BIGINT) AS d_over
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_linestatus, year(o.o_orderdate)
+ORDER BY l_linestatus, yr
+""",
+)
+def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99/q50 shape (r9 session-2 widening): the LATENCY-BAND
+    pivot — fulfilment lag (order date -> ship date) bucketed into five
+    bands and counted per (channel, year) in ONE conditional-agg pass,
+    the spec's 30/60/90/120/120+ ladder adapted to this corpus's
+    synthetic date spread (<=0 catches the artifact where ship precedes
+    order). q88/q66 pivot on value bands; this is the DATE-ARITHMETIC
+    band family those don't touch.
+
+    Scale: one fact-fact equi-join (orderkey) and one aggregate pair;
+    the five bands are CASE sums inside the same aggregate — never five
+    filtered re-scans (the spec's five scalar subqueries collapse the
+    q88 way)."""
+    t = Tables(spark, sf_dir)
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            band(days <= 0, "d_le0"),
+            band((days >= 1) & (days <= 60), "d_60"),
+            band((days >= 61) & (days <= 180), "d_180"),
+            band((days >= 181) & (days <= 365), "d_365"),
+            band(days > 365, "d_over"),
+        )
+        .orderBy("l_linestatus", "yr")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q13",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+         / COUNT(*) AS avg_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE ((c.c_mktsegment = 'BUILDING' AND o.o_orderpriority = '1-URGENT'
+        AND o.o_totalprice BETWEEN 50000 AND 150000)
+    OR (c.c_mktsegment = 'MACHINERY' AND o.o_orderpriority = '2-HIGH'
+        AND o.o_totalprice BETWEEN 20000 AND 120000)
+    OR (c.c_mktsegment = 'AUTOMOBILE' AND o.o_orderpriority = '3-MEDIUM'
+        AND o.o_totalprice BETWEEN 1000 AND 80000))
+  AND ((n.n_name IN ('FRANCE', 'GERMANY') AND o.o_orderstatus = 'F')
+    OR (n.n_name IN ('CANADA', 'BRAZIL') AND o.o_orderstatus = 'O')
+    OR (n.n_name IN ('CHINA', 'JAPAN', 'INDIA')))
+""",
+)
+def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13 shape (r9 session-2 widening): the AND-of-ORs
+    demographic band filter — three (segment x priority x price-band)
+    OR-blocks ANDed with three (nation-set x status) OR-blocks, averaged.
+    The disjunction spans columns of BOTH join sides, so neither block
+    can push below its join — the optimizer must carry the filter above
+    the joins and still keep the joins hash-based (the spec's point).
+
+    Scale: one orders pass, customer equi-join, broadcast nation; the
+    money average is the exact-decimal contract (sum -> scale-4 ->
+    double / count), immune to double-summation order."""
+    from datafusion_ballista_dhruvil_spark.functions.compat import avg_money, dec2
+
+    t = Tables(spark, sf_dir)
+    seg_block = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_totalprice").between(50000, 150000)
+        )
+        | (
+            (F.col("c_mktsegment") == "MACHINERY")
+            & (F.col("o_orderpriority") == "2-HIGH")
+            & F.col("o_totalprice").between(20000, 120000)
+        )
+        | (
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & (F.col("o_orderpriority") == "3-MEDIUM")
+            & F.col("o_totalprice").between(1000, 80000)
+        )
+    )
+    geo_block = (
+        (F.col("n_name").isin("FRANCE", "GERMANY") & (F.col("o_orderstatus") == "F"))
+        | (F.col("n_name").isin("CANADA", "BRAZIL") & (F.col("o_orderstatus") == "O"))
+        | F.col("n_name").isin("CHINA", "JAPAN", "INDIA")
+    )
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(seg_block & geo_block)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            avg_money(dec2("o_totalprice")).alias("avg_price"),
+        )
     )

@@ -965,3 +965,32 @@ def test_png_features_map_only(spark):
     assert node_counts(plan)["py_map"] == 2
     assert "Join" not in plan
     assert exchange_count(df) == 0
+
+
+def test_r9_session2_tpcds_shapes(spark):
+    """r9 session-2 widening gates. q94: same one-pass order-grain kernel
+    as q95 (2 scans, 4 aggregates, the NOT EXISTS is a negated flag — no
+    anti-join node). q92: the correlated scalar-avg threshold decorrelates
+    to a part-grain join-back — equi-joins only, the brand dim broadcast.
+    q99: five latency bands from ONE aggregate pair over one fact-fact
+    join (never five filtered re-scans). q13: the AND-of-ORs filter keeps
+    both joins hash-based (no nested loop from the disjunction)."""
+    from tools.plan_fingerprint import node_counts
+
+    c94 = node_counts(formatted_plan(QUERIES["tpcds_q94"](spark, SF_DIR)))
+    assert c94["scans"] == 2 and c94["aggregates"] == 4, c94
+    assert c94["nested_loop"] == 0, c94
+
+    p92 = formatted_plan(QUERIES["tpcds_q92"](spark, SF_DIR))
+    c92 = node_counts(p92)
+    assert c92["nested_loop"] == 0 and c92["bhj"] >= 1, c92
+    # window lines + per-part avg: exactly the spec's two fact touches
+    assert p92.count("lineitem") <= 4, p92[:800]
+
+    c99 = node_counts(formatted_plan(QUERIES["tpcds_q99"](spark, SF_DIR)))
+    assert c99["aggregates"] == 2, f"q99 bands re-scan: {c99}"
+    assert c99["scans"] == 2 and c99["nested_loop"] == 0, c99
+
+    c13 = node_counts(formatted_plan(QUERIES["tpcds_q13"](spark, SF_DIR)))
+    assert c13["nested_loop"] == 0, c13
+    assert c13["bhj"] + c13["smj"] + c13["shj"] >= 2, c13

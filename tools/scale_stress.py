@@ -82,6 +82,11 @@ QUERIES_TO_RUN = [
     # q10 OR-of-EXISTS probe)
     "tpcds_q95",
     "tpcds_q10",
+    # r9 session-2 widening
+    "tpcds_q94",
+    "tpcds_q92",
+    "tpcds_q99",
+    "tpcds_q13",
 ]
 
 
