@@ -51,10 +51,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:    ledger (the r8 note's "r3-era next-oldest" undercounted the
 #:    never-refreshed r1 block). The session-2 TPC-DS widening displaced
 #:    udf_table_function / udf_vectorized_score (r1-era but wholly
-#:    covered by tests/test_udf_plugin.py) to r10.
+#:    covered by tests/test_udf_plugin.py) and session-3 displaced the
+#:    metadata-grain mm trio (frame_sample/metadata_stats/
+#:    resize_thumbnail — the three simplest expression-only queries)
+#:    to r10.
 #: R10 ROTATION NOTE: no queries registered after this tranche froze;
 #: queue whatever code changes in r10, then finish the r1-era refresh
-#: (udf_table_function, udf_vectorized_score), then the r2-era rows
+#: (udf_table_function, udf_vectorized_score, mm_frame_sample,
+#: mm_metadata_stats, mm_resize_thumbnail), then the r2-era rows
 #: (24 left, incl. the asof keystone) and the r3-era approx/window
 #: families.
 #: All names below are asserted against QUERIES at import (see bottom of
@@ -71,6 +75,10 @@ EXPORT_PRIORITY: list[str] = [
     "tpcds_q92",
     "tpcds_q99",
     "tpcds_q13",
+    # r9 session-3 TPC-DS widening (0 bad of 3 locally)
+    "tpcds_q41",
+    "tpcds_q76",
+    "tpcds_q90",
     # ---- decode_image consumers (its PNG branch is new in r9)
     "mm_decode_features",
     "mm_image_ahash",
@@ -89,7 +97,6 @@ EXPORT_PRIORITY: list[str] = [
     "ops_profile_stats", "ops_rollup_cube", "ops_setops",
     "ops_table_checksum", "ops_topk", "ops_values_limit_offset",
     "ops_window_analytic", "ops_window_frames", "ops_window_ranking",
-    "mm_frame_sample", "mm_metadata_stats", "mm_resize_thumbnail",
     "nyctaxi_agg",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
 ]

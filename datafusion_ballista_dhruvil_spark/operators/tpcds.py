@@ -79,6 +79,12 @@ r9 session-2 widening (the four families the 37 still missed):
        date-arithmetic band family q88/q66's value bands don't touch
   q13  AND-of-ORs demographic band filter: disjunctions spanning both
        join sides (can't push below the joins), exact-decimal average
+  q41  dim-only correlated COUNT(*)>0 (= EXISTS) self-probe on part —
+       no fact table; decorrelates to a broadcast brand semi-join
+  q76  multi-channel UNION report: three branches filtered on
+       DIFFERENT columns, literal channel tags, one grouped agg pair
+  q90  am/pm scalar-divide on the EVENTS table (time-of-day axis):
+       both scalar subqueries collapse into one conditional-agg pass
   q72  the spec's date-lag trap (d3 > d1 + 5) spelled as a post-equi-
        join filter inside one agg pass — never a range join
   q39  per-(brand, month) quantity coefficient of variation with the
@@ -2909,5 +2915,155 @@ def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
             avg_money(dec2("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q41",
+    oracle="""
+SELECT DISTINCT i1.p_name
+FROM part i1
+WHERE (SELECT COUNT(*) FROM part i2
+       WHERE i2.p_brand = i1.p_brand
+         AND ((i2.p_type = 'ECONOMY' AND i2.p_size BETWEEN 1 AND 10)
+           OR (i2.p_type = 'SMALL' AND i2.p_size BETWEEN 20 AND 30))) > 0
+ORDER BY p_name
+""",
+)
+def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape (r9 session-2 widening): the DIM-ONLY correlated
+    aggregate — product names whose BRAND carries at least one item
+    matching the OR-band spec, spelled as a correlated COUNT(*) > 0 over
+    the same dimension table. No fact table anywhere; the spec exercises
+    the optimizer's subquery handling on a pure dimension self-probe.
+
+    Spark-first plan: COUNT(*) > 0 is EXISTS, and the correlated EXISTS
+    decorrelates to a semi-join against the DISTINCT qualifying-brand
+    set (25 brands — broadcast); the dim is scanned twice (the spec's
+    two aliases), never joined row-by-row."""
+    t = Tables(spark, sf_dir)
+    bands = (
+        ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 10))
+        | ((F.col("p_type") == "SMALL") & F.col("p_size").between(20, 30))
+    )
+    qual_brands = t.part.where(bands).select(F.col("p_brand").alias("qb")).distinct()
+    return (
+        t.part.join(F.broadcast(qual_brands), F.col("p_brand") == F.col("qb"), "semi")
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q76",
+    oracle="""
+SELECT channel, col_name, CAST(yr AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT 'orders' AS channel, 'o_orderpriority' AS col_name,
+         year(o_orderdate) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority = '5-LOW'
+  UNION ALL
+  SELECT 'lineitem_ret', 'l_returnflag', year(l_shipdate),
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'lineitem_open', 'l_linestatus', year(l_shipdate),
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+  FROM lineitem WHERE l_linestatus = 'O'
+)
+GROUP BY channel, col_name, yr
+ORDER BY channel, col_name, yr
+""",
+)
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape (r9 session-2 widening): the MULTI-CHANNEL UNION
+    report — three channel branches, each filtered on a DIFFERENT column
+    and tagged with literal channel/column names, unioned and counted per
+    (channel, filtered-column, year). The spec's point is heterogeneous
+    branches flowing into ONE grouped report without per-channel
+    re-aggregation.
+
+    Scale: each branch is a pushed-filter scan projecting only
+    (year, cents); the union carries 4 narrow columns into one agg pair.
+    No joins at all — the whole report is scan + union + aggregate."""
+    t = Tables(spark, sf_dir)
+    cents_o = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    cents_l = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    b1 = t.orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.lit("orders").alias("channel"),
+        F.lit("o_orderpriority").alias("col_name"),
+        F.year("o_orderdate").alias("yr"),
+        cents_o.alias("cents"),
+    )
+    b2 = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        F.lit("lineitem_ret").alias("channel"),
+        F.lit("l_returnflag").alias("col_name"),
+        F.year("l_shipdate").alias("yr"),
+        cents_l.alias("cents"),
+    )
+    b3 = t.lineitem.where(F.col("l_linestatus") == "O").select(
+        F.lit("lineitem_open").alias("channel"),
+        F.lit("l_linestatus").alias("col_name"),
+        F.year("l_shipdate").alias("yr"),
+        cents_l.alias("cents"),
+    )
+    return (
+        b1.unionAll(b2)
+        .unionAll(b3)
+        .groupBy("channel", "col_name", F.col("yr").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("channel", "col_name", "yr")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q90",
+    oracle="""
+SELECT CAST(am_cnt AS BIGINT) AS am_cnt, CAST(pm_cnt AS BIGINT) AS pm_cnt,
+       CAST(am_cnt AS DOUBLE) / NULLIF(pm_cnt, 0) AS am_pm_ratio
+FROM (
+  SELECT SUM(CASE WHEN hour(ts) BETWEEN 7 AND 10 THEN 1 ELSE 0 END) AS am_cnt,
+         SUM(CASE WHEN hour(ts) BETWEEN 19 AND 22 THEN 1 ELSE 0 END) AS pm_cnt
+  FROM events WHERE event_type = 'click'
+)
+""",
+)
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape (r9 session-2 widening): the AM/PM ratio — the
+    spec divides two scalar subqueries (morning-window count over
+    evening-window count). First TPC-DS adaptation on the EVENTS table
+    (the time-of-day axis none of the date-grain queries touch).
+
+    Spark-first plan: the two scalar subqueries collapse into ONE
+    conditional-aggregation pass (the q88 lesson — 1/2 the I/O), and the
+    ratio is exact-int counts divided once at the end (int/int -> the
+    same IEEE double in both engines; NULLIF guards the empty evening).
+    """
+    t = Tables(spark, sf_dir)
+    hr = F.hour("ts")
+    return (
+        t.events.where(F.col("event_type") == "click")
+        .agg(
+            F.sum(F.when(hr.between(7, 10), 1).otherwise(0)).alias("am0"),
+            F.sum(F.when(hr.between(19, 22), 1).otherwise(0)).alias("pm0"),
+        )
+        .select(
+            F.col("am0").cast("bigint").alias("am_cnt"),
+            F.col("pm0").cast("bigint").alias("pm_cnt"),
+            (
+                F.col("am0").cast("double")
+                / F.nullif(F.col("pm0"), F.lit(0))
+            ).alias("am_pm_ratio"),
         )
     )

@@ -994,3 +994,27 @@ def test_r9_session2_tpcds_shapes(spark):
     c13 = node_counts(formatted_plan(QUERIES["tpcds_q13"](spark, SF_DIR)))
     assert c13["nested_loop"] == 0, c13
     assert c13["bhj"] + c13["smj"] + c13["shj"] >= 2, c13
+
+
+def test_r9_session3_tpcds_shapes(spark):
+    """q41: dim-only — exactly two part scans, the qualifying-brand set
+    reaches the probe as a BROADCAST semi-join, no fact table, no nested
+    loop. q76: three pushed-filter branches into ONE Union and ONE
+    aggregate pair — zero joins anywhere. q90: one events scan, one
+    aggregate pair (the two scalar subqueries collapsed), zero joins."""
+    from tools.plan_fingerprint import node_counts
+
+    p41 = formatted_plan(QUERIES["tpcds_q41"](spark, SF_DIR))
+    c41 = node_counts(p41)
+    assert c41["scans"] == 2 and c41["nested_loop"] == 0, c41
+    assert c41["bhj"] >= 1, f"q41 brand set not broadcast: {c41}"
+
+    p76 = formatted_plan(QUERIES["tpcds_q76"](spark, SF_DIR))
+    c76 = node_counts(p76)
+    assert "Union" in p76
+    assert c76["aggregates"] == 2, f"q76 re-aggregates per channel: {c76}"
+    assert c76["bhj"] + c76["smj"] + c76["shj"] + c76["nested_loop"] == 0, c76
+
+    c90 = node_counts(formatted_plan(QUERIES["tpcds_q90"](spark, SF_DIR)))
+    assert c90["scans"] == 1 and c90["aggregates"] == 2, c90
+    assert c90["bhj"] + c90["smj"] + c90["shj"] + c90["nested_loop"] == 0, c90

@@ -82,11 +82,14 @@ QUERIES_TO_RUN = [
     # q10 OR-of-EXISTS probe)
     "tpcds_q95",
     "tpcds_q10",
-    # r9 session-2 widening
+    # r9 session-2/3 widening
     "tpcds_q94",
     "tpcds_q92",
     "tpcds_q99",
     "tpcds_q13",
+    "tpcds_q41",
+    "tpcds_q76",
+    "tpcds_q90",
 ]
 
 
