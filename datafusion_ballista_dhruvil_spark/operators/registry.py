@@ -54,11 +54,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:    covered by tests/test_udf_plugin.py) and session-3 displaced the
 #:    metadata-grain mm trio (frame_sample/metadata_stats/
 #:    resize_thumbnail — the three simplest expression-only queries)
-#:    to r10.
+#:    and h2o_join_small (its five join siblings carry the family
+#:    signal) to r10.
 #: R10 ROTATION NOTE: no queries registered after this tranche froze;
 #: queue whatever code changes in r10, then finish the r1-era refresh
 #: (udf_table_function, udf_vectorized_score, mm_frame_sample,
-#: mm_metadata_stats, mm_resize_thumbnail), then the r2-era rows
+#: mm_metadata_stats, mm_resize_thumbnail, h2o_join_small), then the
+#: r2-era rows
 #: (24 left, incl. the asof keystone) and the r3-era approx/window
 #: families.
 #: All names below are asserted against QUERIES at import (see bottom of
@@ -79,6 +81,8 @@ EXPORT_PRIORITY: list[str] = [
     "tpcds_q41",
     "tpcds_q76",
     "tpcds_q90",
+    # r9 session-3: real pixel resize over the PNG decode path
+    "mm_image_resize",
     # ---- decode_image consumers (its PNG branch is new in r9)
     "mm_decode_features",
     "mm_image_ahash",
@@ -87,7 +91,7 @@ EXPORT_PRIORITY: list[str] = [
     "mm_image_entropy",
     # ---- refresh block: every query still carrying an r1-era verdict
     "h2o_corr_by_group", "h2o_join_big", "h2o_join_factor",
-    "h2o_join_left_medium", "h2o_join_medium", "h2o_join_small",
+    "h2o_join_left_medium", "h2o_join_medium",
     "h2o_mean_multi", "h2o_median_sd", "h2o_range_by_group",
     "h2o_sum_composite", "h2o_sum_count_wide", "h2o_sum_hicard",
     "h2o_sum_lowcard", "h2o_top2_per_group",

@@ -1018,3 +1018,15 @@ def test_r9_session3_tpcds_shapes(spark):
     c90 = node_counts(formatted_plan(QUERIES["tpcds_q90"](spark, SF_DIR)))
     assert c90["scans"] == 1 and c90["aggregates"] == 2, c90
     assert c90["bhj"] + c90["smj"] + c90["shj"] + c90["nested_loop"] == 0, c90
+
+
+def test_image_resize_map_only(spark):
+    # PNG encode + decode + nearest-neighbor resize (r9): two chained
+    # MapInPandas stages, zero exchanges, zero joins — bytes never shuffle.
+    from tools.plan_fingerprint import node_counts
+
+    df = QUERIES["mm_image_resize"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert node_counts(plan)["py_map"] == 2
+    assert "Join" not in plan
+    assert exchange_count(df) == 0
