@@ -1583,3 +1583,112 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batch,
         schema="doc_id long, width long, height long, rmean double, rchecksum long",
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_audio_resample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 200
+), cells AS (
+  SELECT b.doc_id, b.n, ii.i AS i,
+         CASE WHEN b.n = 0 THEN 0
+              ELSE (ord(substring(b.text,
+                                  CAST((ii.i * b.n // 48) + 1 AS INT), 1))
+                    - 128) * 256
+         END AS v
+  FROM base b, range(0, 48) ii(i)
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+       CAST(SUM(v * (i + 1)) AS BIGINT) AS r_checksum,
+       CAST(SUM(ABS(v)) AS DOUBLE) / 48 AS r_mean_abs
+FROM cells
+GROUP BY doc_id, n
+""",
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample over DECODED WAV samples (r9; the audio
+    analogue of mm_image_resize) — sample-rate conversion, the
+    first-stage op of every speech pipeline.
+
+    Pipeline: synthesize a real RIFF PCM16 WAV per document (samples =
+    (byte-128)*256 at 16 kHz, the mm_audio_features convention; [0] for
+    empty docs), DECODE it (chunk walk + fmt validation via
+    decode_audio), then NEAREST-SAMPLE resample to a fixed 48-sample
+    frame: out[i] = s[i*n//48]. Emits a position-weighted checksum
+    (sum(out[i]*(i+1)) — pins sample ORDER, so a word-alignment or
+    byte-order bug in the decoder breaks the hash even when the value
+    multiset survives) and the frame's mean |amplitude|. The DuckDB
+    oracle recomputes every picked sample arithmetically from the byte
+    stream.
+
+    Map-only: two chained mapInPandas stages, zero shuffles; at 100 TB
+    the same plumbing carries a real polyphase resampler over ingested
+    audio bytes — batch shape, schema, and index-map layout are what
+    this query pins.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_audio as _dec,
+        encode_wav as _enc,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            wavs, n_bytes = [], []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                if len(tb):
+                    samples = (tb.astype(_np.int64) - 128) * 256
+                else:
+                    samples = _np.zeros(1, dtype=_np.int64)
+                wavs.append(_enc(16000, samples.astype("<i2")))
+                n_bytes.append(len(tb))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_in": _pd.Series(n_bytes, dtype="int64"),
+                    "audio": wavs,
+                }
+            )
+
+    def resample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        weights = _np.arange(48, dtype=_np.int64) + 1
+        for pdf in it:
+            sums, means = [], []
+            for b in pdf["audio"]:
+                _rate, s = _dec(bytes(b))
+                s = s.astype(_np.int64)
+                idx = (_np.arange(48) * len(s)) // 48
+                out = s[idx]
+                sums.append(int((out * weights).sum()))
+                means.append(float(_np.abs(out).sum()) / 48)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # original byte count, carried from the encode stage —
+                    # an empty doc encodes as ONE zero sample, so the
+                    # decoded length cannot distinguish n=0 from n=1
+                    "n_in": pdf["n_in"].astype("int64"),
+                    "r_checksum": _pd.Series(sums, dtype="int64"),
+                    "r_mean_abs": _pd.Series(means, dtype="float64"),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, n_in long, audio binary")
+        .mapInPandas(
+            resample_batch,
+            schema="doc_id long, n_in long, r_checksum long, r_mean_abs double",
+        )
+    )

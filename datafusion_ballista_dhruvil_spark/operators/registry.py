@@ -59,8 +59,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: R10 ROTATION NOTE: no queries registered after this tranche froze;
 #: queue whatever code changes in r10, then finish the r1-era refresh
 #: (udf_table_function, udf_vectorized_score, mm_frame_sample,
-#: mm_metadata_stats, mm_resize_thumbnail, h2o_join_small), then the
-#: r2-era rows
+#: mm_metadata_stats, mm_resize_thumbnail, h2o_join_small,
+#: ops_values_limit_offset), then the r2-era rows
 #: (24 left, incl. the asof keystone) and the r3-era approx/window
 #: families.
 #: All names below are asserted against QUERIES at import (see bottom of
@@ -81,8 +81,10 @@ EXPORT_PRIORITY: list[str] = [
     "tpcds_q41",
     "tpcds_q76",
     "tpcds_q90",
-    # r9 session-3: real pixel resize over the PNG decode path
+    # r9 session-3: real pixel resize over the PNG decode path + the
+    # audio resample analogue over the WAV decode path
     "mm_image_resize",
+    "mm_audio_resample",
     # ---- decode_image consumers (its PNG branch is new in r9)
     "mm_decode_features",
     "mm_image_ahash",
@@ -99,7 +101,7 @@ EXPORT_PRIORITY: list[str] = [
     "ops_grouping_sets", "ops_histogram", "ops_join_left_right",
     "ops_join_null_safe", "ops_join_outer_coalesce", "ops_join_semi_anti",
     "ops_profile_stats", "ops_rollup_cube", "ops_setops",
-    "ops_table_checksum", "ops_topk", "ops_values_limit_offset",
+    "ops_table_checksum", "ops_topk",
     "ops_window_analytic", "ops_window_frames", "ops_window_ranking",
     "nyctaxi_agg",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",

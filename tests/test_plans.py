@@ -1030,3 +1030,15 @@ def test_image_resize_map_only(spark):
     assert node_counts(plan)["py_map"] == 2
     assert "Join" not in plan
     assert exchange_count(df) == 0
+
+
+def test_audio_resample_map_only(spark):
+    # WAV synth + decode + nearest-sample resample (r9): two chained
+    # MapInPandas stages, zero exchanges, zero joins.
+    from tools.plan_fingerprint import node_counts
+
+    df = QUERIES["mm_audio_resample"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert node_counts(plan)["py_map"] == 2
+    assert "Join" not in plan
+    assert exchange_count(df) == 0
