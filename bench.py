@@ -151,6 +151,48 @@ def solo_one(name: str) -> int:
     return 0
 
 
+def merge_solo(
+    prior: dict,
+    out: dict[str, float],
+    cur_iters: int,
+    cur_sf_dir: str,
+    registry: set[str],
+) -> dict[str, float]:
+    """Merge fresh --solo rows into the prior BENCH_SOLO artifact
+    (pure logic, unit-tested in test_bench_gate.py).
+
+    - Re-measured rows replace; the rest survive verbatim (the r7
+      overwrite trap stays dead).
+    - ADVICE r8 #1a: the artifact stamps every row with ONE iters/
+      sf_dir — a settings mismatch DISCARDS the prior rows (loudly)
+      instead of silently re-stamping timings measured under different
+      settings.
+    - ADVICE r8 #1b: rows for queries no longer in the registry are
+      pruned — renamed/removed queries must not survive as stale
+      timings.
+    """
+    merged: dict[str, float] = dict(prior.get("queries", {}))
+    if merged and (
+        prior.get("iters", cur_iters) != cur_iters
+        or prior.get("sf_dir", cur_sf_dir) != cur_sf_dir
+    ):
+        print(
+            f"BENCH_SOLO.json settings changed (iters "
+            f"{prior.get('iters')}->{cur_iters}, sf_dir "
+            f"{prior.get('sf_dir')}->{cur_sf_dir}); discarding "
+            f"{len(merged)} prior rows measured under the old settings",
+            file=sys.stderr,
+        )
+        merged = {}
+    merged.update(out)
+    stale = sorted(set(merged) - registry)
+    if stale:
+        print(f"pruning rows no longer in registry: {stale}", file=sys.stderr)
+        for k in stale:
+            del merged[k]
+    return merged
+
+
 def solo(names: list[str]) -> int:
     """Run-alone benchmark: each query in its OWN subprocess/JVM, so the
     timing is free of same-JVM suite contention (GC pressure, shuffle-dir
@@ -185,39 +227,15 @@ def solo(names: list[str]) -> int:
     path = os.path.join(here, "BENCH_SOLO.json")
     cur_iters = int(os.environ.get("BENCH_ITERS", "3"))
     cur_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    merged: dict[str, float] = {}
+    prior = {}
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        merged = prior.get("queries", {})
-        # ADVICE r8 #1: the merged artifact stamps every row with ONE
-        # iters/sf_dir — mixing measurement settings would silently
-        # mislabel the retained rows, so a settings mismatch drops the
-        # stale rows (loudly) instead of re-stamping them.
-        if (
-            prior.get("iters", cur_iters) != cur_iters
-            or prior.get("sf_dir", cur_sf_dir) != cur_sf_dir
-        ):
-            print(
-                f"BENCH_SOLO.json settings changed (iters "
-                f"{prior.get('iters')}→{cur_iters}, sf_dir "
-                f"{prior.get('sf_dir')}→{cur_sf_dir}); discarding "
-                f"{len(merged)} prior rows measured under the old settings",
-                file=sys.stderr,
-            )
-            merged = {}
-    merged.update(out)
-    # ADVICE r8 #1: prune rows for queries no longer in the registry —
-    # renamed/removed queries must not survive as stale timings.
     from datafusion_ballista_dhruvil_spark.operators import load_all
     from datafusion_ballista_dhruvil_spark.operators.registry import QUERIES
 
     load_all()
-    stale = sorted(set(merged) - set(QUERIES))
-    if stale:
-        print(f"pruning rows no longer in registry: {stale}", file=sys.stderr)
-        for k in stale:
-            del merged[k]
+    merged = merge_solo(prior, out, cur_iters, cur_sf_dir, set(QUERIES))
     payload = {
         "metric": "solo_query_sec",
         "unit": "sec",

@@ -123,3 +123,48 @@ def test_block_is_noisy_rule():
     assert block_is_noisy(noisy_down)
     assert not block_is_noisy(tiny)
     assert not block_is_noisy(legacy)
+
+
+# ---- BENCH_SOLO merge hygiene (ADVICE r8 #1) ------------------------------
+
+
+def test_merge_solo_replaces_and_keeps():
+    sys.path.insert(0, str(REPO))
+    from bench import merge_solo
+
+    prior = {"queries": {"a": 1.0, "b": 2.0}, "iters": 3, "sf_dir": "/sf"}
+    got = merge_solo(prior, {"a": 1.5}, 3, "/sf", {"a", "b"})
+    assert got == {"a": 1.5, "b": 2.0}
+
+
+def test_merge_solo_discards_on_settings_change():
+    sys.path.insert(0, str(REPO))
+    from bench import merge_solo
+
+    prior = {"queries": {"a": 1.0, "b": 2.0}, "iters": 3, "sf_dir": "/sf"}
+    # different iters: prior rows measured under other settings go
+    assert merge_solo(prior, {"a": 1.5}, 5, "/sf", {"a", "b"}) == {"a": 1.5}
+    # different sf_dir: same
+    assert merge_solo(prior, {"a": 1.5}, 3, "/sf1", {"a", "b"}) == {"a": 1.5}
+
+
+def test_merge_solo_prunes_unregistered():
+    sys.path.insert(0, str(REPO))
+    from bench import merge_solo
+
+    prior = {"queries": {"a": 1.0, "gone_query": 9.0}, "iters": 3, "sf_dir": "/sf"}
+    got = merge_solo(prior, {"a": 1.2}, 3, "/sf", {"a"})
+    assert got == {"a": 1.2}
+
+
+def test_merge_solo_legacy_artifact_without_settings():
+    sys.path.insert(0, str(REPO))
+    from bench import merge_solo
+
+    # pre-r9 artifacts carry iters/sf_dir at current defaults or not at
+    # all; absent keys must NOT trigger the discard
+    prior = {"queries": {"a": 1.0}}
+    assert merge_solo(prior, {"b": 2.0}, 3, "/sf", {"a", "b"}) == {
+        "a": 1.0,
+        "b": 2.0,
+    }
