@@ -45,7 +45,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: 2) every decode_image consumer: the r9 PNG branch touched that
 #:    function, so all queries whose results flow through it re-hash
 #:    (the r8 digest-consumer precedent; all locally re-diffed green);
-#: 3) refresh block: 38 of the 40 queries whose ONLY verdict is r1-era
+#: 3) refresh block: 33 of the 40 queries whose ONLY verdict is r1-era
 #:    (h2o_*, ops_*, the metadata-grain mm trio, nyctaxi,
 #:    dedup_ngram_jaccard/simhash_pairs) -- the true oldest rows in the
 #:    ledger (the r8 note's "r3-era next-oldest" undercounted the
