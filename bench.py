@@ -257,6 +257,17 @@ def solo(names: list[str]) -> int:
 SENTINEL_RATIO = 2.0
 SENTINEL_DELTA_SEC = 0.3
 
+#: Cross-suite noise canary (VERDICT r9 #1): ONE fixed cheap query
+#: (single-pass filter-agg over lineitem, ~0.3s at sf0.1) re-run at EVERY
+#: family boundary, giving a running series of host-noise readings the
+#: gate can consult per ROW. The r9 end-of-block sentinel only catches a
+#: window that is still live when the block ENDS; the same r9 window
+#: inflated ev/dedup/snapshot/split 1.5-7x yet faded before each block's
+#: end, reading clean sentinels (0.76-1.65). Boundary readings every
+#: ~5-10s of suite time bracket each family, so a minutes-long window
+#: cannot start and fade without moving at least one adjacent reading.
+CANARY_QUERY = "q6"
+
 
 def block_is_noisy(info: dict) -> bool:
     r = info.get("sentinel_ratio")
@@ -264,6 +275,35 @@ def block_is_noisy(info: dict) -> bool:
         return False
     delta = abs(info.get("sentinel_end_sec", 0.0) - info.get("sentinel_start_sec", 0.0))
     return (r > SENTINEL_RATIO or r < 1.0 / SENTINEL_RATIO) and delta > SENTINEL_DELTA_SEC
+
+
+def canary_suspect_families(
+    noise_index: list[dict],
+    ratio: float = SENTINEL_RATIO,
+    delta: float = SENTINEL_DELTA_SEC,
+) -> set[str]:
+    """Shared with tools/bench_gate.py: which families' readings were
+    bracketed by an elevated canary?
+
+    ``noise_index`` is the boundary series bench.py emits: entry i is the
+    canary's wall-time taken at the boundary ENTERING family
+    ``noise_index[i]["at"]`` (final entry labeled "end"). Baseline is the
+    series MINIMUM — the canary's quiet cost on this host this run, so
+    the rule self-calibrates to sf size and page-cache state. Family F is
+    window-suspect when EITHER enclosing reading (at F's start, or at the
+    next boundary) exceeds ratio*baseline AND baseline+delta: the same
+    two-bar rule as block_is_noisy, anchored to the quietest reading
+    instead of a single start/end pair.
+    """
+    if len(noise_index) < 2:
+        return set()
+    base = min(e["sec"] for e in noise_index)
+    suspect: set[str] = set()
+    for i, e in enumerate(noise_index[:-1]):
+        worst = max(e["sec"], noise_index[i + 1]["sec"])
+        if worst > ratio * base and worst - base > delta:
+            suspect.add(e["at"])
+    return suspect
 
 
 def main() -> int:
@@ -367,9 +407,32 @@ def main() -> int:
     # blocks as unadjudicated noise rather than code regressions, so a
     # reading like r8's q15 5.61s no longer consumes a judge solo session.
     blocks: dict[str, dict] = {}
+    # Boundary canary series (VERDICT r9 #1): one reading per family
+    # boundary + suite end. Taken AFTER the boundary clearCache/gc so
+    # every reading sees the same (clean) cache state and only HOST
+    # conditions vary between readings. ~0.3s x ~45 boundaries ≈ 15s of
+    # untimed wall-clock — the price of per-row window adjudication.
+    noise_index: list[dict] = []
+    suite_t0 = time.perf_counter()
+
+    def _canary(label: str) -> None:
+        t0 = time.perf_counter()
+        QUERIES[CANARY_QUERY](spark, sf_dir).collect()
+        noise_index.append(
+            {
+                "at": label,
+                "sec": round(time.perf_counter() - t0, 4),
+                "t_offset": round(t0 - suite_t0, 1),
+            }
+        )
 
     def _end_block(fam: str) -> None:
         info = blocks[fam]
+        if isolate:
+            # ADVICE r9 #2: in --isolate mode every measured iteration
+            # ran after clearCache; the sentinel re-run must too, or it
+            # reads artificially warm and skews sentinel_ratio
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[info["first"]](spark, sf_dir).collect()
         end = time.perf_counter() - t0
@@ -384,12 +447,15 @@ def main() -> int:
         if prev_family is not None and fam != prev_family:
             # sentinel runs BEFORE the boundary clearCache/gc so it sees
             # the same cache conditions the block's measurements did
+            # (family_gc mode; --isolate clears inside _end_block)
             _end_block(prev_family)
         if isolate:
             spark.catalog.clearCache()
         elif family_gc and prev_family is not None and fam != prev_family:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+        if fam != prev_family:
+            _canary(fam)
         prev_family = fam
         samples = []
         # the headline TPC-H block gets median-of-5 (vs 3 elsewhere):
@@ -411,6 +477,7 @@ def main() -> int:
             blocks[fam] = {"first": name, "sentinel_start_sec": times[name]}
     if prev_family is not None:
         _end_block(prev_family)
+    _canary("end")
 
     total = round(sum(times.values()), 4)
     tpch_total = round(sum(v for k, v in times.items() if re.fullmatch(r"q\d+", k)), 4)
@@ -435,6 +502,7 @@ def main() -> int:
         "iters_tpch": iters + 2,
         "iters_rest": iters,
         "noise_sentinel": True,
+        "boundary_canary": CANARY_QUERY,
     }
     # Full per-query detail goes to a FILE; the final stdout line stays
     # compact so the driver's bounded tail capture parses it (the r1
@@ -451,6 +519,7 @@ def main() -> int:
                 "queries": times,
                 "queries_min": mins,
                 "blocks": blocks,
+                "noise_index": noise_index,
                 "sf": sf,
                 "iters": iters,  # kept for r01-r05 artifact compatibility
                 "protocol": protocol,
@@ -473,6 +542,7 @@ def main() -> int:
                 "tpch_total_sec": tpch_total,
                 "slowest": {k: v for k, v in slowest},
                 "noisy_blocks": noisy_blocks,
+                "window_suspect": sorted(canary_suspect_families(noise_index)),
                 "queries_file": "bench_queries.json",
                 "protocol": protocol,
             }

@@ -58,7 +58,26 @@ def test_min_of_iters_rescues_contention(tmp_path):
     assert r.returncode == 0
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["regressions"] == [] and out["flagged"] == 0
-    assert out["min_rescued"] == ["ev_x"]
+    # ADVICE r9 #3: rescues carry their deltas so repeated rescues of the
+    # same query stay visible round-over-round
+    assert [d["query"] for d in out["min_rescued"]] == ["ev_x"]
+    assert out["min_rescued"][0]["min_delta"] == 0.1
+
+
+def test_min_of_iters_absolute_bar_rescues_near_floor(tmp_path):
+    # prev 0.4s, median 1.0s (>1.5x) and min 0.7s fails the ratio bar,
+    # but min-prev = 0.3s <= DELTA_SEC: the same absolute swing the solo
+    # confirmation ignores — rescued, with the delta on record
+    r = _run(
+        {"ev_y": 0.4},
+        {"ev_y": 1.0},
+        tmp_path,
+        queries_min={"ev_y": 0.7},
+    )
+    assert r.returncode == 0
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["flagged"] == 0
+    assert [d["query"] for d in out["min_rescued"]] == ["ev_y"]
 
 
 def test_noisy_block_sentinel_skips_flagging(tmp_path):
@@ -168,3 +187,86 @@ def test_merge_solo_legacy_artifact_without_settings():
         "a": 1.0,
         "b": 2.0,
     }
+
+
+# ---- boundary-canary window adjudication (VERDICT r9 #1) ------------------
+
+
+def test_canary_suspect_families_rule():
+    sys.path.insert(0, str(REPO))
+    from bench import canary_suspect_families
+
+    # quiet series: every reading near the minimum — nothing suspect
+    quiet = [
+        {"at": "q", "sec": 0.30}, {"at": "ev", "sec": 0.33},
+        {"at": "sim", "sec": 0.31}, {"at": "end", "sec": 0.32},
+    ]
+    assert canary_suspect_families(quiet) == set()
+
+    # mid-series hump: ev's closing reading and sim's opening reading are
+    # the SAME elevated boundary — both families bracketed by the window
+    hump = [
+        {"at": "q", "sec": 0.30}, {"at": "ev", "sec": 0.31},
+        {"at": "sim", "sec": 1.40}, {"at": "text", "sec": 0.32},
+        {"at": "end", "sec": 0.30},
+    ]
+    assert canary_suspect_families(hump) == {"ev", "sim"}
+
+    # ratio exceeded but absolute delta under the bar (sub-second
+    # scheduling swing): not suspect
+    tiny = [
+        {"at": "q", "sec": 0.05}, {"at": "ev", "sec": 0.15},
+        {"at": "end", "sec": 0.05},
+    ]
+    assert canary_suspect_families(tiny) == set()
+
+    # legacy artifact without the series: no suspects, no crash
+    assert canary_suspect_families([]) == set()
+    assert canary_suspect_families([{"at": "q", "sec": 0.3}]) == set()
+
+
+def test_canary_catches_midblock_window_that_sentinel_missed(tmp_path):
+    # The exact r9 blind spot, reconstructed with a synthetic load
+    # window: a co-tenant window is live while the ev block's MIDDLE
+    # queries run, then fades before the block ends — so the end-of-block
+    # sentinel re-run of ev's first query reads clean (ratio ~1.0), but
+    # the boundary canary taken as the NEXT family starts is still
+    # elevated. The gate must adjudicate ev's inflated rows as
+    # window-suspect without any solo re-measure.
+    def canary_sec(base, window_active):
+        return round(base * (4.0 if window_active else 1.0), 4)
+
+    base = 0.3
+    # window timeline: opens after the ev-entry canary, fades after the
+    # sim-entry canary — ev's closing boundary reading catches it
+    noise_index = [
+        {"at": "q", "sec": canary_sec(base, False)},
+        {"at": "ev", "sec": canary_sec(base, False)},
+        {"at": "sim", "sec": canary_sec(base, True)},
+        {"at": "text", "sec": canary_sec(base, False)},
+        {"at": "end", "sec": canary_sec(base, False)},
+    ]
+    r = _run(
+        {"ev_mid": 1.0, "text_z": 1.0},
+        {"ev_mid": 2.6, "text_z": 1.05},  # ev inflated 2.6x, text fine
+        tmp_path,
+        queries_min={"ev_mid": 2.5, "text_z": 1.0},  # min offers no rescue
+        blocks={
+            "ev": {
+                # sentinel clean: window faded before block end
+                "first": "ev_mid",
+                "sentinel_start_sec": 2.6,
+                "sentinel_end_sec": 2.7,
+                "sentinel_ratio": 1.04,
+            }
+        },
+        noise_index=noise_index,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["flagged"] == 0 and out["regressions"] == []
+    assert out["window_suspect_skipped"] == ["ev_mid"]
+    assert "ev" in out["window_suspect_blocks"]
+    # the clean-sentinel block is NOT in the old noisy list — the canary
+    # rule, not the block rule, is what adjudicated it
+    assert out["noisy_blocks"] == []

@@ -14,12 +14,21 @@ expensive solo re-measure, both fed by instrumentation the suite now
 emits:
 
 * **min-of-iters**: if the query's fastest iteration this run is within
-  the ratio bar of the previous median, the slow median was suite/host
-  contention, not code — the code demonstrably still runs fast.
+  the ratio bar of the previous median — or within DELTA_SEC absolute,
+  the same two-bar rule the solo confirmation applies (ADVICE r9 #3) —
+  the slow median was suite/host contention, not code. Every rescue is
+  recorded WITH its delta so a query rescued round after round is
+  visible in the artifact trail rather than silently immune.
 * **block sentinel**: each family block re-runs its first query at block
   end; a block whose sentinel moved >2x and >0.3s (bench.block_is_noisy)
   was measured inside a co-tenant interference window, and its readings
   are recorded as ``noisy_skipped`` instead of flagged.
+* **boundary canary** (VERDICT r9 #1): the suite re-runs ONE fixed cheap
+  query at every family boundary; a family whose enclosing canary pair
+  reads >2x the series minimum was bracketed by a host-noise window even
+  if its own end-of-block sentinel came back clean (the r9 mid-block
+  blind spot: a window that starts and fades inside a block). Rows in
+  such families are recorded as ``window_suspect_skipped``.
 
 Usage: python tools/bench_gate.py PREV_bench_queries.json [CUR.json]
 Writes BENCH_SOLO.json via bench.py --solo; exits 1 on confirmed
@@ -43,7 +52,7 @@ DELTA_SEC = 0.5
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-from bench import block_is_noisy  # noqa: E402 — shared noise rule
+from bench import block_is_noisy, canary_suspect_families  # noqa: E402 — shared noise rules
 
 
 def _family(name: str) -> str:
@@ -69,27 +78,43 @@ def main() -> int:
         for fam, info in cur_doc.get("blocks", {}).items()
         if block_is_noisy(info)
     }
+    suspect_fams = canary_suspect_families(cur_doc.get("noise_index", []))
 
     suite_slow = sorted(
         (n, prev[n], cur[n])
         for n in cur
         if n in prev and prev[n] > FLOOR_SEC and cur[n] > RATIO * prev[n]
     )
-    # min-of-iters rescue: fastest iteration within the bar → contention
+    # min-of-iters rescue: fastest iteration within the ratio bar OR
+    # within DELTA_SEC absolute (the solo confirmation's two bars,
+    # ADVICE r9 #3) → contention, not code
     min_ok = [
-        (n, p, c) for n, p, c in suite_slow if cur_min.get(n, c) <= RATIO * p
+        (n, p, c)
+        for n, p, c in suite_slow
+        if cur_min.get(n, c) <= RATIO * p or cur_min.get(n, c) - p <= DELTA_SEC
     ]
     rest = [t for t in suite_slow if t not in min_ok]
     # sentinel skip: measured inside a self-documented noise window
     noisy_skipped = [(n, p, c) for n, p, c in rest if _family(n) in noisy_fams]
-    flagged = [t for t in rest if t not in noisy_skipped]
+    rest2 = [t for t in rest if t not in noisy_skipped]
+    # canary skip: family bracketed by elevated boundary-canary readings
+    window_skipped = [(n, p, c) for n, p, c in rest2 if _family(n) in suspect_fams]
+    flagged = [t for t in rest2 if t not in window_skipped]
 
     base = {
         "metric": "bench_gate",
         "suite_slow": len(suite_slow),
-        "min_rescued": [n for n, _, _ in min_ok],
+        # deltas recorded so a query rescued every round is VISIBLE in
+        # the artifact trail (ADVICE r9 #3's anti-immunity clause)
+        "min_rescued": [
+            {"query": n, "prev": p, "cur_min": cur_min.get(n, c),
+             "min_delta": round(cur_min.get(n, c) - p, 4)}
+            for n, p, c in min_ok
+        ],
         "noisy_skipped": [n for n, _, _ in noisy_skipped],
         "noisy_blocks": sorted(noisy_fams),
+        "window_suspect_skipped": [n for n, _, _ in window_skipped],
+        "window_suspect_blocks": sorted(suspect_fams),
     }
     if not flagged:
         print(json.dumps({**base, "regressions": [], "flagged": 0}))
