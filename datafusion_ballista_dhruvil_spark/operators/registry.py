@@ -34,77 +34,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 9). The driver's correctness gate
+#: Driver-facing export order (round 10). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. Cumulative record through r8: 338/338 driver-verified green,
-#: zero failures ever, zero unverdicted tail (VERDICT r8).
-#: Tranche composition (changed-code-first rule, VERDICT r8 #3):
-#: 1) the 3 queries NEW in r9 -- mm_png_features (the PNG decoder
-#:    landing, VERDICT r8 #6) and the two EXISTS-family TPC-DS shapes
-#:    (#7) -- all locally driver-diffed green + plan-gated;
-#: 2) every decode_image consumer: the r9 PNG branch touched that
-#:    function, so all queries whose results flow through it re-hash
-#:    (the r8 digest-consumer precedent; all locally re-diffed green);
-#: 3) refresh block: 33 of the 40 queries whose ONLY verdict is r1-era
-#:    (h2o_*, ops_*, the metadata-grain mm trio, nyctaxi,
-#:    dedup_ngram_jaccard/simhash_pairs) -- the true oldest rows in the
-#:    ledger (the r8 note's "r3-era next-oldest" undercounted the
-#:    never-refreshed r1 block). The session-2 TPC-DS widening displaced
-#:    udf_table_function / udf_vectorized_score (r1-era but wholly
-#:    covered by tests/test_udf_plugin.py) and session-3 displaced the
-#:    metadata-grain mm trio (frame_sample/metadata_stats/
-#:    resize_thumbnail — the three simplest expression-only queries)
-#:    and h2o_join_small (its five join siblings carry the family
-#:    signal) to r10.
-#: R10 ROTATION NOTE: no queries registered after this tranche froze;
-#: queue whatever code changes in r10, then finish the r1-era refresh
-#: (udf_table_function, udf_vectorized_score, mm_frame_sample,
-#: mm_metadata_stats, mm_resize_thumbnail, h2o_join_small,
-#: ops_values_limit_offset), then the r2-era rows
-#: (24 left, incl. the asof keystone) and the r3-era approx/window
-#: families.
+#: coverage. Cumulative record through r9: 350/350 driver-verified green,
+#: zero latest-verdict failures (VERDICT r9).
+#: Tranche composition (changed-code-first rule):
+#: 1) the 3 queries NEW in r10 -- mm_jpeg_features (the baseline-JPEG
+#:    codec landing, VERDICT r9 #6) and the two r9-#5 TPC-DS shapes
+#:    (q14 full three-channel rollup form, q36 three-level hierarchy) --
+#:    all locally driver-diffed green;
+#: 2) the 10 mm queries whose code changed in r10: the shared
+#:    tile_doc_pixels/doc_pcm16 helpers replaced inline copies
+#:    (ADVICE r9 #4) and decode_image gained CRC verification
+#:    (ADVICE r9 #1) + the JPEG dispatch branch -- every consumer
+#:    re-hashes (the digest-consumer precedent);
+#: 3) the 7 remaining r1-era rows (finishes the r1 refresh the r9 note
+#:    queued);
+#: 4) all 24 r2-era rows (incl. the asof keystone) -- after this tranche
+#:    no row's latest verdict is older than r3;
+#: 5) 6 r3-era ops_* rows (the approx/lateral sub-family) to fill
+#:    the 50.
+#: R11 ROTATION NOTE: queue whatever code changes in r11 first, then the
+#: remaining 39 r3-era rows (ops_sort_null_order and ops_unpivot were
+#: displaced from this tranche by the two new TPC-DS registrations), i.e. (ev_* streaming family, text_*, sim_cosine,
+#: sample_*/split/mix/pack, range_recent_clicks, yoy_sales_growth).
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # ---- new in r9 (changed-code-first: brand-new registrations)
+    # ---- new in r10 (changed-code-first: brand-new registrations)
+    "mm_jpeg_features",
+    "tpcds_q14_rollup",
+    "tpcds_q36_deep",
+    # ---- r10 changed-code consumers: tile_doc_pixels/doc_pcm16
+    # refactor + decode_image CRC/JPEG-dispatch touch all of these
     "mm_png_features",
-    "tpcds_q95",
-    "tpcds_q10",
-    # r9 session-2 TPC-DS widening (all locally driver-diffed green,
-    # 0 bad of 4)
-    "tpcds_q94",
-    "tpcds_q92",
-    "tpcds_q99",
-    "tpcds_q13",
-    # r9 session-3 TPC-DS widening (0 bad of 3 locally)
-    "tpcds_q41",
-    "tpcds_q76",
-    "tpcds_q90",
-    # r9 session-3: real pixel resize over the PNG decode path + the
-    # audio resample analogue over the WAV decode path
-    "mm_image_resize",
-    "mm_audio_resample",
-    # ---- decode_image consumers (its PNG branch is new in r9)
     "mm_decode_features",
     "mm_image_ahash",
     "mm_image_dhash",
     "mm_image_neardup_pairs",
     "mm_image_entropy",
-    # ---- refresh block: every query still carrying an r1-era verdict
-    "h2o_corr_by_group", "h2o_join_big", "h2o_join_factor",
-    "h2o_join_left_medium", "h2o_join_medium",
-    "h2o_mean_multi", "h2o_median_sd", "h2o_range_by_group",
-    "h2o_sum_composite", "h2o_sum_count_wide", "h2o_sum_hicard",
-    "h2o_sum_lowcard", "h2o_top2_per_group",
-    "ops_agg_filter_distinct", "ops_agg_stats", "ops_cross_join",
-    "ops_grouping_sets", "ops_histogram", "ops_join_left_right",
-    "ops_join_null_safe", "ops_join_outer_coalesce", "ops_join_semi_anti",
-    "ops_profile_stats", "ops_rollup_cube", "ops_setops",
-    "ops_table_checksum", "ops_topk",
-    "ops_window_analytic", "ops_window_frames", "ops_window_ranking",
-    "nyctaxi_agg",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "mm_image_resize",
+    "mm_audio_features",
+    "mm_audio_vad_segments",
+    "mm_audio_resample",
+    # ---- r1-era refresh (the 7 rows the r9 note queued)
+    "udf_table_function", "udf_vectorized_score",
+    "mm_frame_sample", "mm_metadata_stats", "mm_resize_thumbnail",
+    "h2o_join_small", "ops_values_limit_offset",
+    # ---- r2-era refresh (all 24)
+    "asof_click_attribution", "avro_roundtrip_agg", "csv_roundtrip_agg",
+    "dedup_semantic_keep", "h2o_sum_multi", "hybrid_search_rrf",
+    "json_roundtrip_agg", "ops_agg_weighted_percentile",
+    "ops_bool_predicates", "ops_case_cast", "ops_map_functions",
+    "ops_regexp_hash", "ops_scalar_datetime", "ops_scalar_math",
+    "ops_scalar_string", "ops_window_groups", "sim_ann_bucketed",
+    "sim_centroid_by_label", "sim_embedding_neardup",
+    "sim_embedding_quantize", "sim_kmeans_assign", "sim_kmeans_iterate",
+    "sim_random_projection", "udf_grouped_agg",
+    # ---- r3-era fill (approx/lateral/unpivot ops sub-family)
+    "ops_agg_approx", "ops_array_hof", "ops_empty_relation",
+    "ops_explode_outer", "ops_lateral_explode", "ops_lateral_join",
 ]
 
 

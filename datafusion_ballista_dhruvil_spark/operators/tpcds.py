@@ -3067,3 +3067,218 @@ def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("am_pm_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q14_rollup",
+    oracle=f"""
+WITH li AS (
+  SELECT l_returnflag AS channel, p_brand, {_SQL_REV6} AS rev6
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), cross_brands AS (
+  SELECT p_brand FROM li WHERE channel = 'A'
+  INTERSECT
+  SELECT p_brand FROM li WHERE channel = 'N'
+  INTERSECT
+  SELECT p_brand FROM li WHERE channel = 'R'
+), base AS (
+  SELECT * FROM li WHERE p_brand IN (SELECT p_brand FROM cross_brands)
+), tot AS (
+  SELECT CAST(SUM(rev6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS global_mean
+  FROM base
+), per AS (
+  SELECT channel, p_brand, CAST(SUM(rev6) AS BIGINT) AS sales6,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM base GROUP BY channel, p_brand
+), qual AS (
+  SELECT per.* FROM per, tot WHERE sales6 // n_lines > global_mean
+)
+SELECT channel, p_brand,
+  CAST(grouping(channel) + grouping(p_brand) AS INT) AS lochierarchy,
+  CAST(SUM(sales6) AS BIGINT) AS sales6,
+  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+  CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM qual
+GROUP BY ROLLUP(channel, p_brand)
+ORDER BY lochierarchy DESC, COALESCE(channel, ''), COALESCE(p_brand, '')
+""",
+)
+def tpcds_q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 FULL three-channel form (VERDICT r9 #5): items present
+    in ALL THREE channels (l_returnflag A/N/R standing in for
+    store/catalog/web), per-channel groups qualified against the
+    cross-channel average, then aggregated at ROLLUP grain with a
+    COUNT(DISTINCT) — the multi-fact INTERSECT + rollup shape the r9 q14
+    (two-leg INTERSECT core) didn't cover.
+
+    Scale re-expression: ONE fact pass total (plan-gated). The fact
+    aggregates to (channel, brand) grain first; cross-channel presence
+    (|collect_set(channel)| == 3 per brand — the spec's three-way
+    INTERSECT), the global mean (``sum(sales6)/sum(n_lines)`` over the
+    qualified grain equals the base-row mean exactly), and the
+    qualification filter are all WINDOWS over those 75 rows in one
+    linear chain — re-referencing a DataFrame would duplicate its
+    subtree and re-scan the fact (Spark has no auto CTE). The oracle
+    keeps the spec's literal INTERSECT; results are identical.
+    The average-sales filter compares integer FLOOR-DIV means
+    (``sales6 // n_lines > total_sum // total_cnt``): exact in both
+    engines at any scale, no double rounding at the boundary and no
+    bigint overflow (the naive cross-multiply ``sales6 * total_cnt``
+    passes int64 at ~sf1). COUNT(DISTINCT p_brand) at rollup grain is
+    the two-phase expand aggregate: 1 on detail rows, brands-per-channel
+    at level 1, global distinct at the grand total."""
+    t = Tables(spark, sf_dir)
+    part = t.part.select("p_partkey", "p_brand")
+    li = t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("l_returnflag").alias("channel"), "p_brand", F.expr(_REV6).alias("rev6")
+    )
+    # ONE fact pass: aggregate to (channel, brand) grain (75 rows), then
+    # derive cross-channel presence, the global mean, and qualification
+    # as WINDOWS over that grain in one linear chain — a DataFrame
+    # referenced twice gets its subtree duplicated (Spark has no auto
+    # CTE), which is a re-scan of the fact; windows keep the lineage
+    # single-path. The unpartitioned window is safe: the frame is the
+    # bounded |channels| x |brands| grain, never fact rows.
+    per_all = li.groupBy("channel", "p_brand").agg(
+        F.sum("rev6").cast("bigint").alias("sales6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    w_brand = Window.partitionBy("p_brand")
+    qual = (
+        per_all.withColumn(
+            "_nch", F.size(F.collect_set("channel").over(w_brand))
+        )
+        .where(F.col("_nch") == 3)
+        # exact integer floor-div mean (Spark's / on bigints is double)
+        .withColumn(
+            "global_mean",
+            F.expr(
+                "sum(sales6) OVER () div sum(n_lines) OVER ()"
+            ),
+        )
+        .where(F.expr("sales6 div n_lines > global_mean"))
+    )
+    return (
+        qual.rollup("channel", "p_brand")
+        .agg(
+            (F.grouping("channel") + F.grouping("p_brand"))
+            .cast("int")
+            .alias("lochierarchy"),
+            F.sum("sales6").cast("bigint").alias("sales6"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+        )
+        .select(
+            "channel", "p_brand", "lochierarchy", "sales6", "n_lines", "n_brands"
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.coalesce(F.col("channel"), F.lit("")),
+            F.coalesce(F.col("p_brand"), F.lit("")),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q36_deep",
+    oracle=f"""
+WITH pt AS (
+  SELECT p_partkey, p_type, p_brand,
+         'Manufacturer#' || substring(p_brand, 7, 1) AS p_mfgr
+  FROM part
+), agg AS (
+  SELECT p_mfgr, p_type, p_brand,
+         CAST(SUM({_SQL_REV6}) AS BIGINT) AS r6,
+         CAST(SUM({_SQL_FULL6}) AS BIGINT) AS f6,
+         CAST(grouping(p_mfgr) + grouping(p_type) + grouping(p_brand) AS INT)
+           AS lochierarchy
+  FROM lineitem JOIN pt ON l_partkey = p_partkey
+  GROUP BY ROLLUP(p_mfgr, p_type, p_brand)
+)
+SELECT p_mfgr, p_type, p_brand,
+       r6 // nullif(f6 // 1000000, 0) AS margin_ppm,
+       lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+           CASE WHEN lochierarchy = 0
+                  THEN COALESCE(p_mfgr, '') || '~' || COALESCE(p_type, '')
+                WHEN lochierarchy = 1 THEN p_mfgr END
+         ORDER BY r6 // nullif(f6 // 1000000, 0) NULLS LAST,
+                  COALESCE(p_mfgr, ''), COALESCE(p_type, ''),
+                  COALESCE(p_brand, '')
+       ) AS INT) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, p_mfgr NULLS FIRST, p_type NULLS FIRST,
+         rank_within_parent, COALESCE(p_brand, '')
+""",
+)
+def tpcds_q36_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 at a DEEPER hierarchy (VERDICT r9 #5): three-level
+    ROLLUP(manufacturer, type, brand) — lochierarchy 0..3 — with rank()
+    WITHIN PARENT at every level: detail rows rank inside their
+    (mfgr, type) parent, type subtotals inside their mfgr, mfgr
+    subtotals against each other, one grand-total row. rank() (not
+    row_number) preserves per-parent TIES on equal margins; the window's
+    ORDER BY carries full key tiebreaks and the final ORDER BY repeats
+    them, so equal-rank rows land deterministically in both engines.
+    Margin stays the divide-first integer ppm of the house q36 (no
+    doubles anywhere until nothing is left to round).
+
+    The testdata's part table carries no p_mfgr column; per the TPC-H
+    spec brands are 'Brand#XY' with X the manufacturer digit, so the
+    manufacturer level is DERIVED ('Manufacturer#' || digit) and the
+    mfgr ⊃ brand containment is genuine (mirrored in the oracle)."""
+    t = Tables(spark, sf_dir)
+    part = t.part.select(
+        "p_partkey",
+        F.concat(F.lit("Manufacturer#"), F.substring("p_brand", 7, 1)).alias(
+            "p_mfgr"
+        ),
+        "p_type",
+        "p_brand",
+    )
+    agg = (
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_mfgr", "p_type", "p_brand")
+        .agg(
+            F.sum(F.expr(_REV6)).alias("r6"),
+            F.sum(F.expr(_FULL6)).alias("f6"),
+            (F.grouping("p_mfgr") + F.grouping("p_type") + F.grouping("p_brand"))
+            .cast("int")
+            .alias("lochierarchy"),
+        )
+        .select(
+            "p_mfgr",
+            "p_type",
+            "p_brand",
+            F.expr("r6 div nullif(f6 div 1000000, 0)").alias("margin_ppm"),
+            "lochierarchy",
+            F.expr(
+                "CASE WHEN lochierarchy = 0 THEN"
+                " concat(COALESCE(p_mfgr, ''), '~', COALESCE(p_type, ''))"
+                " WHEN lochierarchy = 1 THEN p_mfgr END"
+            ).alias("_parent"),
+        )
+    )
+    w = Window.partitionBy("lochierarchy", "_parent").orderBy(
+        F.asc_nulls_last("margin_ppm"),
+        F.coalesce(F.col("p_mfgr"), F.lit("")),
+        F.coalesce(F.col("p_type"), F.lit("")),
+        F.coalesce(F.col("p_brand"), F.lit("")),
+    )
+    return (
+        agg.withColumn("rank_within_parent", F.rank().over(w).cast("int"))
+        .select(
+            "p_mfgr", "p_type", "p_brand", "margin_ppm", "lochierarchy",
+            "rank_within_parent",
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first("p_mfgr"),
+            F.asc_nulls_first("p_type"),
+            "rank_within_parent",
+            F.coalesce(F.col("p_brand"), F.lit("")),
+        )
+    )

@@ -1042,3 +1042,39 @@ def test_audio_resample_map_only(spark):
     assert node_counts(plan)["py_map"] == 2
     assert "Join" not in plan
     assert exchange_count(df) == 0
+
+
+def test_jpeg_features_map_only(spark):
+    # baseline-JPEG encode + full Huffman/IDCT decode (r10): two chained
+    # MapInPandas stages, zero exchanges, zero joins — bytes never shuffle.
+    from tools.plan_fingerprint import node_counts
+
+    df = QUERIES["mm_jpeg_features"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert node_counts(plan)["py_map"] == 2
+    assert "Join" not in plan
+    assert exchange_count(df) == 0
+
+
+def test_r10_tpcds_shapes(spark):
+    """r10 widening gates (VERDICT r9 #5). q14_rollup: everything —
+    three-channel presence (the spec's INTERSECT as countDistinct),
+    qualification, global mean — derives from ONE (channel, brand)
+    aggregation of the fact via windows in a single linear chain, so
+    lineitem is scanned EXACTLY ONCE, never once per channel and never
+    duplicated across subtree references; no nested loops. q36_deep:
+    one rollup Expand + one ranking
+    window over subtotal-grain rows, no join in the post-aggregate
+    stage, no nested loop."""
+    from tools.plan_fingerprint import node_counts
+
+    p14 = formatted_plan(QUERIES["tpcds_q14_rollup"](spark, SF_DIR))
+    c14 = node_counts(p14)
+    assert c14["nested_loop"] == 0, c14
+    assert p14.count("lineitem") == 1, "q14 re-scans the fact"
+
+    p36 = formatted_plan(QUERIES["tpcds_q36_deep"](spark, SF_DIR))
+    c36 = node_counts(p36)
+    assert c36["nested_loop"] == 0, c36
+    assert "Expand" in p36 and "Window" in p36
+    assert p36.count("lineitem") <= 2, "q36_deep re-scans the fact"

@@ -1,0 +1,169 @@
+"""Property-based conformance for the baseline JPEG codec (r10; extends
+the jar-less-codec fuzz family: Avro, PNG, now JPEG).
+
+Four properties:
+
+1. **Exactness subdomain**: block-constant images with the all-8s quant
+   table roundtrip BIT-EXACTLY (the contract mm_jpeg_features' DuckDB
+   oracle relies on), including non-multiple-of-8 dims (edge-replicated
+   padding) and single-block edge cases.
+2. **Entropy layer is lossless**: decode_jpeg_coefficients recovers the
+   EXACT quantized coefficients that an INDEPENDENT forward
+   implementation (this test's own cos-sum DCT + round, no shared code
+   with the codec's matrix path) produces — pinning Huffman canonical
+   codes, DC prediction, run-length/ZRL/EOB, zigzag, and byte
+   stuffing/unstuffing end-to-end.
+3. **Bounded loss**: random images through flat-1 quant tables decode
+   within ±1 per pixel (pure IDCT/round error); chroma-constant RGB
+   through 4:2:0 subsampling loses nothing to the chroma path.
+4. **Loud gates**: progressive (SOF2) raises NotImplementedError, and
+   truncated/corrupt Huffman streams raise instead of returning junk.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_ballista_dhruvil_spark.operators.jpeg_py import (
+    QTABLE_FLAT8,
+    QTABLE_LUM,
+    ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_coefficients,
+    encode_jpeg,
+)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 8),
+    st.integers(1, 6),
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 15),
+)
+def test_block_constant_exact_roundtrip(wb, hb, seed, crop):
+    # the mm_jpeg_features contract: 8x8-constant blocks + all-8s quant
+    # table => bit-exact decode, including cropped (non-x8) dimensions
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (hb, wb), np.uint8)
+    full = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    h = max(1, hb * 8 - (crop % 8))
+    w = max(1, wb * 8 - (crop // 2 % 8))
+    img = full[:h, :w].copy()
+    enc = encode_jpeg(w, h, img.tobytes(), gray=True, qtable=QTABLE_FLAT8)
+    dw, dh, px = decode_jpeg(enc)
+    assert (dw, dh) == (w, h)
+    got = px.reshape(h, w, 3)
+    assert np.array_equal(got[:, :, 0], img)
+    assert np.array_equal(got[:, :, 1], img) and np.array_equal(got[:, :, 2], img)
+
+
+def _independent_forward(img: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Textbook O(n^4) cos-sum DCT + quantize — shares NO code with the
+    codec's matrix/einsum path. Returns (nby, nbx, 64) raster-order
+    quantized coefficients."""
+    h, w = img.shape
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        img.astype(np.float64) - 128.0,
+        ((0, nby * 8 - h), (0, nbx * 8 - w)),
+        mode="edge",
+    )
+    out = np.zeros((nby, nbx, 64), np.int32)
+    q = qtable.reshape(8, 8)
+    for by in range(nby):
+        for bx in range(nbx):
+            b = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s = 0.0
+                    for y in range(8):
+                        for x in range(8):
+                            s += (
+                                b[y, x]
+                                * math.cos((2 * y + 1) * u * math.pi / 16)
+                                * math.cos((2 * x + 1) * v * math.pi / 16)
+                            )
+                    coef = 0.25 * cu * cv * s
+                    out[by, bx, u * 8 + v] = int(np.round(coef / q[u, v]))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(9, 20), st.integers(9, 20), st.integers(0, 2**32 - 1))
+def test_entropy_layer_exact_vs_independent_dct(w, h, seed):
+    # >8 in each dim => at least 4 blocks => DC prediction crosses blocks
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), np.uint8)
+    enc = encode_jpeg(w, h, img.tobytes(), gray=True)  # Annex K table
+    _, _, comps, coeff, qts = decode_jpeg_coefficients(enc)
+    expected = _independent_forward(img, QTABLE_LUM)
+    dequant = expected * QTABLE_LUM.astype(np.int32)[None, None, :]
+    assert np.array_equal(coeff[0], dequant)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 40), st.integers(1, 32), st.integers(0, 2**32 - 1))
+def test_flat1_roundtrip_within_one(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), np.uint8)
+    q1 = np.ones(64, np.uint16)
+    enc = encode_jpeg(w, h, img.tobytes(), gray=True, qtable=q1)
+    _, _, px = decode_jpeg(enc)
+    err = np.abs(px.reshape(h, w, 3)[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 1
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(2, 24), st.integers(2, 24), st.integers(0, 2**32 - 1))
+def test_420_chroma_constant_lossless_chroma(w, h, seed):
+    # gray-as-RGB: Cb=Cr=128 constant, so 2x2 chroma averaging is exact
+    # and the only error is the flat-1 luma path's ±1
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, (h, w), np.uint8)
+    rgb = np.repeat(g.reshape(h, w, 1), 3, 2)
+    q1 = np.ones(64, np.uint16)
+    enc = encode_jpeg(
+        w, h, rgb.tobytes(), subsampling="420", qtable=q1, qtable_chrom=q1
+    )
+    _, _, px = decode_jpeg(enc)
+    err = np.abs(px.reshape(h, w, 3).astype(int) - rgb.astype(int))
+    assert err.max() <= 1
+
+
+def test_progressive_and_corrupt_gates():
+    img = np.full((8, 8), 99, np.uint8)
+    enc = bytearray(encode_jpeg(8, 8, img.tobytes(), gray=True))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must gate loudly
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    try:
+        decode_jpeg(prog)
+        raise AssertionError("progressive JPEG decoded without a gate")
+    except NotImplementedError:
+        pass
+    # truncate the entropy stream mid-block: must raise, not return junk
+    try:
+        decode_jpeg(bytes(enc[:-6]))
+        raise AssertionError("truncated JPEG decoded without an error")
+    except (ValueError, IndexError, struct.error):
+        pass
+    # not-a-JPEG magic
+    try:
+        decode_jpeg(b"GIF89a" + bytes(64))
+        raise AssertionError("non-JPEG magic accepted")
+    except NotImplementedError:
+        pass
+
+
+def test_zigzag_is_the_spec_order():
+    # T.81 Figure 5 spot checks: scan index -> raster position
+    assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
+    assert ZIGZAG[63] == 63 and len(set(ZIGZAG.tolist())) == 64

@@ -77,3 +77,30 @@ def test_png_decodes_independent_encoder_with_random_idat_split(wh, seed, cut):
     )
     w2, h2, arr = decode_image(blob)
     assert (w2, h2) == (w, h) and arr.tobytes() == px.tobytes()
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(dims, st.integers(0, 2**32 - 1), st.data())
+def test_png_crc_corruption_fails_loudly(wh, seed, data):
+    # ADVICE r9 #1: the chunk walk VERIFIES CRCs — flipping any byte of
+    # any chunk's data (IHDR dims, IDAT stream, ...) without fixing the
+    # stored CRC must raise, never decode to silently wrong pixels
+    w, h = wh
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8)
+    payload = bytearray(encode_png(w, h, px.tobytes(), color_type=2))
+    # pick a byte inside a chunk's data region: skip magic(8) and each
+    # chunk's len/type; corrupt within IHDR data (offset 16..29) or the
+    # IDAT body — both must be CRC-protected
+    ihdr_data = range(16, 16 + 13)
+    idat_start = 16 + 13 + 4 + 8  # after IHDR chunk + IDAT len/type
+    (idat_len,) = struct.unpack_from(">I", bytes(payload), 16 + 13 + 4)
+    idat_data = range(idat_start, idat_start + idat_len)
+    pos = data.draw(st.sampled_from(list(ihdr_data) + list(idat_data)))
+    flip = data.draw(st.integers(1, 255))
+    payload[pos] ^= flip
+    try:
+        decode_image(bytes(payload))
+    except (ValueError, NotImplementedError):
+        return  # loud failure — the contract
+    raise AssertionError("corrupted PNG decoded without a CRC error")
