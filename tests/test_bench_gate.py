@@ -270,3 +270,24 @@ def test_canary_catches_midblock_window_that_sentinel_missed(tmp_path):
     # the clean-sentinel block is NOT in the old noisy list — the canary
     # rule, not the block rule, is what adjudicated it
     assert out["noisy_blocks"] == []
+
+
+# ---- release_check plan (VERDICT r9 #8) -----------------------------------
+
+
+def test_release_check_dry_run_and_quick_plan():
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "release_check.py"), "--dry-run"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0
+    names = [ln.split(":")[0] for ln in r.stdout.strip().splitlines()]
+    assert names == ["smoke", "contract", "hostile", "pytest", "bench"]
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "release_check.py"),
+         "--dry-run", "--quick"],
+        capture_output=True, text=True,
+    )
+    assert [ln.split(":")[0] for ln in r2.stdout.strip().splitlines()] == [
+        "smoke", "contract", "hostile"
+    ]
