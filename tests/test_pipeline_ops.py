@@ -191,8 +191,9 @@ def test_audio_gate_raises_on_compressed_formats():
 
 
 def test_codec_gate_raises_on_compressed_formats():
-    """JPEG magic and unsupported PNG variants hit the loud gate (the
-    PNG 8-bit non-interlaced path itself is REAL as of r9)."""
+    """Unsupported codec formats hit the loud gate: progressive JPEG,
+    GIF/WEBP magic, and unsupported PNG variants (the PNG 8-bit
+    non-interlaced path is REAL as of r9, baseline JPEG as of r10)."""
     import struct
     import zlib
 
@@ -200,8 +201,21 @@ def test_codec_gate_raises_on_compressed_formats():
 
     from datafusion_ballista_dhruvil_spark.operators.multimodal import decode_image
 
+    # JPEG is REAL as of r10 (baseline, operators/jpeg_py.py); the gate
+    # moved inward: progressive (SOF2) still raises, and the remaining
+    # codec-library formats (GIF/WEBP) gate at the magic dispatch
+    from datafusion_ballista_dhruvil_spark.operators.jpeg_py import encode_jpeg
+
+    baseline = bytearray(
+        encode_jpeg(8, 8, bytes(range(64)), gray=True)
+    )
+    i = bytes(baseline).find(b"\xff\xc0")
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG
+        decode_image(bytes(baseline[:i]) + b"\xff\xc2" + bytes(baseline[i + 2:]))
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a" + b"\x00" * 64)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 64)
 
     def png_with_ihdr(bitdepth=8, ctype=2, interlace=0):
         ihdr = struct.pack(">IIBBBBB", 1, 1, bitdepth, ctype, 0, 0, interlace)
@@ -217,8 +231,13 @@ def test_codec_gate_raises_on_compressed_formats():
         decode_image(png_with_ihdr(ctype=3))  # palette
     with _pytest.raises(NotImplementedError):
         decode_image(png_with_ihdr(interlace=1))  # Adam7
+    # well-formed (CRC-valid) PNG with no IHDR: the structural gate
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # no IHDR
+        decode_image(b"\x89PNG\r\n\x1a\n" + iend)
+    # all-zero garbage chunks fail the r10 CRC verification first
+    with _pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
 def test_png_codec_roundtrip_all_filters_and_color_types():

@@ -80,6 +80,9 @@ subset = [
             "mm_resize_thumbnail",
             "mm_image_ahash",
             "mm_audio_features",
+            # r10: the JPEG codec imports jpeg_py inside the closure —
+            # the exact by-reference pickling surface this drive probes
+            "mm_jpeg_features",
             # r4 kernels: cell-local grouped-map matmuls, perceptual-hash
             # banding, VAD framing, the Python DataSource read path, and
             # the driver-collect-then-replace BPE loop
