@@ -1837,3 +1837,133 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pixel double, block_checksum long",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_jpeg_color_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) % 8) + 1 AS wb,
+         (octet_length(encode(text)) % 6) + 1 AS hb
+  FROM documents WHERE doc_id < 200
+), sized AS (
+  SELECT doc_id, text, n, wb, hb, wb * hb AS nb FROM base
+)
+SELECT doc_id,
+  CAST(wb * 8 AS BIGINT) AS width,
+  CAST(hb * 8 AS BIGINT) AS height,
+  CASE WHEN n = 0 THEN 127.0
+       ELSE CAST(list_sum(list_transform(generate_series(0, nb - 1),
+                 i -> ord(substring(text, (i % n) + 1, 1)))) AS DOUBLE) / nb
+  END AS mean_pixel,
+  CASE WHEN n = 0 THEN CAST(127 * nb * (nb + 1) / 2 AS BIGINT)
+       ELSE CAST(list_sum(list_transform(generate_series(0, nb - 1),
+                 i -> ord(substring(text, (i % n) + 1, 1)) * (i + 1))) AS BIGINT)
+  END AS block_checksum,
+  CAST(0 AS BIGINT) AS channel_spread
+FROM sized
+""",
+)
+def mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG COLOR path under the driver hash gate (r10;
+    complements mm_jpeg_features' grayscale leg): the same
+    block-constant images encoded as three-component YCbCr with 4:2:0
+    subsampling, exercising the interleaved-MCU scan (2x2 luma blocks +
+    1+1 chroma per MCU, dummy-block edge clamping), the chroma
+    replication upsample, and the YCbCr->RGB transform — none of which
+    the gray leg touches.
+
+    Exactness: gray-as-RGB input means Cb = Cr = 128 everywhere; the
+    level-shifted chroma is all-zero, quantizes to exactly zero at any
+    table, and decodes to exactly 128 — so RGB out = round(Y + 1.402*0)
+    = Y, and the luma leg is the mm_jpeg_features block-constant
+    contract (DC = 8*(v-128), step 8). Every decoded channel equals the
+    input byte exactly; ``channel_spread`` (max |R-G|,|R-B| over all
+    pixels) is emitted FROM THE DECODED PIXELS and must hash as the
+    oracle's literal 0 — any chroma-path bug (wrong upsample phase,
+    swapped Cb/Cr, transform rounding) lands there or in mean/checksum.
+
+    Map-only two-stage mapInPandas like every mm_* kernel; bytes never
+    shuffle.
+    """
+    from datafusion_ballista_dhruvil_spark.operators.jpeg_py import (
+        QTABLE_FLAT8,
+        encode_jpeg as _enc,
+    )
+    from datafusion_ballista_dhruvil_spark.operators.multimodal import (
+        decode_image as _dec,
+    )
+
+    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            images = []
+            for b in pdf["payload"]:
+                tb = _np.frombuffer(bytes(b), _np.uint8)
+                n = len(tb)
+                wb, hb = (n % 8) + 1, (n % 6) + 1
+                blockvals = (
+                    _np.resize(tb, wb * hb)
+                    if n
+                    else _np.full(wb * hb, 127, _np.uint8)
+                ).reshape(hb, wb)
+                gray = _np.repeat(_np.repeat(blockvals, 8, 0), 8, 1)
+                rgb = _np.repeat(gray[:, :, None], 3, axis=2)
+                images.append(
+                    _enc(
+                        wb * 8,
+                        hb * 8,
+                        rgb.tobytes(),
+                        subsampling="420",
+                        qtable=QTABLE_FLAT8,
+                        qtable_chrom=QTABLE_FLAT8,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": images})
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            widths, heights, means, sums, spreads = [], [], [], [], []
+            for b in pdf["image"]:
+                w, h, px = _dec(bytes(b))
+                rgb = px.reshape(h, w, 3).astype(_np.int64)
+                r, g, bl = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                spread = int(
+                    max(_np.abs(r - g).max(), _np.abs(r - bl).max())
+                )
+                blockvals = r[::8, ::8]
+                weights = _np.arange(1, blockvals.size + 1, dtype=_np.int64)
+                widths.append(w)
+                heights.append(h)
+                means.append(float(r.sum()) / r.size)
+                sums.append(int((blockvals.ravel() * weights).sum()))
+                spreads.append(spread)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": _pd.Series(widths, dtype="int64"),
+                    "height": _pd.Series(heights, dtype="int64"),
+                    "mean_pixel": means,
+                    "block_checksum": _pd.Series(sums, dtype="int64"),
+                    "channel_spread": _pd.Series(spreads, dtype="int64"),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    assets = with_payload(t.documents).where(F.col("doc_id") < 200)
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(encode_batch, schema="doc_id long, image binary")
+        .mapInPandas(
+            decode_batch,
+            schema="doc_id long, width long, height long, "
+            "mean_pixel double, block_checksum long, channel_spread long",
+        )
+    )

@@ -39,10 +39,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: coverage. Cumulative record through r9: 350/350 driver-verified green,
 #: zero latest-verdict failures (VERDICT r9).
 #: Tranche composition (changed-code-first rule):
-#: 1) the 3 queries NEW in r10 -- mm_jpeg_features (the baseline-JPEG
-#:    codec landing, VERDICT r9 #6) and the two r9-#5 TPC-DS shapes
-#:    (q14 full three-channel rollup form, q36 three-level hierarchy) --
-#:    all locally driver-diffed green;
+#: 1) the 4 queries NEW in r10 -- mm_jpeg_features + mm_jpeg_color_stats
+#:    (the baseline-JPEG codec landing, gray + 4:2:0 color legs,
+#:    VERDICT r9 #6) and the two r9-#5 TPC-DS shapes (q14 full
+#:    three-channel rollup form, q36 three-level hierarchy) -- all
+#:    locally driver-diffed green;
 #: 2) the 10 mm queries whose code changed in r10: the shared
 #:    tile_doc_pixels/doc_pcm16 helpers replaced inline copies
 #:    (ADVICE r9 #4) and decode_image gained CRC verification
@@ -52,11 +53,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:    queued);
 #: 4) all 24 r2-era rows (incl. the asof keystone) -- after this tranche
 #:    no row's latest verdict is older than r3;
-#: 5) 6 r3-era ops_* rows (the approx/lateral sub-family) to fill
+#: 5) 5 r3-era ops_* rows (the approx/lateral sub-family) to fill
 #:    the 50.
 #: R11 ROTATION NOTE: queue whatever code changes in r11 first, then the
-#: remaining 39 r3-era rows (ops_sort_null_order and ops_unpivot were
-#: displaced from this tranche by the two new TPC-DS registrations), i.e. (ev_* streaming family, text_*, sim_cosine,
+#: remaining 40 r3-era rows (ops_sort_null_order, ops_unpivot, and
+#: ops_lateral_join were displaced from this tranche by the three later
+#: registrations), i.e. (ev_* streaming family, text_*, sim_cosine,
 #: sample_*/split/mix/pack, range_recent_clicks, yoy_sales_growth).
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
@@ -64,6 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 EXPORT_PRIORITY: list[str] = [
     # ---- new in r10 (changed-code-first: brand-new registrations)
     "mm_jpeg_features",
+    "mm_jpeg_color_stats",
     "tpcds_q14_rollup",
     "tpcds_q36_deep",
     # ---- r10 changed-code consumers: tile_doc_pixels/doc_pcm16
@@ -94,7 +97,7 @@ EXPORT_PRIORITY: list[str] = [
     "sim_random_projection", "udf_grouped_agg",
     # ---- r3-era fill (approx/lateral/unpivot ops sub-family)
     "ops_agg_approx", "ops_array_hof", "ops_empty_relation",
-    "ops_explode_outer", "ops_lateral_explode", "ops_lateral_join",
+    "ops_explode_outer", "ops_lateral_explode",
 ]
 
 

@@ -1078,3 +1078,15 @@ def test_r10_tpcds_shapes(spark):
     assert c36["nested_loop"] == 0, c36
     assert "Expand" in p36 and "Window" in p36
     assert p36.count("lineitem") <= 2, "q36_deep re-scans the fact"
+
+
+def test_jpeg_color_map_only(spark):
+    # 4:2:0 three-component JPEG leg (r10): same two-MapInPandas
+    # zero-exchange shape as the gray leg.
+    from tools.plan_fingerprint import node_counts
+
+    df = QUERIES["mm_jpeg_color_stats"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert node_counts(plan)["py_map"] == 2
+    assert "Join" not in plan
+    assert exchange_count(df) == 0

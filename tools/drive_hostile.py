@@ -83,6 +83,7 @@ subset = [
             # r10: the JPEG codec imports jpeg_py inside the closure —
             # the exact by-reference pickling surface this drive probes
             "mm_jpeg_features",
+            "mm_jpeg_color_stats",
             # r4 kernels: cell-local grouped-map matmuls, perceptual-hash
             # banding, VAD framing, the Python DataSource read path, and
             # the driver-collect-then-replace BPE loop
