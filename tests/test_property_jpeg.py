@@ -167,3 +167,75 @@ def test_zigzag_is_the_spec_order():
     # T.81 Figure 5 spot checks: scan index -> raster position
     assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
     assert ZIGZAG[63] == 63 and len(set(ZIGZAG.tolist())) == 64
+
+
+def test_restart_markers_hand_assembled_stream():
+    """DRI/RSTn conformance: a hand-assembled 4-MCU grayscale stream
+    with restart_interval=2 — entropy segments terminated at byte
+    boundaries by RST0/RST1 markers with DC prediction RESET at each
+    restart — must decode to the exact block values. This is an
+    independent-bitstream probe of the decoder's restart path (our
+    encoder never emits DRI), the same posture as the PNG split-IDAT
+    test."""
+    import numpy as np
+
+    from datafusion_ballista_dhruvil_spark.operators.jpeg_py import (
+        HUFF_AC_LUM,
+        HUFF_DC_LUM,
+        QTABLE_FLAT8,
+        ZIGZAG,
+        _BitWriter,
+        _canonical_codes,
+        decode_jpeg,
+    )
+
+    vals = [40, 90, 160, 230]  # one constant 8x8 block per MCU (1x1 sampling)
+    w, h = 32, 8  # 4 MCUs in one row
+    dc_codes = _canonical_codes(*HUFF_DC_LUM)
+    ac_codes = _canonical_codes(*HUFF_AC_LUM)
+
+    def entropy_segment(block_vals, prev_dc0):
+        bw = _BitWriter()
+        prev = prev_dc0
+        for v in block_vals:
+            dc = v - 128  # quantized DC at step 8: exactly v-128
+            diff = dc - prev
+            prev = dc
+            s = abs(diff).bit_length()
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            code, ln = ac_codes[0x00]  # EOB: all AC zero
+            bw.write(code, ln)
+        bw.flush()
+        return bytes(bw.out)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(QTABLE_FLAT8[ZIGZAG].astype(np.uint8)))
+    seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    bits, values = HUFF_DC_LUM
+    seg(0xC4, bytes([0x00] + bits + values))
+    bits, values = HUFF_AC_LUM
+    seg(0xC4, bytes([0x10] + bits + values))
+    seg(0xDD, struct.pack(">H", 2))  # DRI: restart every 2 MCUs
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # segment 1: MCUs 0-1, DC pred starts at 0
+    out.extend(entropy_segment(vals[:2], 0))
+    out.extend(b"\xff\xd0")  # RST0
+    # segment 2: MCUs 2-3, DC pred RESET to 0 (the spec-mandated reset —
+    # a decoder that carries the old predictor decodes wrong values)
+    out.extend(entropy_segment(vals[2:], 0))
+    out.extend(b"\xff\xd9")
+
+    dw, dh, px = decode_jpeg(bytes(out))
+    assert (dw, dh) == (w, h)
+    gray = px.reshape(h, w, 3)[:, :, 0]
+    for i, v in enumerate(vals):
+        block = gray[:, i * 8 : (i + 1) * 8]
+        assert (block == v).all(), (i, v, block[0, :3])
