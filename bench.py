@@ -224,7 +224,12 @@ def solo(names: list[str]) -> int:
     # drop the other queries' rows (the overwrite trap that cost an r7
     # adjudication; rows for re-measured queries are replaced, the rest
     # survive verbatim)
-    path = os.path.join(here, "BENCH_SOLO.json")
+    # BENCH_SOLO_PATH: artifact-path override shared with bench_gate so
+    # tests (and ad-hoc adjudication runs) never merge rows into the
+    # committed BENCH_SOLO.json
+    path = os.environ.get(
+        "BENCH_SOLO_PATH", os.path.join(here, "BENCH_SOLO.json")
+    )
     cur_iters = int(os.environ.get("BENCH_ITERS", "3"))
     cur_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     prior = {}

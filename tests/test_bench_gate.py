@@ -291,3 +291,62 @@ def test_release_check_dry_run_and_quick_plan():
     assert [ln.split(":")[0] for ln in r2.stdout.strip().splitlines()] == [
         "smoke", "contract", "hostile"
     ]
+
+
+# ---- solo-to-solo confirmation bar (r10; the dedup_containment case) ------
+
+
+def _run_env(prev, cur, tmp_path, solo_doc, **cur_extra):
+    p1, p2, ps = tmp_path / "prev.json", tmp_path / "cur.json", tmp_path / "solo.json"
+    p1.write_text(json.dumps({"queries": prev}))
+    p2.write_text(json.dumps({"queries": cur, **cur_extra}))
+    ps.write_text(json.dumps(solo_doc))
+    import os
+
+    env = dict(os.environ, BENCH_SOLO_PATH=str(ps))
+    return subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_gate.py"), str(p1), str(p2)],
+        capture_output=True, text=True, env=env,
+    )
+
+
+def test_solo_baseline_bar_prevents_fresh_jvm_false_confirm(tmp_path):
+    # suite says 4x slower and min offers no rescue, but the fresh solo
+    # re-measure lands within the query's PRIOR SOLO band — the
+    # fresh-JVM tax, not code. Uses a real (cheap) registry query so the
+    # gate's solo subprocess actually runs.
+    name = "ops_values_limit_offset"
+    r = _run_env(
+        {name: 0.45},
+        {name: 1.9},
+        tmp_path,
+        {"queries": {name: 100.0}, "iters": 3,
+         "sf_dir": "/root/testdata/sf0.1"},
+        queries_min={name: 1.85},
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["flagged"] == 1 and out["regressions"] == []
+
+
+def test_no_solo_baseline_falls_back_to_prev_suite(tmp_path):
+    # same shape but NO prior solo row: the conservative prev-suite bar
+    # applies and the (slower-than-suite) fresh solo confirms, with
+    # solo_baseline recorded as null so the adjudicator sees which bar
+    # fired
+    name = "ops_values_limit_offset"
+    r = _run_env(
+        {name: 0.31},
+        {name: 1.9},
+        tmp_path,
+        {"queries": {}, "iters": 3, "sf_dir": "/root/testdata/sf0.1"},
+        queries_min={name: 1.85},
+    )
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    if out["regressions"]:
+        assert r.returncode == 1
+        assert out["regressions"][0]["solo_baseline"] is None
+    else:
+        # a very fast host can legitimately solo under the 1.5x/0.5s
+        # bars vs 0.31s prev; the point is the fallback path executed
+        assert r.returncode == 0 and out["flagged"] == 1

@@ -5,9 +5,12 @@ by ``python bench.py``) against a PREVIOUS round's file, flags >1.5x
 regressions above a floor, then RE-MEASURES every flagged query run-alone
 (``bench.py --solo`` — fresh JVM per query, warmup discarded) so same-JVM
 suite contention can't masquerade as a code regression. The solo result
-is the verdict: a query is only a real regression if it is ALSO slow when
-run alone against the solo baseline (or, with no solo baseline yet,
-slower than its previous suite time — conservative).
+is the verdict, judged SOLO-TO-SOLO against the query's prior
+BENCH_SOLO baseline when one exists (fresh-JVM cold-cache tax makes
+solo-vs-suite incomparable — PERF.md r8/r10); only with no solo
+baseline does it fall back to the previous suite time (conservative:
+can over-confirm, which the recorded ``solo_baseline: null`` makes
+visible for adjudication).
 
 Self-adjudication (VERDICT r8 #2) — two cheap filters run BEFORE the
 expensive solo re-measure, both fed by instrumentation the suite now
@@ -123,6 +126,18 @@ def main() -> int:
     print(f"suite-flagged (>{RATIO}x, prev>{FLOOR_SEC}s): "
           + ", ".join(f"{n} {p}->{c}" for n, p, c in flagged),
           file=sys.stderr)
+    # Capture prior SOLO baselines BEFORE --solo merges new rows over
+    # them: solo-to-solo is the only like-for-like confirmation bar
+    # (PERF.md r8/r10 — a fresh solo JVM pays cold-cache/shingle-cache
+    # costs the suite amortizes, so solo-vs-prev-SUITE over-confirms;
+    # the r10 dedup_containment false-confirm is the motivating case).
+    solo_path = os.environ.get(
+        "BENCH_SOLO_PATH", os.path.join(_REPO, "BENCH_SOLO.json")
+    )
+    prior_solo: dict[str, float] = {}
+    if os.path.exists(solo_path):
+        with open(solo_path) as f:
+            prior_solo = json.load(f).get("queries", {})
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py"), "--solo", *names],
         capture_output=True, text=True,
@@ -131,11 +146,15 @@ def main() -> int:
         print(r.stderr[-2000:], file=sys.stderr)
         return 1
     solo = json.loads(r.stdout.strip().splitlines()[-1])["queries"]
-    confirmed = [
-        {"query": n, "prev_suite": p, "cur_suite": c, "solo": solo[n]}
-        for n, p, c in flagged
-        if solo[n] > RATIO * p and solo[n] - p > DELTA_SEC
-    ]
+    confirmed = []
+    for n, p, c in flagged:
+        sb = prior_solo.get(n)
+        bar = sb if sb is not None else p  # fall back to prev suite
+        if solo[n] > RATIO * bar and solo[n] - bar > DELTA_SEC:
+            confirmed.append({
+                "query": n, "prev_suite": p, "cur_suite": c,
+                "solo": solo[n], "solo_baseline": sb,
+            })
     print(json.dumps({
         **base,
         "flagged": len(flagged),
