@@ -350,3 +350,23 @@ def test_no_solo_baseline_falls_back_to_prev_suite(tmp_path):
         # a very fast host can legitimately solo under the 1.5x/0.5s
         # bars vs 0.31s prev; the point is the fallback path executed
         assert r.returncode == 0 and out["flagged"] == 1
+
+
+def test_canary_elevated_families_informational():
+    sys.path.insert(0, str(REPO))
+    from bench import canary_elevated_families, canary_suspect_families
+
+    # the r10 shape: early families ~1.8x the floor (sub-bar), one hard
+    # window later — elevated reports the mild ones, suspect the hard one
+    series = [
+        {"at": "q", "sec": 0.40}, {"at": "dedup", "sec": 0.43},
+        {"at": "ops", "sec": 0.41}, {"at": "sample", "sec": 0.92},
+        {"at": "sim", "sec": 0.24}, {"at": "end", "sec": 0.22},
+    ]
+    # ops' CLOSING bracket is the 0.92 reading — the window may have
+    # opened during its block, so it is suspect alongside sample
+    assert canary_suspect_families(series) == {"ops", "sample"}
+    assert canary_elevated_families(series) == {"q", "dedup"}
+    # quiet series: nothing in either bucket
+    quiet = [{"at": "q", "sec": 0.30}, {"at": "end", "sec": 0.31}]
+    assert canary_elevated_families(quiet) == set()

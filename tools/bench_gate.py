@@ -55,7 +55,11 @@ DELTA_SEC = 0.5
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-from bench import block_is_noisy, canary_suspect_families  # noqa: E402 — shared noise rules
+from bench import (  # noqa: E402 — shared noise rules
+    block_is_noisy,
+    canary_elevated_families,
+    canary_suspect_families,
+)
 
 
 def _family(name: str) -> str:
@@ -118,6 +122,11 @@ def main() -> int:
         "noisy_blocks": sorted(noisy_fams),
         "window_suspect_skipped": [n for n, _, _ in window_skipped],
         "window_suspect_blocks": sorted(suspect_fams),
+        # informational (no skip): sub-bar canary elevation — family-wide
+        # inflation here reads as probably-host (the r10 dedup/ops case)
+        "window_elevated_blocks": sorted(
+            canary_elevated_families(cur_doc.get("noise_index", []))
+        ),
     }
     if not flagged:
         print(json.dumps({**base, "regressions": [], "flagged": 0}))
