@@ -382,7 +382,13 @@ def _verified_pairs(
     arrs = _shingle_arrays(spark, sf_dir)
     if owned is not None:
         # cache only when a query-owned lifecycle will release it (ADVICE
-        # r7 #1) — unowned callers (tests, ad-hoc) get the plain plan
+        # r7 #1) — unowned callers (tests, ad-hoc) get the plain plan.
+        # NOT eager-materialized: the five consumer subtrees (bands, dg1,
+        # dg2, ss1, ss2) race to build the cold cache in concurrent
+        # stages, but those redundant builds overlap on otherwise-idle
+        # cores; serializing the build through a count() job was MEASURED
+        # slower end-to-end (r10: minhash_lsh warm 2.43s -> 2.87s,
+        # cluster_cc 4.7s -> 5.7s) — wall time beats CPU thrift here.
         arrs = arrs.cache()
         owned.append(arrs)
     return verified_pairs_of(arrs, owned)
@@ -745,9 +751,18 @@ def min_label_components(pairs: DataFrame, after_edges=None, max_rounds: int = 2
     round for convergence; localCheckpoint keeps the plan O(1) deep.
     """
     d1, d2 = pairs.columns[:2]
+    # r10: the static edge relation is pre-partitioned ONCE by the
+    # per-round join key (dst); localCheckpoint preserves the hash
+    # partitioning through LogicalRDD, so every round's edges-vs-labels
+    # equi-join is co-partitioned on the edge side (guide §2.4 "two
+    # operations keyed the same way share one exchange"). Labels
+    # checkpoints are LAZY: the per-round convergence-sum collect is the
+    # job that materializes them, halving the round's job count (the
+    # eager form ran one checkpoint job plus one sum job per round).
     edges = (
         pairs.union(pairs.select(F.col(d2), F.col(d1)))
         .toDF("src", "dst")
+        .repartition(F.col("dst"))
         .localCheckpoint()
     )
     if after_edges is not None:
@@ -756,7 +771,7 @@ def min_label_components(pairs: DataFrame, after_edges=None, max_rounds: int = 2
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
@@ -773,7 +788,7 @@ def min_label_components(pairs: DataFrame, after_edges=None, max_rounds: int = 2
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -943,6 +958,13 @@ def dedup_chunk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.d1", "p.d2")
         .distinct()
     )
+    # NOT cached (r10 A/B): persisting deg/contrib_src here flipped the
+    # initial plan's broadcasts to sort-merge (InMemoryRelation size
+    # estimates exceed the broadcast bar pre-materialization) and added
+    # cache-build jobs — measured slower (warm iters 3.0-4.9s -> 3.3-7.0s,
+    # 72 -> 100 jobs). The duplicated chunk-pair subtrees recompute on
+    # otherwise-idle cores; per-round lineage is linear (pr appears once
+    # per round), so the kcore-style exponential blowup does not arise.
     deg = pairs.groupBy(F.col("d1").alias("u")).agg(
         F.countDistinct("d2").cast("long").alias("deg")
     )
@@ -1375,15 +1397,25 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (3 * n_toks <= n_chars + 1)
         & (n_chars + 1 <= 9 * n_toks)
     )
-    clean0 = t.documents.select("doc_id", "text", "source").where(quality)
+    # clean0/clean1 are each consumed by THREE downstream subplans (the
+    # next stage's build, the near-dup shingle pass, and their own funnel
+    # count) — uncached, every consumer re-ran the quality split and the
+    # md5 semi-join from the parquet scan (the r10-before plan re-scans
+    # documents ~10x). Caching each stage once makes the funnel compute
+    # every stage exactly once (guide §5: reuse beats recompute when the
+    # recompute is a corpus pass); owned_result releases both caches when
+    # the query's action completes.
+    clean0 = (
+        t.documents.select("doc_id", "text", "source").where(quality).cache()
+    )
     exact_keep = (
         clean0.groupBy(F.md5("text"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    clean1 = clean0.join(exact_keep, "doc_id", "left_semi")
+    clean1 = clean0.join(exact_keep, "doc_id", "left_semi").cache()
     arrs = shingle_arrays_of(clean1.select("doc_id", "text")).cache()
-    owned: list[DataFrame] = [arrs]
+    owned: list[DataFrame] = [clean0, clean1, arrs]
     near_drop = (
         verified_pairs_of(arrs, owned)
         .select(F.col("d2").alias("doc_id"))
@@ -1866,8 +1898,19 @@ def dedup_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = pairs.groupBy(F.col("d1").alias("u")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+    # Lineage hygiene (guide §3.3): each round references `edges` three
+    # times (the degree count + both semi-join sides), so uncached the
+    # final plan held 3^3 = 27 copies of the chunk-hash pair generation —
+    # 224 Exchange nodes in the r10-before plan, all recomputed. Caching
+    # the edge set per round makes each peel compute its input once; the
+    # caches release when the query's action completes.
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    owned: list[DataFrame] = []
     edges = pairs
     for _ in range(3):
+        edges = edges.cache()
+        owned.append(edges)
         alive = (
             edges.groupBy(F.col("d1").alias("u"))
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -1884,14 +1927,15 @@ def dedup_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("deg_core"))
         .where(F.col("deg_core") >= 2)
     )
-    return (
+    return owned_result(
         dcore.join(deg0, "u")
         .select(
             F.col("u").alias("doc_id"),
             F.col("deg").alias("deg_initial"),
             "deg_core",
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        *owned,
     )
 
 

@@ -1148,7 +1148,18 @@ def sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials. Iterations are data-independent stages; nothing
     ever pairs vectors with each other.
     """
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
     t = Tables(spark, sf_dir)
+    # Lineage hygiene (guide §3.3 "materialise intermediates to truncate
+    # the plan"): uncached, `cent` is referenced twice per round (cself +
+    # the broadcast dot join) and `ecomp` three times, so round 3's tree
+    # held ~27 copies of round 1's work — 126 Exchange nodes in the
+    # r10-before plan, recomputed because Catalyst has no common-subplan
+    # elimination between exchanges. Caching ecomp/eself once and cent
+    # per round keeps each iteration's work computed exactly once; all
+    # caches release when the query's action completes (owned_result).
+    owned: list[DataFrame] = []
     ecomp = (
         t.embeddings.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
@@ -1156,15 +1167,22 @@ def sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             F.round(F.col("x").cast("double") * 10000000).cast("long").alias("qi"),
         )
+        .cache()
     )
-    eself = ecomp.groupBy("vec_id").agg(
-        F.sum(F.col("qi") * F.col("qi")).cast("long").alias("selfq")
+    owned.append(ecomp)
+    eself = (
+        ecomp.groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("qi")).cast("long").alias("selfq"))
+        .cache()
     )
+    owned.append(eself)
     cent = ecomp.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), "pos", F.col("qi").alias("cq")
     )
     assign = None
     for _ in range(3):
+        cent = cent.cache()
+        owned.append(cent)
         cself = cent.groupBy("cid").agg(
             F.sum(F.col("cq") * F.col("cq")).cast("long").alias("cselfq")
         )
@@ -1191,14 +1209,15 @@ def sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cq")
             )
         )
-    return (
+    return owned_result(
         assign.groupBy(F.col("cid").alias("cluster"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
             F.sum("d").cast("long").alias("inertia_q"),
             F.min("vec_id").alias("min_vec"),
         )
-        .orderBy("cluster")
+        .orderBy("cluster"),
+        *owned,
     )
 
 
@@ -3203,7 +3222,23 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     array. Row count only widens the map side. Reference analogue: the
     same unrolled-fixed-point pattern as dedup_chunk_pagerank.
     """
+    import math
+
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
     t = Tables(spark, sf_dir)
+    # r10: the v-vector is 16 BIGINTs — metadata, not data — so the fixed
+    # point runs DRIVER-side on per-step collected u-vectors, the exact
+    # ev_markov_attribution posture ("scheduling fixed costs belong on the
+    # driver when the data is metadata-sized"). The previous DataFrame
+    # spelling re-referenced u twice per step and chained v through
+    # broadcast 1-row frames: 2792 plan lines, ~29 AQE jobs per run (the
+    # no-cache variant: ~114). Now: one collect per step (16 rows, bounded
+    # by construction like the PQ codebook collects) = 3 aggregate jobs
+    # total; the corpus-side dot pass reads the cached qv projection.
+    # The per-step rescale is sign(u) * ((|u| * 128) div max(m, 1)) on
+    # nonnegative int operands — Python //, Spark DIV and DuckDB // agree
+    # bit-for-bit (same portability contract as _pi_round_sql).
     qv = t.embeddings.select(
         "vec_id",
         F.expr(
@@ -3211,61 +3246,39 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST(round(CAST(embedding[d] AS DOUBLE) * {_PI_QSCALE})"
             " AS BIGINT))"
         ).alias("qv"),
-    )
+    ).cache()
 
-    def iterate(v_row: DataFrame) -> DataFrame:
-        """One power step: v (1-row array) -> next v (1-row array)."""
-        s = qv.crossJoin(F.broadcast(v_row)).select(
-            "vec_id",
-            "qv",
-            F.expr(
-                "aggregate(zip_with(qv, vv, (a, b) -> a * b),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("s"),
+    v = [_PI_VSCALE] * _PI_DIMS
+    for _ in range(3):
+        lit = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in v) + ")"
+        s_expr = (
+            f"aggregate(zip_with(qv, {lit}, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
-        u = (
-            s.select(F.posexplode("qv").alias("d", "q"), "s")
+        u_rows = (
+            qv.select(F.posexplode("qv").alias("d", "q"), F.expr(s_expr).alias("s"))
             .groupBy("d")
             .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("u"))
+            .collect()  # bounded: _PI_DIMS rows, independent of corpus size
         )
-        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        return (
-            u.crossJoin(F.broadcast(m))
-            .select("d", F.expr(_pi_round_sql("u", "m")).alias("v"))
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(d, v))),"
-                    " x -> x.v)"
-                ).alias("vv")
-            )
-        )
-
-    v = spark.range(1).select(
-        F.expr(
-            f"transform(sequence(0, {_PI_DIMS - 1}),"
-            f" d -> CAST({_PI_VSCALE} AS BIGINT))"
-        ).alias("vv")
-    )
-    for _ in range(3):
-        v = iterate(v)
-    out = v.select(F.posexplode("vv").alias("d", "v_fixed"))
-    nrm = out.agg(
-        F.sqrt(F.sum(F.col("v_fixed") * F.col("v_fixed")).cast("double")).alias(
-            "nv"
-        )
-    )
-    return (
-        out.crossJoin(F.broadcast(nrm))
-        .select(
-            "d",
-            "v_fixed",
-            F.when(
-                F.col("nv") > 0, F.col("v_fixed").cast("double") / F.col("nv")
-            )
-            .otherwise(F.lit(0.0))
-            .alias("direction"),
-        )
-        .orderBy("d")
+        u = {int(r.d): int(r.u) for r in u_rows}
+        m = max((abs(x) for x in u.values()), default=0)
+        v = [
+            (u.get(d, 0) * _PI_VSCALE) // max(m, 1)
+            if u.get(d, 0) >= 0
+            else -(((-u.get(d, 0)) * _PI_VSCALE) // max(m, 1))
+            for d in range(_PI_DIMS)
+        ]
+    nv = math.sqrt(float(sum(x * x for x in v)))
+    rows = [
+        (d, v[d], (float(v[d]) / nv) if nv > 0 else 0.0)
+        for d in range(_PI_DIMS)
+    ]
+    return owned_result(
+        spark.createDataFrame(
+            rows, "d int, v_fixed long, direction double"
+        ).orderBy("d"),
+        qv,
     )
 
 

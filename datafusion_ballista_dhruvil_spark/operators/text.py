@@ -2816,13 +2816,21 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     count grows with that source, not the corpus.
     """
     t = Tables(spark, sf_dir)
+    # token array materialized as its OWN projection before the lambda:
+    # higher-order-function lambdas don't participate in common-
+    # subexpression elimination, so `split(text, ' ')` referenced inside
+    # the transform re-ran per chunk index — O(L^2/3) character work per
+    # document (the same trap shingle_arrays_of documents; guide §1.2
+    # "per-task work"). A column reference is computed once per row.
     chunked = t.documents.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("__tk")
+    ).select(
         "doc_id",
         "source",
         F.expr(
-            "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 3.0)"
+            "transform(sequence(0, CAST(ceil(size(__tk) / 3.0)"
             " AS INT) - 1),"
-            " i -> array_join(slice(split(text, ' '), i*3+1, 3), ' '))"
+            " i -> array_join(slice(__tk, i*3+1, 3), ' '))"
         ).alias("chunks"),
     )
     inst = chunked.select(
