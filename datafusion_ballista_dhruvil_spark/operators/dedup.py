@@ -2427,8 +2427,14 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache the signature table too: the 4 config bandings union as
     # INDEPENDENT subplans, so without this each branch re-hashes all K
-    # signatures over arrs (4x the md5 work — the sweep's dominant cost)
+    # signatures over arrs (4x the md5 work — the sweep's dominant cost).
+    # Materialized EAGERLY (one count() job): the 4 branches execute
+    # concurrently in one plan and race the COLD cache, each paying the
+    # full shingle+md5 build with all cores busy — unlike the light
+    # 1-task caches (see _verified_pairs), this build saturates the core
+    # budget, so the redundant rebuilds cost real wall time (guide §5).
     mh = minhash_wide(arrs).cache()
+    mh.count()
     per_config = []
     for b, r in _TUNE_CONFIGS:
         band_sigs = [

@@ -1773,23 +1773,31 @@ def ops_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, and the broadcast cutoff table keys the final flagging pass
     map-side. All arithmetic is exact decimal until the two output casts.
     """
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
     t = Tables(spark, sf_dir)
+    # staged feeds both weighted_quantile passes of the median (hist +
+    # boundary-resolve scans) plus the deviation build; d feeds the MAD's
+    # two passes plus the final flagging aggregate — uncached, each
+    # consumer re-ran the decimal projection from the (single-split)
+    # orders scan serially (guide §5 reuse; measured ~5 serialized
+    # 0.4-1.5s one-task stages per run). Caches release with the action.
     staged = t.orders.select(
         F.col("o_orderpriority").alias("g"),
         dec2("o_totalprice").alias("p"),
         F.lit(1).alias("w"),
-    )
+    ).cache()
     medt = weighted_quantile(
         staged, value="p", weight="w", group_cols=["g"], qs={"med": (1, 2)}
     )
     d = staged.join(F.broadcast(medt), "g").select(
         "g", "p", "med", F.abs(F.col("p") - F.col("med")).alias("dev"),
         F.lit(1).alias("w"),
-    )
+    ).cache()
     madt = weighted_quantile(
         d, value="dev", weight="w", group_cols=["g"], qs={"mad": (1, 2)}
     )
-    return (
+    return owned_result(
         d.join(F.broadcast(madt), "g")
         .groupBy("g")
         .agg(
@@ -1801,7 +1809,9 @@ def ops_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
         .withColumnRenamed("g", "priority")
-        .orderBy("priority")
+        .orderBy("priority"),
+        staged,
+        d,
     )
 
 
