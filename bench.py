@@ -1,8 +1,15 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the contract JSON
   {"metric": "query_suite_total_sec", "value": N, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": 0.1}
+twice at the end of the run: first a full-detail line with the COMPLETE
+354-entry per-query map, then a final line whose per-query map is a bounded
+tranche (TPC-H + slowest-first) so the line always fits the driver's
+2000-char tail capture — see SUMMARY_LINE_MAX for the r1 overflow history.
+Complete per-query medians are also written to bench_queries.json and a
+cpus-stamped copy (the driver's 8-core scaling run must not overwrite the
+32-core detail).
 
 Mirrors the reference harness (benchmarks/src/bin/tpch.rs:90-109,963-1000):
 iterations=3 per query (override BENCH_ITERS), median reported. Each timing
@@ -311,6 +318,50 @@ def canary_suspect_families(
     return suspect
 
 
+#: Hard cap for the FINAL stdout summary line (VERDICT r10 #1 vs the r1
+#: overflow): the driver's log capture keeps only the LAST 2000 characters
+#: of output (every BENCH_r* artifact stores a tail of exactly 2000 chars,
+#: and BENCH_r01 — whose summary line inlined all per-query medians and ran
+#: ~9.6 KB — is the one round with parsed:null). A 354-entry map can never
+#: fit, so the final line carries a bounded per-query TRANCHE (TPC-H block
+#: first, then slowest-first — the rows where regression/scaling
+#: adjudication matters) and the COMPLETE map is printed on its own
+#: full-detail line immediately before it (plus bench_queries.json /
+#: bench_queries_c<cpus>.json on disk). Any parser that reads the last
+#: line gets valid JSON with totals + the tranche; a parser that scans the
+#: whole log gets the complete map.
+SUMMARY_LINE_MAX = 1950
+
+#: target size for the per-query tranche inside the final line, leaving
+#: headroom for the fixed fields (measured ~750 chars) under the cap
+INLINE_QUERIES_BUDGET = 1100
+
+
+def inline_query_tranche(
+    times: dict[str, float], budget: int = INLINE_QUERIES_BUDGET
+) -> dict[str, float]:
+    """Bounded per-query map for the final stdout line: the 22 TPC-H
+    queries in numeric order, then every other query slowest-first, filled
+    greedily until the serialized map would exceed ``budget`` chars.
+    Deterministic given the measured times; pure (unit-tested)."""
+
+    def canon(name: str) -> tuple:
+        m_q = re.fullmatch(r"q(\d+)", name)
+        if m_q:
+            return (0, int(m_q.group(1)), 0.0, "")
+        return (1, 0, -times[name], name)
+
+    out: dict[str, float] = {}
+    used = 0
+    for name in sorted(times, key=canon):
+        entry = len(json.dumps({name: round(times[name], 3)})) - 1
+        if used + entry > budget:
+            break
+        used += entry
+        out[name] = round(times[name], 3)
+    return out
+
+
 #: informational sub-bar elevation (r10 artifact lesson): the official
 #: r10 run's first ~350s carried a ~1.7x window that inflated the
 #: dedup/ops families yet sat below the 2x skip bar — visible only by
@@ -505,7 +556,6 @@ def main() -> int:
 
     total = round(sum(times.values()), 4)
     tpch_total = round(sum(v for k, v in times.items() if re.fullmatch(r"q\d+", k)), 4)
-    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
     # Protocol marker (ADVICE r6 #2): the r6 protocol change (canonical
     # order, untimed TPC-H warm-up pass, median-of-5 headline block,
     # family-boundary gc) made totals systematically more favorable than
@@ -528,33 +578,35 @@ def main() -> int:
         "noise_sentinel": True,
         "boundary_canary": CANARY_QUERY,
     }
-    # Full per-query detail goes to a FILE; the final stdout line stays
-    # compact so the driver's bounded tail capture parses it (the r1
-    # artifact had parsed:null because the 130-entry dict overflowed it).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "query_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_min": mins,
-                "blocks": blocks,
-                "noise_index": noise_index,
-                "sf": sf,
-                "iters": iters,  # kept for r01-r05 artifact compatibility
-                "protocol": protocol,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    # Full per-query detail goes to FILES: bench_queries.json (continuity
+    # with r01-r10 tooling) plus a cpus-stamped copy — the driver benches
+    # TWICE (32- then 8-core) and the second run used to overwrite the
+    # first run's only per-query record (VERDICT r10 #1).
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "query_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_min": mins,
+        "blocks": blocks,
+        "noise_index": noise_index,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "iters": iters,  # kept for r01-r05 artifact compatibility
+        "protocol": protocol,
+    }
+    for fname in ("bench_queries.json", f"bench_queries_c{detail['cpus'] or 'na'}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     noisy_blocks = {
         f: b["sentinel_ratio"] for f, b in blocks.items() if block_is_noisy(b)
     }
+    # Emission contract (VERDICT r10 #1): the COMPLETE per-query map goes
+    # on its own JSON line FIRST (for whole-log parsers + forensics), then
+    # the final line — guaranteed to fit the driver's 2000-char tail
+    # capture (SUMMARY_LINE_MAX rationale above) — carries totals, the
+    # noise-adjudication fields, and a bounded per-query tranche.
     print(
         json.dumps(
             {
@@ -564,15 +616,32 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(times),
                 "tpch_total_sec": tpch_total,
-                "slowest": {k: v for k, v in slowest},
-                "noisy_blocks": noisy_blocks,
-                "window_suspect": sorted(canary_suspect_families(noise_index)),
-                "window_elevated": sorted(canary_elevated_families(noise_index)),
-                "queries_file": "bench_queries.json",
+                "iters": iters,
+                "queries": times,
                 "protocol": protocol,
             }
         )
     )
+    summary = {
+        "metric": "query_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "tpch_total_sec": tpch_total,
+        "iters": iters,
+        "queries": inline_query_tranche(times),
+        "noisy_blocks": noisy_blocks,
+        "window_suspect": sorted(canary_suspect_families(noise_index)),
+        "window_elevated": sorted(canary_elevated_families(noise_index)),
+        "queries_file": "bench_queries.json",
+        "protocol": protocol,
+    }
+    line = json.dumps(summary)
+    while len(line) > SUMMARY_LINE_MAX and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
     return 0
 

@@ -18,13 +18,15 @@ Scale posture at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datafusion_ballista_dhruvil_spark.operators.registry import query
 from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
-from datafusion_ballista_dhruvil_spark.session import Tables
+from datafusion_ballista_dhruvil_spark.session import Tables, table_path
 
 #: MinHash parameters: k = BANDS * ROWS_PER_BAND signatures.
 BANDS = 4
@@ -121,8 +123,63 @@ def shingle_arrays_of(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+#: Scale-adaptive spread for the CPU-heavy shingle kernel (r11, VERDICT r10
+#: #3). The split+zip_with+array_distinct kernel costs far more CPU per byte
+#: than the scan, so a documents file too small to split (one scan task
+#: below spark.sql.files.maxPartitionBytes) serializes it on one core. The
+#: r10 A/B measured an UNCONDITIONAL repartition(32) a 4x CPU loss at sf0.1
+#: (0.6 MB: 32 concurrent tasks interpreting cold codegen, sub-second
+#: kernel) — so spreading is gated on input size:
+#:   - below _SPREAD_MIN_BYTES: no-op (the kernel is sub-second
+#:     single-threaded; shuffle + per-task JIT overhead dominates — the
+#:     measured r10 regime, with ~25x headroom above sf0.1's 0.6 MB);
+#:   - when the scan already yields >= cpus natural splits: no-op (the 100
+#:     TB regime — repartitioning there would add a full shuffle of the
+#:     raw text payload for nothing, guide §8);
+#:   - between: round-robin to ~_SPREAD_TARGET_BYTES of text per task,
+#:     capped at the core budget — e.g. a 64 MB corpus on 32 cores goes
+#:     from 1 task x ~90 s of kernel CPU to 16 tasks x ~6 s.
+_SPREAD_MIN_BYTES = 16 * 2**20
+_SPREAD_TARGET_BYTES = 4 * 2**20
+
+
+def shingle_spread_partitions(
+    input_bytes: int, cpus: int, max_split_bytes: int = 128 * 2**20
+) -> int:
+    """Partition count for spreading the shingle kernel, or 0 for no-op.
+    Pure sizing rule (unit-tested); thresholds documented above."""
+    if input_bytes < _SPREAD_MIN_BYTES or cpus <= 1:
+        return 0
+    natural_splits = -(-input_bytes // max_split_bytes)
+    if natural_splits >= cpus:
+        return 0
+    return min(cpus, -(-input_bytes // _SPREAD_TARGET_BYTES))
+
+
+def _input_bytes(path: str) -> int:
+    """On-disk footprint of a table path (file or directory); 0 when
+    unreadable — sizing must never fail a query."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(path)
+                for fn in fns
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    return shingle_arrays_of(Tables(spark, sf_dir).documents, n)
+    docs = Tables(spark, sf_dir).documents
+    cpus = spark.sparkContext.defaultParallelism
+    parts = shingle_spread_partitions(
+        _input_bytes(table_path(sf_dir, "documents")), cpus
+    )
+    if parts:
+        docs = docs.repartition(parts)
+    return shingle_arrays_of(docs, n)
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -2433,8 +2490,11 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full shingle+md5 build with all cores busy — unlike the light
     # 1-task caches (see _verified_pairs), this build saturates the core
     # budget, so the redundant rebuilds cost real wall time (guide §5).
+    # The count() runs via owned_result's ``prepare`` hook — at the
+    # query's first ACTION, not at plan build, so explain/fingerprint
+    # tooling can construct the plan without executing the corpus job or
+    # pinning a materialized cache (ADVICE r10 #2).
     mh = minhash_wide(arrs).cache()
-    mh.count()
     per_config = []
     for b, r in _TUNE_CONFIGS:
         band_sigs = [
@@ -2526,6 +2586,7 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rows_per_band"),
         arrs,
         mh,
+        prepare=lambda: mh.count(),
     )
 
 

@@ -15,6 +15,8 @@ cases AQE can't fix alone:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -261,7 +263,11 @@ def ops_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def owned_result(df: DataFrame, *caches: DataFrame) -> DataFrame:
+def owned_result(
+    df: DataFrame,
+    *caches: DataFrame,
+    prepare: Callable[[], object] | None = None,
+) -> DataFrame:
     """Attach cache-lifecycle ownership to a query result (VERDICT r6 #3).
 
     Query builders persist corpus-sized intermediates that the returned
@@ -294,8 +300,24 @@ def owned_result(df: DataFrame, *caches: DataFrame) -> DataFrame:
     memory and zero storage blocks; it is a driver-side catalog entry
     only — but callers that want the registration gone can call the
     returned DataFrame's ``release_owned()`` explicitly.
+
+    ``prepare`` (r11, ADVICE r10 #2): optional callable invoked once,
+    immediately before the FIRST wrapped action runs. Queries that want a
+    shared cache eager-materialized (so concurrent consumer subtrees don't
+    race a cold cache) put the materializing ``count()`` here instead of at
+    plan-BUILD time — plan-only consumers (explain/fingerprint tooling)
+    then construct the query without executing a corpus-sized job or
+    pinning a materialized cache in the long-lived session.
     """
     released = False
+    prepared = prepare is None
+
+    def _prepare_once() -> None:
+        nonlocal prepared
+        if prepared:
+            return
+        prepared = True
+        prepare()
 
     def _release() -> None:
         nonlocal released
@@ -312,6 +334,7 @@ def owned_result(df: DataFrame, *caches: DataFrame) -> DataFrame:
         orig = getattr(df, name)
 
         def wrapped(*a, **k):
+            _prepare_once()
             try:
                 return orig(*a, **k)
             finally:

@@ -3050,16 +3050,21 @@ def sim_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("selfq") + F.col("cselfq") - F.lit(2) * _dot7("embedding", "cv")
         ).alias("d"),
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    # argmin as min(struct(d, cid)) under a groupBy instead of a
+    # row_number window (r11, guide §2.3 "aggregate before you shuffle"):
+    # struct ordering is lexicographic, so min(struct(d, cid)).cid is
+    # exactly the rn=1 row of ORDER BY d, cid — but a hash aggregate does
+    # map-side partial argmin, collapsing the K rows per vector BEFORE the
+    # exchange (the window form shuffled and sorted the full N x K frame).
     asg = (
-        p.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "cid")
+        p.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", "label", F.col("m.cid").alias("cid"))
     )
     # the (cid x label) contingency table feeds FIVE consumers (both
     # marginals, the total, the MI sum, purity) — persist the bounded
     # K x labels grain so the corpus-wide assignment (distance agg +
-    # argmin window) runs once (r8 sweep, VERDICT r7 #2)
+    # map-side argmin) runs once (r8 sweep, VERDICT r7 #2)
     ct = asg.groupBy("cid", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cl")
     ).persist()
@@ -3224,8 +3229,6 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
-
     t = Tables(spark, sf_dir)
     # r10: the v-vector is 16 BIGINTs — metadata, not data — so the fixed
     # point runs DRIVER-side on per-step collected u-vectors, the exact
@@ -3249,37 +3252,52 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
     v = [_PI_VSCALE] * _PI_DIMS
-    for _ in range(3):
-        lit = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in v) + ")"
-        s_expr = (
-            f"aggregate(zip_with(qv, {lit}, (a, b) -> a * b),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        u_rows = (
-            qv.select(F.posexplode("qv").alias("d", "q"), F.expr(s_expr).alias("s"))
-            .groupBy("d")
-            .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("u"))
-            .collect()  # bounded: _PI_DIMS rows, independent of corpus size
-        )
-        u = {int(r.d): int(r.u) for r in u_rows}
-        m = max((abs(x) for x in u.values()), default=0)
-        v = [
-            (u.get(d, 0) * _PI_VSCALE) // max(m, 1)
-            if u.get(d, 0) >= 0
-            else -(((-u.get(d, 0)) * _PI_VSCALE) // max(m, 1))
-            for d in range(_PI_DIMS)
-        ]
+    empty = False
+    try:
+        for _ in range(3):
+            lit = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in v) + ")"
+            s_expr = (
+                f"aggregate(zip_with(qv, {lit}, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            u_rows = (
+                qv.select(
+                    F.posexplode("qv").alias("d", "q"), F.expr(s_expr).alias("s")
+                )
+                .groupBy("d")
+                .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("u"))
+                .collect()  # bounded: _PI_DIMS rows, independent of corpus size
+            )
+            if not u_rows:
+                # empty corpus: preserve the pre-r10 DataFrame contract
+                # (joins over an empty scan produced 0 rows), instead of
+                # emitting 16 zero rows from the m=0 defaults (ADVICE r10)
+                empty = True
+                break
+            u = {int(r.d): int(r.u) for r in u_rows}
+            m = max((abs(x) for x in u.values()), default=0)
+            v = [
+                (u.get(d, 0) * _PI_VSCALE) // max(m, 1)
+                if u.get(d, 0) >= 0
+                else -(((-u.get(d, 0)) * _PI_VSCALE) // max(m, 1))
+                for d in range(_PI_DIMS)
+            ]
+    finally:
+        # the returned 16-row frame never references qv, so owned_result's
+        # release-on-action would never fire for plan-only consumers and
+        # the materialized corpus-sized cache would pin the long-lived
+        # session (ADVICE r10 #1); the fixed point is done with the corpus
+        # HERE, so release synchronously.
+        qv.unpersist()
     nv = math.sqrt(float(sum(x * x for x in v)))
     rows = [
         (d, v[d], (float(v[d]) / nv) if nv > 0 else 0.0)
         for d in range(_PI_DIMS)
+        if not empty
     ]
-    return owned_result(
-        spark.createDataFrame(
-            rows, "d int, v_fixed long, direction double"
-        ).orderBy("d"),
-        qv,
-    )
+    return spark.createDataFrame(
+        rows, "d int, v_fixed long, direction double"
+    ).orderBy("d")
 
 
 @query(

@@ -99,6 +99,17 @@ def create_session(
         # Quieter driver logs for bench runs.
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Suite-level conf A/B knob (r11, guide §1.2 "config last"): semicolon-
+    # separated k=v pairs, e.g.
+    #   SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;..."
+    # Defaults above stay untouched so the driver's bench protocol is
+    # unchanged; a knob only moves into the defaults after a measured win
+    # (PERF.md records the A/Bs). On a real cluster the same env carries
+    # site-specific values without code edits.
+    for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

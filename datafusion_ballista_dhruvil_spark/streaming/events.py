@@ -4015,15 +4015,34 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("dst"),
         F.row_number().over(w).alias("rn"),
     )
-    trans = (
-        seq.where(F.col("src") != "purchase")
-        .select("src", F.coalesce(F.col("dst"), F.lit("NULL")).alias("dst"))
-        .unionAll(
-            seq.where(F.col("rn") == 1).select(
-                F.lit("START").alias("src"), F.col("src").alias("dst")
+    # one conditional-array explode instead of a two-branch union: the
+    # union's branches were independent subplans, so the sessionize window
+    # (the query's only corpus-wide shuffle+sort) ran TWICE over events
+    # (guide §2.4 — remove shuffles outright). Each seq row emits 0-2
+    # transition structs: its own (src -> dst|NULL) edge unless src is the
+    # absorbing state, plus the START edge when it opens a user journey.
+    # Row multiset identical to the union by construction.
+    trans = seq.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("src") != "purchase",
+                        F.struct(
+                            F.col("src").alias("src"),
+                            F.coalesce(F.col("dst"), F.lit("NULL")).alias("dst"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct(
+                            F.lit("START").alias("src"), F.col("src").alias("dst")
+                        ),
+                    ),
+                )
             )
-        )
-    )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     cnt = trans.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

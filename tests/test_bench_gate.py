@@ -370,3 +370,33 @@ def test_canary_elevated_families_informational():
     # quiet series: nothing in either bucket
     quiet = [{"at": "q", "sec": 0.30}, {"at": "end", "sec": 0.31}]
     assert canary_elevated_families(quiet) == set()
+
+
+# ---- final-line per-query tranche (VERDICT r10 #1) -------------------------
+
+
+def test_inline_query_tranche_order_and_budget():
+    sys.path.insert(0, str(REPO))
+    import json
+
+    from bench import SUMMARY_LINE_MAX, inline_query_tranche
+
+    times = {f"q{i}": 0.5 + i / 100 for i in range(1, 23)}
+    times.update({f"heavy_query_{i:03d}": 10.0 - i / 10 for i in range(60)})
+    out = inline_query_tranche(times)
+    names = list(out)
+    # TPC-H block first, numeric order
+    assert names[:22] == [f"q{i}" for i in range(1, 23)]
+    # then slowest-first
+    rest = names[22:]
+    assert rest == sorted(rest, key=lambda n: -times[n])
+    assert len(rest) > 0
+    # serialized map respects the budget => final line fits the driver's
+    # 2000-char tail capture with ~750 chars of fixed fields around it
+    assert len(json.dumps(out)) <= 1200
+    assert len(out) < len(times)  # it truncates rather than overflowing
+
+    # tiny suites fit whole
+    small = {"q1": 1.0, "a": 2.0}
+    assert inline_query_tranche(small) == {"q1": 1.0, "a": 2.0}
+    assert SUMMARY_LINE_MAX < 2000

@@ -44,3 +44,32 @@ def test_shingle_sets_match_definition(spark, texts):
     )
     got = {r.doc_id: set(r.ss) for r in shingle_arrays_of(docs).collect()}
     assert got == {i: _oracle(t) for i, t in enumerate(texts)}
+
+
+def test_shingle_spread_partitions_rule():
+    """r11 (VERDICT r10 #3): the shingle-kernel spread must be a no-op in
+    BOTH measured-loss regimes — tiny local inputs (the r10 cold-JIT A/B)
+    and already-parallel scans (100 TB posture: never re-shuffle the raw
+    text payload) — and size to ~4 MB/task in between."""
+    from datafusion_ballista_dhruvil_spark.operators.dedup import (
+        _SPREAD_MIN_BYTES,
+        _SPREAD_TARGET_BYTES,
+        shingle_spread_partitions,
+    )
+
+    mb = 2**20
+    # sf0.1 regime: 0.6 MB, 32 cores -> no-op (plans unchanged locally)
+    assert shingle_spread_partitions(594_568, 32) == 0
+    # below the floor stays a no-op with headroom
+    assert shingle_spread_partitions(_SPREAD_MIN_BYTES - 1, 32) == 0
+    # mid regime: 64 MB is one natural split but ~90 s of kernel CPU ->
+    # spread to 16 x ~4 MB tasks
+    assert shingle_spread_partitions(64 * mb, 32) == 16
+    # capped at the core budget
+    assert shingle_spread_partitions(512 * mb, 32) == 32
+    # scan already saturates the cores (100 TB): never add a payload shuffle
+    assert shingle_spread_partitions(32 * 128 * mb, 32) == 0
+    assert shingle_spread_partitions(10 * 2**40, 1000) == 0
+    # degenerate core budget
+    assert shingle_spread_partitions(64 * mb, 1) == 0
+    assert _SPREAD_TARGET_BYTES < _SPREAD_MIN_BYTES

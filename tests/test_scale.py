@@ -274,3 +274,25 @@ def test_cache_lifecycle_no_leaks(spark):
             break
         _time.sleep(0.25)
     assert not leaked, f"persisted RDDs leaked by the two calls: {leaked}"
+
+
+def test_owned_result_prepare_fires_once_at_first_action(spark):
+    """r11 (ADVICE r10 #2): eager cache materialization moved from
+    plan-BUILD time into owned_result's ``prepare`` hook — plan-only
+    consumers (explain/fingerprint tooling) must construct the query
+    without executing it; the first real action runs prepare exactly
+    once, before the action."""
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
+    calls: list[int] = []
+    df = owned_result(
+        spark.range(10).selectExpr("sum(id) AS s"),
+        prepare=lambda: calls.append(1),
+    )
+    # plan-only consumption (schema/explain) must not trigger prepare
+    _ = df.schema
+    assert calls == []
+    assert df.collect()[0]["s"] == 45
+    assert calls == [1]
+    df.collect()  # idempotent: once per query instance, not per action
+    assert calls == [1]

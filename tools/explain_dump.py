@@ -5,10 +5,15 @@ Usage: python tools/explain_dump.py <tag> <suffix> [names...]
   suffix  e.g. before | after
   names   registry query names; with none given, dumps every query.
 
-Plan capture only constructs the DataFrame (no action), so it is cheap and
-safe to run alongside other work; the formatted plan is the AQE initial plan
-(isFinalPlan=false), which is what the plan-shape claims in
-OPTIMIZATION_*.md reference.
+Plan capture constructs the DataFrame and explains it without running the
+result's action. NOTE (r11): construction is NOT always free — queries that
+run their fixed point driver-side on collected metadata (ev_markov_*,
+sim_pca_power_iteration) execute their bounded corpus-pass jobs at build
+time. Caches stay unmaterialized (eager materialization is deferred to the
+first action via owned_result's ``prepare``), and any owned registrations
+are dropped via release_owned() after each capture, so nothing pins the
+session. The formatted plan is the AQE initial plan (isFinalPlan=false),
+which is what the plan-shape claims in OPTIMIZATION_*.md reference.
 """
 
 from __future__ import annotations
@@ -43,6 +48,8 @@ def main() -> int:
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())
+        if hasattr(df, "release_owned"):
+            df.release_owned()
         print(path)
     spark.stop()
     return 0
