@@ -34,70 +34,57 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-facing export order (round 10). The driver's correctness gate
+#: Driver-facing export order (round 11). The driver's correctness gate
 #: consumes only the FIRST 50 registered queries, so export order IS
-#: coverage. Cumulative record through r9: 350/350 driver-verified green,
-#: zero latest-verdict failures (VERDICT r9).
-#: Tranche composition (changed-code-first rule):
-#: 1) the 4 queries NEW in r10 -- mm_jpeg_features + mm_jpeg_color_stats
-#:    (the baseline-JPEG codec landing, gray + 4:2:0 color legs,
-#:    VERDICT r9 #6) and the two r9-#5 TPC-DS shapes (q14 full
-#:    three-channel rollup form, q36 three-level hierarchy) -- all
-#:    locally driver-diffed green;
-#: 2) the 10 mm queries whose code changed in r10: the shared
-#:    tile_doc_pixels/doc_pcm16 helpers replaced inline copies
-#:    (ADVICE r9 #4) and decode_image gained CRC verification
-#:    (ADVICE r9 #1) + the JPEG dispatch branch -- every consumer
-#:    re-hashes (the digest-consumer precedent);
-#: 3) the 7 remaining r1-era rows (finishes the r1 refresh the r9 note
-#:    queued);
-#: 4) all 24 r2-era rows (incl. the asof keystone) -- after this tranche
-#:    no row's latest verdict is older than r3;
-#: 5) 5 r3-era ops_* rows (the approx/lateral sub-family) to fill
-#:    the 50.
-#: R11 ROTATION NOTE: queue whatever code changes in r11 first, then the
-#: remaining 40 r3-era rows (ops_sort_null_order, ops_unpivot, and
-#: ops_lateral_join were displaced from this tranche by the three later
-#: registrations), i.e. (ev_* streaming family, text_*, sim_cosine,
-#: sample_*/split/mix/pack, range_recent_clicks, yoy_sales_growth).
+#: coverage. Cumulative record through r10: every registered query has a
+#: green latest verdict (VERDICT r10 recomputed: never-verified = none,
+#: latest-red = none).
+#: Tranche composition (changed-code-first, then least-recently-verified —
+#: VERDICT r10 #7 asked for staleness rotation, and as of r10 exactly 40
+#: rows' latest verdict dated from round 3):
+#: 1) the 7 queries whose code/plan changed in r11 (ev_markov explode
+#:    rewrite, purity_nmi + crosslingual argmin-by-min(struct), pca cache
+#:    lifecycle + empty contract, lsh_tuning prepare hook, agg_approx
+#:    staged cache, bpe final-persist skip);
+#: 2) 3 representative consumers of the r11 scale-adaptive shingle-spread
+#:    code path (plans provably unchanged at local SFs — the hash gate
+#:    confirms the no-op);
+#: 3) all 40 rows last verified in round 3 (the ev_* streaming family,
+#:    the r3 text_* block, sim_cosine_topk, sample_*/split/mix/pack,
+#:    range_recent_clicks, yoy_sales_growth, and the 3 ops rows displaced
+#:    from the r10 tranche) — after this tranche no row's latest verdict
+#:    is older than round 4.
 #: All names below are asserted against QUERIES at import (see bottom of
 #: load_all in __init__); a typo here raises instead of silently dropping
 #: a verdict slot.
 EXPORT_PRIORITY: list[str] = [
-    # ---- new in r10 (changed-code-first: brand-new registrations)
-    "mm_jpeg_features",
-    "mm_jpeg_color_stats",
-    "tpcds_q14_rollup",
-    "tpcds_q36_deep",
-    # ---- r10 changed-code consumers: tile_doc_pixels/doc_pcm16
-    # refactor + decode_image CRC/JPEG-dispatch touch all of these
-    "mm_png_features",
-    "mm_decode_features",
-    "mm_image_ahash",
-    "mm_image_dhash",
-    "mm_image_neardup_pairs",
-    "mm_image_entropy",
-    "mm_image_resize",
-    "mm_audio_features",
-    "mm_audio_vad_segments",
-    "mm_audio_resample",
-    # ---- r1-era refresh (the 7 rows the r9 note queued)
-    "udf_table_function", "udf_vectorized_score",
-    "mm_frame_sample", "mm_metadata_stats", "mm_resize_thumbnail",
-    "h2o_join_small", "ops_values_limit_offset",
-    # ---- r2-era refresh (all 24)
-    "asof_click_attribution", "avro_roundtrip_agg", "csv_roundtrip_agg",
-    "dedup_semantic_keep", "h2o_sum_multi", "hybrid_search_rrf",
-    "json_roundtrip_agg", "ops_agg_weighted_percentile",
-    "ops_bool_predicates", "ops_case_cast", "ops_map_functions",
-    "ops_regexp_hash", "ops_scalar_datetime", "ops_scalar_math",
-    "ops_scalar_string", "ops_window_groups", "sim_ann_bucketed",
-    "sim_centroid_by_label", "sim_embedding_neardup",
-    "sim_embedding_quantize", "sim_kmeans_assign", "sim_kmeans_iterate",
-    "sim_random_projection", "udf_grouped_agg",
-    # ---- r3-era fill (approx/lateral/unpivot ops sub-family)
-    "ops_agg_approx", "ops_array_hof", "ops_empty_relation",
-    "ops_explode_outer", "ops_lateral_explode",
+    # ---- r11 changed code/plans
+    "ev_markov_attribution",
+    "sim_cluster_purity_nmi",
+    "sim_pca_power_iteration",
+    "dedup_lsh_tuning_curve",
+    "ops_agg_approx",
+    "text_bpe_merges",
+    "text_crosslingual_confusion",
+    # ---- r11 shingle-spread code-path representatives
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "pipeline_clean_corpus",
+    # ---- r3-era refresh (all 40 rows whose latest verdict is round 3)
+    "ev_anomaly_zscore", "ev_cohort_retention", "ev_date_bin",
+    "ev_dau_wau_mau", "ev_funnel_stages", "ev_gapfill_series",
+    "ev_props_json", "ev_props_variant", "ev_rollup_multires",
+    "ev_scd2_intervals", "ev_session_window", "ev_sessionize",
+    "ev_transition_matrix", "ev_tumbling_window", "ev_type_pivot",
+    "ev_watermark_audit", "mix_resample_sources", "ops_lateral_join",
+    "ops_sort_null_order", "ops_unpivot", "pack_token_bins",
+    "range_recent_clicks", "sample_negative_pairs",
+    "sample_stratified_hash", "sample_topk_per_group", "sim_cosine_topk",
+    "split_hash_assign", "text_bm25_topk", "text_chunk_crossdup",
+    "text_chunk_windows", "text_decontam_overlap", "text_fingerprint",
+    "text_langid", "text_ngram_profile", "text_pii_redact",
+    "text_regex_tokens", "text_repetition_filter", "text_tokens_quality",
+    "text_vocab_topk", "yoy_sales_growth",
 ]
 
 

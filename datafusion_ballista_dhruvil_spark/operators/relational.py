@@ -535,12 +535,20 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (6 copies of the column on one reducer, the few-groups
     collapse that dies at scale; it benched 19s at sf0.1 vs ~1s for this).
     """
+    from datafusion_ballista_dhruvil_spark.operators.scale import owned_result
+
     t = Tables(spark, sf_dir)
+    # the (g, p, w) projection feeds BOTH weighted_quantile passes (the
+    # histogram pass and the boundary-bucket resolve pass) — cache it so
+    # the second pass reads ~10 bytes/row from memory instead of
+    # re-scanning + re-decimal-converting lineitem (r11, guide §5; the
+    # ops_mad_outliers precedent). Released by owned_result on the
+    # query's own action.
     staged = t.lineitem.select(
         F.lit(1).alias("g"),
         dec2("l_extendedprice").alias("p"),
         F.lit(1).alias("w"),
-    )
+    ).cache()
     bounds = weighted_quantile(
         staged,
         value="p",
@@ -573,15 +581,18 @@ def ops_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(lo).cast("double"), F.col(hi).cast("double")
         )
 
-    return agg.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(bounds)).select(
-        "exact_parts",
-        (
-            F.abs(F.col("_ad") - F.col("exact_parts"))
-            <= 0.15 * F.col("exact_parts")
-        ).alias("within_distinct"),
-        _within("_a25", "_lo25", "_hi25").alias("within_p25"),
-        _within("_a50", "_lo50", "_hi50").alias("within_p50"),
-        _within("_a75", "_lo75", "_hi75").alias("within_p75"),
+    return owned_result(
+        agg.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(bounds)).select(
+            "exact_parts",
+            (
+                F.abs(F.col("_ad") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            ).alias("within_distinct"),
+            _within("_a25", "_lo25", "_hi25").alias("within_p25"),
+            _within("_a50", "_lo50", "_hi50").alias("within_p50"),
+            _within("_a75", "_lo75", "_hi75").alias("within_p75"),
+        ),
+        staged,
     )
 
 
@@ -741,6 +752,12 @@ FROM c GROUP BY l_returnflag ORDER BY l_returnflag
 def ops_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted price quartiles per returnflag, exact decimals."""
     t = Tables(spark, sf_dir)
+    # NOT cached (r11 negative A/B): ops_agg_approx's staged cache won
+    # ~15% solo, but here the projection carries 5 columns incl. the
+    # tie-break keys, and the measured solo band (2.69-3.02s cached vs
+    # 2.77s baseline) showed the cache write canceling the saved scan;
+    # two scans of a columnar source also remain the better 100 TB
+    # posture for a wide projection (guide §5 cache-vs-recompute).
     staged = t.lineitem.select(
         "l_returnflag",
         dec2("l_extendedprice").alias("p"),

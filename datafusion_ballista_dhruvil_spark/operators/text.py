@@ -1305,6 +1305,14 @@ def text_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", "source", _toks().alias("__tk"))
     g0 = docs.select("doc_id", "source", F.explode(grams).alias("g"))
 
+    # NOT cached (r11 negative A/B): ev feeds 2 consumers and tr feeds 2,
+    # each re-running the 5-gram build — but those rebuilds are 1-task
+    # light stages over the single-split documents scan that race on
+    # otherwise-idle cores (the _verified_pairs lesson), and caching both
+    # measured solo 2.06s -> 2.45-2.74s: the cache writes + serialized
+    # builds cost more wall than the overlapped rebuilds. At 100 TB the
+    # scan parallelizes and redundant gram builds cost real capacity —
+    # revisit with the shingle_spread_partitions-style size gate then.
     ev = g0.where(F.col("source") == "src0").select("g").distinct()
     pos_arr = F.array(*[_bloom_pos(F.col("g"), i) for i in range(_BLOOM_K)])
     bloom = ev.select(F.explode(pos_arr).alias("p")).distinct()
@@ -2324,13 +2332,15 @@ def text_crosslingual_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = cand.groupBy("doc_id", "doc_lang", "cand_lang").agg(
         F.sum("y").cast("bigint").alias("ll_q6")
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("ll_q6"), F.asc("cand_lang")
-    )
+    # argmax as min(struct(-ll_q6, cand_lang)) under a groupBy instead of
+    # a row_number window (r11, guide §2.3): struct ordering makes
+    # min(struct(-ll, lang)).lang exactly the ORDER BY ll DESC, lang ASC
+    # rn=1 row, but the hash aggregate partial-aggregates map-side and
+    # skips the window's full exchange+sort over the doc x lang frame.
     best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_lang", F.col("cand_lang").alias("best_lang"))
+        scores.groupBy("doc_id", "doc_lang")
+        .agg(F.min(F.struct(F.negate(F.col("ll_q6")), F.col("cand_lang"))).alias("m"))
+        .select("doc_lang", F.col("m.cand_lang").alias("best_lang"))
     )
     return (
         best.groupBy("doc_lang", "best_lang")
@@ -2450,7 +2460,13 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {best.t1}  {best.t2} "),
                 F.lit(f" {best.t1}_{best.t2} "),
             ).alias("s"),
-        ).persist()
+        )
+        # the LAST round's merged corpus has exactly ONE consumer (the
+        # final token total), so persisting it would only pay a full
+        # cache materialization for nothing; intermediate rounds persist
+        # because the next round's pair count re-reads them (r11)
+        if r < _BPE_ROUNDS - 1:
+            docs = docs.persist()
     # materialize the bounded 1-row total eagerly so every per-round cache
     # can be released before returning (no persisted corpus copies leak
     # past the query's lifetime)
